@@ -1,0 +1,33 @@
+"""Every registered query with an oracle must match DuckDB exactly
+(SURVEY.md §5.2 item 2 — the driver's correctness gate, run locally)."""
+
+from __future__ import annotations
+
+import pytest
+
+from voz_spark.oracle_compare import compare
+from voz_spark.registry import REGISTRY, all_queries
+
+
+def _oracle_cases():
+    all_queries()  # populate
+    return [(n, q) for n, q in sorted(REGISTRY.items()) if q.oracle is not None]
+
+
+@pytest.mark.parametrize("name,query", _oracle_cases(), ids=lambda c: c if isinstance(c, str) else "")
+def test_query_matches_oracle(spark, sf_dir, name, query):
+    df = query.fn(spark, sf_dir)
+    ok, msg = compare(df, query.oracle, sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+def _rows_only_cases():
+    all_queries()
+    return [(n, q) for n, q in sorted(REGISTRY.items()) if q.oracle is None]
+
+
+@pytest.mark.parametrize("name,query", _rows_only_cases(), ids=lambda c: c if isinstance(c, str) else "")
+def test_rows_only_queries_run(spark, sf_dir, name, query):
+    df = query.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,55 @@
+"""Query registry shared by __spark_entry__ and the benchmarks.
+
+Every operator we claim (SURVEY.md §2) registers here with:
+- a Spark implementation  ``fn(spark, sf_dir) -> DataFrame``
+- an (optional) ANSI-SQL DuckDB oracle string over the driver's
+  pre-registered views.  ``oracle=None`` → the driver records a
+  weaker rows-only check (used only for genuinely non-SQL ops).
+
+Correctness discipline for oracle parity (SURVEY.md §5.2):
+- money/double sums go through DECIMAL so they are order-independent
+  and bit-identical after CAST(... AS DOUBLE) on both engines;
+- every computed column is aliased identically on both sides;
+- every top-k has a total order (unique tie-break column);
+- timestamps are compared as formatted strings (session TZ pinned UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # import for side effects: modules populate REGISTRY on import
+    from voz_spark import dataprep, relational  # noqa: F401
+    from voz_spark import crawl_queries  # noqa: F401
+
+    return {k: v.fn for k, v in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    from voz_spark import dataprep, relational  # noqa: F401
+    from voz_spark import crawl_queries  # noqa: F401
+
+    return {k: v.oracle for k, v in REGISTRY.items() if v.oracle is not None}

@@ -1,0 +1,686 @@
+"""Relational / analytic operators (SURVEY.md §2.C) over the driver's
+TPC-H-ish tables.
+
+Each query re-expresses one (or a composition) of the reference's
+pandas analytics (src/detailed_analyzer.py, src/data_analyzer.py,
+src/op_analyzer.py — see per-function citations) as a declarative
+DataFrame plan that Catalyst can push down / prune / broadcast.
+
+Scale notes (100 TB design point) are in each docstring: which side
+broadcasts, where the shuffle is, and why the plan survives 1000×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from voz_spark.registry import register
+from voz_spark.session import load_table as T
+
+# ---------------------------------------------------------------------------
+# C11/C13: multi-stat hash aggregate (reference: src/data_analyzer.py:620-628,
+# src/detailed_analyzer.py:737-744). Partial aggregation is map-side; the only
+# shuffle is on the (tiny-cardinality) group key, so this is scan-bound at any
+# scale. DECIMAL sums → order-independent exact results.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filter + groupBy + 4 aggregates."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_base_price"),
+            F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C20: sort + limit / top-k (reference: src/detailed_analyzer.py:233-235,
+# 855-862 — `most_common(n)` / `sort_values().head(n)`).
+# Spark executes as TakeOrdered (per-partition top-k + driver merge): no
+# global sort shuffle, O(k) driver memory — correct at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_top_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price; unique tie-break key pins the set."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9/C10: enrichment joins via broadcast (reference: pandas.merge at
+# src/detailed_analyzer.py:131-135; dict map-join :303-311).
+# customer/nation are dimensions: broadcast-hash join, zero shuffle of the
+# fact side beyond the final tiny agg. At 100 TB the orders fact streams
+# through map-side joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_orders_by_nation",
+    oracle="""
+SELECT n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q03_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim) ⋈ broadcast(dim) → groupBy."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C16: pivot / cross-tab (reference: pd.pivot_table at
+# src/detailed_analyzer.py:146-153). Explicit pivot values → single-pass
+# pivot (no extra distinct job) and a deterministic schema.
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "q04_priority_segment_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS AUTOMOBILE,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS BUILDING,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS FURNITURE,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS HOUSEHOLD,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS MACHINERY
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderpriority
+""",
+)
+def q04_priority_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab order priority × market segment (counts)."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    piv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .count()
+    )
+    return piv.na.fill(0, _SEGMENTS)
+
+
+# ---------------------------------------------------------------------------
+# C17: row-normalized percentage (reference: src/detailed_analyzer.py:156,
+# 343-345). Window-sum over the row group; group cardinality is tiny, so the
+# window is cheap at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_status_priority_pct",
+    oracle="""
+WITH g AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus, o_orderpriority, cnt,
+       CAST(cnt AS DOUBLE) * 100.0 / SUM(cnt) OVER (PARTITION BY o_orderstatus) AS pct
+FROM g
+""",
+)
+def q05_status_priority_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentage of each priority within its order status."""
+    o = T(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_orderstatus")
+    return g.withColumn("pct", F.col("cnt").cast("double") * 100.0 / F.sum("cnt").over(w))
+
+
+# ---------------------------------------------------------------------------
+# C18/C19: half-open binning + ordered categorical sort (reference: pd.cut
+# right=False at src/op_analyzer.py:358-361, ordering via pd.Categorical at
+# src/create_budget_distribution.py:68). CASE chain = same half-open [lo,hi)
+# semantics; bin_ord replaces the categorical ordering.
+# ---------------------------------------------------------------------------
+
+_BIN_EDGES = [0, 50_000, 100_000, 150_000, 200_000, 300_000]
+_BIN_LABELS = ["0-50k", "50-100k", "100-150k", "150-200k", "200-300k", "300k+"]
+
+
+def _bin_case_sql(col: str) -> str:
+    whens = []
+    for i in range(len(_BIN_EDGES) - 1):
+        whens.append(
+            f"WHEN {col} >= {_BIN_EDGES[i]} AND {col} < {_BIN_EDGES[i + 1]} "
+            f"THEN '{_BIN_LABELS[i]}'"
+        )
+    whens.append(f"WHEN {col} >= {_BIN_EDGES[-1]} THEN '{_BIN_LABELS[-1]}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+def _bin_ord_sql(col: str) -> str:
+    whens = [f"WHEN '{lab}' THEN {i}" for i, lab in enumerate(_BIN_LABELS)]
+    return f"CASE {col} " + " ".join(whens) + " END"
+
+
+@register(
+    "q06_price_bins",
+    oracle=f"""
+WITH b AS (
+  SELECT {_bin_case_sql("o_totalprice")} AS price_bin FROM orders
+)
+SELECT price_bin, {_bin_ord_sql("price_bin")} AS bin_ord, COUNT(*) AS n
+FROM b GROUP BY price_bin
+""",
+)
+def q06_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of order totals with pd.cut(right=False) semantics."""
+    o = T(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.select(F.expr(_bin_case_sql("o_totalprice")).alias("price_bin"))
+    return b.groupBy("price_bin").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "bin_ord", F.expr(_bin_ord_sql("price_bin"))
+    ).select("price_bin", "bin_ord", "n")
+
+
+# ---------------------------------------------------------------------------
+# C8: first-post / rest split (reference: posts[0] vs posts[1:] at
+# src/data_analyzer.py:312,354). row_number window partitioned by the entity
+# key — shuffle on customer key only; at 100 TB this is the canonical
+# "sessionize by key" shuffle and AQE handles stragglers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q07_first_vs_later_orders",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT CASE WHEN rn = 1 THEN 'first' ELSE 'later' END AS order_kind,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM r GROUP BY 1
+""",
+)
+def q07_first_vs_later_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-vs-replies analogue: each customer's first order vs the rest."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("order_kind", F.when(F.col("rn") == 1, "first").otherwise("later"))
+        .groupBy("order_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C21: top-k per group (reference: top-3 keywords per (range, component) at
+# src/detailed_analyzer.py:936-958). row_number ≤ k — partial top-k happens
+# map-side under AQE; tie-break on the unique key pins determinism (§4.3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q08_top3_orders_per_segment",
+    oracle="""
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM j
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3
+""",
+)
+def q08_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each market segment."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C24/C25: self-join pair generation / co-occurrence (reference: component
+# pairs per reply at src/detailed_analyzer.py:624-642). distinct-then-self-
+# join on the shared key; a.brand < b.brand halves the pair space; the join
+# key (orderkey) has bounded fan-out (≤7 lines/order) so the self-join is
+# linear — the property that keeps this safe at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q09_brand_cooccurrence",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 20
+""",
+)
+def q09_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand pairs co-occurring in one order, top-20."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("l_orderkey", "p_brand").distinct()
+    a = ob.alias("a")
+    b = ob.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C14/C15/C25: grouped distinct aggregates + derived scoring (reference:
+# per-user expertise at src/detailed_analyzer.py:796-852; combination key at
+# :587-601). collect_set is rendered order-insensitive by array_sort +
+# array_join so it hash-compares.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_customer_profile",
+    oracle="""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), '+') AS status_combo,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+       COUNT(*) * 2.0 + CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / 1000.0
+         AS expertise_score
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q10_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer profile: counts, distincts, combo key, derived score."""
+    o = T(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), "+").alias("status_combo"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_spend"),
+    )
+    return g.withColumn(
+        "expertise_score", F.col("n_orders") * F.lit(2.0) + F.col("total_spend") / F.lit(1000.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C28 + C16: date parse/truncate + monthly trend (reference:
+# pd.to_datetime + to_period('M') at src/detailed_analyzer.py:320-340).
+# Months emitted as 'yyyy-MM' strings → engine-neutral comparison.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_monthly_order_trend",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q11_monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order volume and spend by status."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running/cumulative window (reference analogue: cumulative counts per month
+# in trend charts, src/visualization_creator.py). DECIMAL running sum →
+# exact at every row on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_running_customer_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+         AS running_spend
+FROM orders
+""",
+)
+def q12_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer in order-date order."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization over the events stream table (streaming-equivalent batch
+# form — SURVEY.md §2.E; pyspark_guide "Sessionization" pattern): lag + gap
+# flag + running sum. The shuffle is on user_id; skewed users are bounded by
+# the 30-min gap rule.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_sessionize_events",
+    oracle="""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM t
+)
+SELECT user_id,
+       CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id
+""",
+)
+def q13_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counts per user with a 30-minute inactivity gap."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | F.expr("ts - prev_ts > INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    s = t.withColumn("sess_id", F.sum("new_sess").over(w))
+    return s.groupBy("user_id").agg(
+        F.max("sess_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window, batch form (SURVEY.md §2.E: the reference's
+# only time window is the calendar month; here we also cover hour windows for
+# the events stream). date_trunc is partition-prunable on a ts-partitioned
+# lake layout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_hourly_event_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q14_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts per event type."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C13: multi-stat aggregate with exact median + deterministic stddev
+# (reference: price stats at src/detailed_analyzer.py:737-744, sentiment
+# stats at src/sentiment_analyzer.py:186-191). stddev is computed from exact
+# DECIMAL sums with an identical formula on both engines (order-independent),
+# median rounded to 4dp to absorb interpolation ulp differences.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_brand_price_stats",
+    oracle="""
+WITH g AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         MIN(p_retailprice) AS min_price,
+         MAX(p_retailprice) AS max_price,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(28,8))) AS DOUBLE) AS s2,
+         ROUND(CAST(quantile_cont(p_retailprice, 0.5) AS DOUBLE), 4) AS median_price
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand, n, min_price, max_price, median_price,
+       s1 / n AS avg_price,
+       CASE WHEN n > 1 THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END AS std_price
+FROM g
+""",
+)
+def q15_brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price statistics: count/min/max/median/avg/std."""
+    p = T(spark, sf_dir, "part")
+    g = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum(F.expr("CAST(p_retailprice * p_retailprice AS DECIMAL(28,8))")).cast("double").alias("s2"),
+        F.round(F.expr("percentile(p_retailprice, 0.5)"), 4).alias("median_price"),
+    )
+    return g.select(
+        "p_brand",
+        "n",
+        "min_price",
+        "max_price",
+        "median_price",
+        (F.col("s1") / F.col("n")).alias("avg_price"),
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(F.greatest((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), F.lit(0.0))),
+        ).alias("std_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C22/C23/C26/C29: coalesce precedence, one-hot indicators, boolean-pair
+# grouping (reference: src/data_analyzer.py:331, src/reply_analyzer.py:423-425,
+# src/detailed_analyzer.py:444-445).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_customer_flags",
+    oracle="""
+SELECT o_custkey,
+       MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_finished,
+       MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS has_open,
+       MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS has_urgent,
+       COALESCE(NULLIF(MIN(o_orderpriority), ''), 'UNKNOWN') AS first_priority
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q16_customer_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot status/priority indicators per customer + coalesce precedence."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("has_finished"),
+        F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("has_open"),
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("has_urgent"),
+        F.coalesce(F.nullif(F.min("o_orderpriority"), F.lit("")), F.lit("UNKNOWN")).alias("first_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C31/C35: weighted graph edges + degree metrics (reference: reply→OP edges
+# at src/network_analyzer.py:74-118). Edge build = fact join; degrees =
+# groupBy sums. GraphFrames-free: degrees are plain aggregations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_graph_degrees",
+    oracle="""
+WITH edges AS (
+  SELECT o_custkey AS src, l_suppkey AS dst, COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+), outd AS (
+  SELECT src AS node, SUM(weight) AS out_degree, COUNT(*) AS out_edges
+  FROM edges GROUP BY src
+), ind AS (
+  SELECT dst AS node, SUM(weight) AS in_degree, COUNT(*) AS in_edges
+  FROM edges GROUP BY dst
+)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree,
+       COALESCE(out_edges, 0) AS out_edges,
+       COALESCE(in_edges, 0) AS in_edges
+FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+""",
+)
+def q17_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer→supplier interaction graph: weighted in/out degrees."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("out_degree"), F.count(F.lit(1)).alias("out_edges")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.sum("weight").alias("in_degree"), F.count(F.lit(1)).alias("in_edges")
+    )
+    return (
+        outd.join(ind, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_edges", F.lit(0)).alias("out_edges"),
+            F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7: min-group-size filter / HAVING (reference: skip ranges with <10 rows at
+# src/detailed_analyzer.py:921-922).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_popular_parts",
+    oracle="""
+SELECT l_partkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(*) >= 5
+""",
+)
+def q18_popular_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts appearing in ≥5 lineitems (HAVING / min-group-size)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"),
+        )
+        .where(F.col("n_lines") >= 5)
+    )
