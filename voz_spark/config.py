@@ -1,0 +1,37 @@
+"""Engine configuration (mirrors reference src/config.py knobs).
+
+Reference values cited per field; scale-dependent knobs are sized for
+the sandbox but parameterized for the 10^10-URL design point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # politeness: reference REQUEST_DELAY=2s (src/config.py:33) →
+    # per-host fetches per round; one round ≈ one politeness interval
+    # across the cluster, so budget == parallel fetch slots per host.
+    default_host_budget: int = 64
+    # reference MAX_RETRIES (src/config.py:38)
+    max_retries: int = 3
+    # reference min image size 100px (src/config.py:41-42); fixtures use
+    # small synthetic images so the gate is scaled down with them.
+    min_image_dim: int = 32
+    # PSNR floor for lossy formats (BASELINE.json input_hint)
+    psnr_min_db: float = 40.0
+    # salting factor for the dominant-host skew (SURVEY §2.B B5);
+    # at 10^10 scale this is ~2×cores-per-executor × executors.
+    n_salts: int = 8
+    # bloom: shards aligned to pmod(url_hash, n_shards); bits sized for
+    # the expected seen-set. 2^20 bits/shard for tests; the 10^10 design
+    # point is 2^27 bits × 4096 shards ≈ 64 GiB total, ~1% FPR with k=7
+    # (never broadcast whole — membership is tested shard-aligned).
+    n_bloom_shards: int = 16
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_k: int = 5
+
+
+DEFAULT = CrawlConfig()

@@ -1,0 +1,494 @@
+"""One crawl round as a declarative DataFrame pipeline (the core graft).
+
+Reference semantics being reproduced (see SURVEY §3.1): the sequential
+thread walker of src/main.py:175-278 + src/thread_crawler.py:74-187 +
+src/image_processor.py:44-142, generalized to a distributed frontier:
+
+    frontier ──canonicalize+hash──▶ in-batch dedup ──bloom prefilter──▶
+    exact anti-join vs seen ──robots filter──▶ salted per-host priority
+    scheduling ──▶ fetch (expand pages / join+decode images) ──▶
+    atomic commit (seen, results, lineage, frontier', bloom', checkpoint)
+
+Scale design (10^10 frontier, 1000 executors):
+- every shuffle is on an explicit key: canon_url for dedup/anti-join,
+  (host, salt) then host for scheduling, image_id for the fetch join;
+- the dominant host cannot hot-spot the scheduling window because the
+  first window partitions on (host, salt) — the per-host exact top-k
+  window only ever sees ≤ budget×n_salts pre-filtered rows per host
+  (SURVEY §2.B B5);
+- bloom membership skips the anti-join shuffle for definitely-new
+  URLs (the overwhelming majority in an expanding crawl);
+- the exact anti-join joins on (url_hash, canon_url), so a 64-bit
+  hash collision can never drop a URL;
+- Python runs only inside Arrow-batched pandas UDFs / mapInPandas
+  (canonicalization, bloom bit tests, image decode) — zero per-row
+  Python UDFs, zero RDD usage (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from voz_spark import bloom as B
+from voz_spark import schemas, synth
+from voz_spark.canon import canonicalize_one, host_col
+from voz_spark.codec import decode_image, psnr
+from voz_spark.config import CrawlConfig
+
+PRIORITY = ["seed_rank", "page_no", "post_no", "canon_url"]
+
+
+@dataclass
+class RoundResult:
+    round_id: int
+    n_candidates: int
+    n_deduped: int
+    n_new: int
+    n_robots_blocked: int
+    n_scheduled: int
+    n_fetched_ok: int
+    n_failed: int
+    n_next_frontier: int
+    scheduled_df: DataFrame | None = None
+    results_df: DataFrame | None = None
+    new_seen_df: DataFrame | None = None
+    next_frontier_df: DataFrame | None = None
+    lineage_df: DataFrame | None = None
+    persisted: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self):
+        for df in self.persisted:
+            df.unpersist()
+
+
+def _canonicalize(frontier: DataFrame) -> DataFrame:
+    """B1/B2: vectorized canonicalization + JVM-side 64-bit keying."""
+
+    @pandas_udf("string")
+    def canon_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
+        return pd.Series(
+            [canonicalize_one(u, b if b else None) for u, b in zip(urls, bases)],
+            dtype="object",
+        )
+
+    return (
+        frontier.withColumn("canon_url", canon_udf("url", "base_url"))
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+        .withColumn("host", host_col(F.col("canon_url")))
+    )
+
+
+def _dedup_in_batch(df: DataFrame) -> DataFrame:
+    """Keep the best-priority occurrence of each canonical URL in this
+    round's candidate batch (duplicates across pages are common —
+    FIXTURES.md §3)."""
+    w = Window.partitionBy("canon_url").orderBy("seed_rank", "page_no", "post_no", "attempt")
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def _bloom_split(
+    spark: SparkSession,
+    df: DataFrame,
+    shard_blobs: dict[int, bytes],
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """B3a: add `maybe_seen`. False → definitely unseen (skips the
+    anti-join). Shard blobs travel as a broadcast variable; membership
+    is numpy bit tests over the Arrow batch."""
+    if not shard_blobs:
+        return df.withColumn("maybe_seen", F.lit(False))
+    bc = spark.sparkContext.broadcast(shard_blobs)
+    nbits, k, n_shards = cfg.bloom_bits_per_shard, cfg.bloom_k, cfg.n_bloom_shards
+
+    @pandas_udf("boolean")
+    def bloom_udf(hashes: pd.Series) -> pd.Series:
+        h = hashes.to_numpy().astype(np.uint64)
+        shards = B.shard_of(h, n_shards)
+        out = np.zeros(len(h), dtype=bool)
+        blobs = bc.value
+        for sid in np.unique(shards):
+            blob = blobs.get(int(sid))
+            if blob is None:
+                continue
+            mask = shards == sid
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            out[mask] = B.maybe_contains(bits, h[mask], nbits, k)
+        return pd.Series(out)
+
+    return df.withColumn("maybe_seen", bloom_udf("url_hash"))
+
+
+def _dedup_against_seen(df: DataFrame, seen: DataFrame) -> DataFrame:
+    """B3b: exact left-anti join for bloom 'maybe seen' survivors.
+    Joining on (url_hash, canon_url) makes hash collisions harmless."""
+    maybe = df.where(F.col("maybe_seen"))
+    fresh = df.where(~F.col("maybe_seen"))
+    anti = maybe.join(
+        seen.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
+    )
+    return fresh.unionByName(anti).drop("maybe_seen")
+
+
+def _robots_flag(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """B9: robots compliance (new capability per north_rule). The rule
+    set is tiny here → evaluated vectorized inside the batch; with
+    millions of per-host rules this becomes a broadcast join on host +
+    prefix filter."""
+    disallowed = [(r["host"], r["path_prefix"]) for r in rules if not r["allowed"]]
+
+    @pandas_udf("boolean")
+    def blocked_udf(hosts: pd.Series, urls: pd.Series) -> pd.Series:
+        out = np.zeros(len(hosts), dtype=bool)
+        for rh, prefix in disallowed:
+            hit = (hosts == rh).to_numpy()
+            if hit.any():
+                paths = urls[hit].map(lambda u: "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/")
+                out[hit] |= paths.str.startswith(prefix).to_numpy()
+        return pd.Series(out)
+
+    return df.withColumn("robots_blocked", blocked_udf("host", "canon_url"))
+
+
+def _schedule(df: DataFrame, budgets: dict[str, int], default_budget: int, n_salts: int) -> DataFrame:
+    """B4/B5/B6: salted per-host priority scheduling.
+
+    Stage 1 window partitions by (host, salt) and keeps the per-salt
+    top-`budget` — bounds any one partition even when one host owns
+    90% of the frontier. Stage 2 keeps the exact per-host top-`budget`
+    of the ≤ budget×n_salts survivors. The kept set equals the
+    sequential reference's "next budget URLs in seed/page/post order"
+    (src/main.py:207, src/thread_crawler.py:161-172).
+    """
+    budget_map = F.create_map(
+        *[x for h, b in sorted(budgets.items()) for x in (F.lit(h), F.lit(b))]
+    )
+    df = df.withColumn("budget", F.coalesce(budget_map[F.col("host")], F.lit(default_budget)))
+    df = df.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
+    w1 = Window.partitionBy("host", "salt").orderBy(*PRIORITY)
+    w2 = Window.partitionBy("host").orderBy(*PRIORITY)
+    return (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col("budget"))
+        .withColumn("_r2", F.row_number().over(w2))
+        .withColumn("scheduled", F.col("_r2") <= F.col("budget"))
+        .drop("_r1", "_r2", "salt", "budget")
+    )
+
+
+_CHILD_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("base_url", StringType(), True),
+        StructField("seed_rank", IntegerType(), False),
+        StructField("page_no", IntegerType(), False),
+        StructField("post_no", IntegerType(), False),
+        StructField("attempt", IntegerType(), False),
+        StructField("parent_canon", StringType(), False),
+    ]
+)
+
+
+def _expand_pages(pages: DataFrame, img_space: int) -> DataFrame:
+    """A2/A3: frontier expansion for thread/page URLs. The synthetic
+    link graph replaces live HTML parsing (FIXTURES.md §3); the Spark
+    shape — mapInPandas producing child rows — is exactly what a real
+    HTML-parsing expansion uses."""
+
+    def expand(batches):
+        for pdf in batches:
+            out = {c.name: [] for c in _CHILD_SCHEMA.fields}
+            for canon, rank in zip(pdf["canon_url"], pdf["seed_rank"]):
+                for child, page_no, post_no in synth.expand_children(canon, img_space):
+                    out["url"].append(child)
+                    out["base_url"].append(canon)
+                    out["seed_rank"].append(rank)
+                    out["page_no"].append(page_no)
+                    out["post_no"].append(post_no)
+                    out["attempt"].append(0)
+                    out["parent_canon"].append(canon)
+            yield pd.DataFrame(out)
+
+    return pages.select("canon_url", "seed_rank").mapInPandas(expand, _CHILD_SCHEMA)
+
+
+_VALIDATE_SCHEMA = StructType(
+    [
+        StructField("canon_url", StringType(), False),
+        StructField("image_id", StringType(), True),
+        StructField("status", StringType(), False),
+        StructField("psnr_db", DoubleType(), True),
+        StructField("caption_ok", BooleanType(), True),
+    ]
+)
+
+
+def _validate_images(joined: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """A5/B12: per-image decode + validation inside one Arrow batch
+    loop (reference: PIL decode + size gate at src/image_processor.py:
+    84-99). Checks, in order: min-size gate → real decode → decoded-
+    pixel allclose (lossless) / PSNR ≥ 40 dB (lossy) → exact caption
+    equality vs the deterministic expectation (input_hint invariant).
+    """
+    min_dim, psnr_min = cfg.min_image_dim, cfg.psnr_min_db
+
+    def validate(batches):
+        for pdf in batches:
+            n = len(pdf)
+            status = np.empty(n, dtype=object)
+            psnr_db = np.empty(n, dtype=object)
+            caption_ok = np.empty(n, dtype=object)
+            for i in range(n):
+                data, fmt = pdf["bytes"].iat[i], pdf["fmt"].iat[i]
+                w, h = pdf["w"].iat[i], pdf["h"].iat[i]
+                img_id, caption = pdf["image_id"].iat[i], pdf["caption"].iat[i]
+                idx = int(img_id[3:])
+                psnr_db[i] = None
+                caption_ok[i] = None
+                if data is None:
+                    status[i] = "missing"
+                    continue
+                if w < min_dim or h < min_dim:
+                    status[i] = "gated"
+                    continue
+                try:
+                    decoded = decode_image(bytes(data), fmt)
+                except Exception:
+                    status[i] = "decode_error"
+                    continue
+                expected = synth.image_pixels(idx)
+                p = psnr(expected, decoded)
+                psnr_db[i] = float(p)
+                if fmt == "png":
+                    ok_px = np.array_equal(expected, decoded)
+                else:
+                    ok_px = p >= psnr_min
+                if not ok_px:
+                    status[i] = "psnr_fail"
+                    continue
+                cap_ok = caption == synth.image_caption(idx)
+                caption_ok[i] = bool(cap_ok)
+                status[i] = "ok" if cap_ok else "caption_mismatch"
+            yield pd.DataFrame(
+                {
+                    "canon_url": pdf["canon_url"],
+                    "image_id": pdf["image_id"],
+                    "status": status,
+                    "psnr_db": psnr_db,
+                    "caption_ok": caption_ok,
+                }
+            )
+
+    return joined.mapInPandas(validate, _VALIDATE_SCHEMA)
+
+
+def run_round_pipeline(
+    spark: SparkSession,
+    frontier: DataFrame,
+    seen: DataFrame,
+    shard_blobs: dict[int, bytes],
+    images: DataFrame,
+    robots_rules: list[dict],
+    budgets: dict[str, int],
+    cfg: CrawlConfig,
+    round_id: int,
+    img_space: int,
+) -> RoundResult:
+    """Execute one crawl round; returns the new state DataFrames
+    (nothing committed here — rounds.commit_round persists atomically)."""
+    persisted: list[DataFrame] = []
+
+    cand = _canonicalize(frontier)
+    cand = _dedup_in_batch(cand)
+    cand = _bloom_split(spark, cand, shard_blobs, cfg)
+    new = _dedup_against_seen(cand, seen)
+    new = _robots_flag(new, robots_rules)
+    new = new.persist()
+    persisted.append(new)
+
+    n_candidates = frontier.count()
+    n_deduped = n_new = new.count()
+    blocked = new.where(F.col("robots_blocked"))
+    allowed = new.where(~F.col("robots_blocked"))
+
+    sched_all = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts).persist()
+    persisted.append(sched_all)
+    scheduled = sched_all.where(F.col("scheduled"))
+    pending = sched_all.where(~F.col("scheduled"))
+
+    # classify scheduled URLs
+    scheduled = scheduled.withColumn(
+        "kind",
+        F.when(F.col("canon_url").rlike(r"^https://voz\.test/t/[^/]+\.\d+/$"), "thread")
+        .when(F.col("canon_url").rlike(r"^https://voz\.test/t/[^/]+\.\d+/page-\d+$"), "page")
+        .otherwise("image"),
+    ).persist()
+    persisted.append(scheduled)
+
+    # fetch: pages/threads expand into children
+    pages = scheduled.where(F.col("kind") != "image")
+    children = _expand_pages(pages, img_space).persist()
+    persisted.append(children)
+    child_counts = children.groupBy("parent_canon").agg(F.count(F.lit(1)).alias("n_children"))
+    page_results = (
+        pages.join(child_counts, pages.canon_url == child_counts.parent_canon, "left")
+        .select(
+            F.lit(round_id).alias("round_id"),
+            "canon_url",
+            "host",
+            "seed_rank",
+            "page_no",
+            "post_no",
+            "kind",
+            F.lit(None).cast("string").alias("image_id"),
+            F.lit("ok").alias("status"),
+            F.lit(None).cast("double").alias("psnr_db"),
+            F.lit(None).cast("boolean").alias("caption_ok"),
+            F.coalesce("n_children", F.lit(0)).cast("int").alias("n_children"),
+        )
+    )
+
+    # fetch: images resolve against the images table (A4/A5 — the Iceberg
+    # fetch-join; the sandbox has no network, exactly like the reference's
+    # 403-blocked image fetches, so the table IS the fetch source)
+    sched_imgs = scheduled.where(F.col("kind") == "image").withColumn(
+        "image_id",
+        F.concat(F.lit("img"), F.regexp_extract("canon_url", r"(\d{10})\.(?:png|vqz)$", 1)),
+    )
+    joined = sched_imgs.join(
+        images.withColumnRenamed("image_id", "img_image_id"),
+        sched_imgs.image_id == F.col("img_image_id"),
+        "left",
+    )
+    validated = _validate_images(
+        joined.select("canon_url", "image_id", "bytes", "fmt", "w", "h", "caption"), cfg
+    )
+    image_results = (
+        sched_imgs.select(
+            "canon_url", "host", "seed_rank", "page_no", "post_no", "kind"
+        )
+        .join(validated, "canon_url")
+        .select(
+            F.lit(round_id).alias("round_id"),
+            "canon_url",
+            "host",
+            "seed_rank",
+            "page_no",
+            "post_no",
+            "kind",
+            "image_id",
+            "status",
+            "psnr_db",
+            "caption_ok",
+            F.lit(0).alias("n_children"),
+        )
+    )
+
+    robots_results = blocked.select(
+        F.lit(round_id).alias("round_id"),
+        "canon_url",
+        "host",
+        "seed_rank",
+        "page_no",
+        "post_no",
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("image_id"),
+        F.lit("robots").alias("status"),
+        F.lit(None).cast("double").alias("psnr_db"),
+        F.lit(None).cast("boolean").alias("caption_ok"),
+        F.lit(0).alias("n_children"),
+    )
+
+    results = page_results.unionByName(image_results).unionByName(robots_results).persist()
+    persisted.append(results)
+
+    # seen: everything scheduled this round + robots-blocked (negative
+    # cache — reference caches errors too, src/image_processor.py:127-136)
+    new_seen = (
+        scheduled.select("url_hash", "canon_url")
+        .unionByName(blocked.select("url_hash", "canon_url"))
+        .withColumn("first_round", F.lit(round_id))
+    )
+
+    next_frontier = pending.select(
+        F.col("canon_url").alias("url"),
+        F.lit(None).cast("string").alias("base_url"),
+        "seed_rank",
+        "page_no",
+        "post_no",
+        "attempt",
+    ).unionByName(children.select("url", "base_url", "seed_rank", "page_no", "post_no", "attempt"))
+
+    # lineage (B13): funnel counters per host + per-partition scheduled rows
+    n_robots_blocked = blocked.count()
+    n_scheduled = scheduled.count()
+    n_fetched_ok = results.where(F.col("status") == "ok").count()
+    n_failed = results.where(~F.col("status").isin("ok", "gated")).count()
+    per_part = (
+        scheduled.groupBy(F.spark_partition_id().alias("partition_id"), "host")
+        .agg(F.count(F.lit(1)).alias("n_scheduled"))
+        .select(
+            F.lit(round_id).alias("round_id"),
+            "partition_id",
+            "host",
+            F.lit(0).cast("long").alias("n_candidates"),
+            F.lit(0).cast("long").alias("n_bloom_new"),
+            F.lit(0).cast("long").alias("n_deduped"),
+            F.lit(0).cast("long").alias("n_robots_blocked"),
+            F.col("n_scheduled").cast("long"),
+            F.lit(0).cast("long").alias("n_fetched"),
+            F.lit(0).cast("long").alias("n_failed"),
+        )
+    )
+    funnel = spark.createDataFrame(
+        [
+            (
+                round_id,
+                -1,
+                None,
+                n_candidates,
+                n_new,
+                n_deduped,
+                n_robots_blocked,
+                n_scheduled,
+                n_fetched_ok,
+                n_failed,
+            )
+        ],
+        schemas.LINEAGE,
+    )
+    lineage = per_part.unionByName(funnel)
+
+    return RoundResult(
+        round_id=round_id,
+        n_candidates=n_candidates,
+        n_deduped=n_deduped,
+        n_new=n_new,
+        n_robots_blocked=n_robots_blocked,
+        n_scheduled=n_scheduled,
+        n_fetched_ok=n_fetched_ok,
+        n_failed=n_failed,
+        n_next_frontier=0,  # filled by commit
+        scheduled_df=scheduled,
+        results_df=results,
+        new_seen_df=new_seen,
+        next_frontier_df=next_frontier,
+        lineage_df=lineage,
+        persisted=persisted,
+    )

@@ -1,0 +1,275 @@
+"""Crawl-round orchestration: bootstrap, atomic commit, exact resume
+(SURVEY §2.A A11/A12/B13; reference: save_checkpoint/load_checkpoint at
+src/main.py:94-128 and the every-5-threads cadence at :215-216).
+
+Each round is one deterministic batch job. Its outputs (seen/results/
+lineage/fetch_failures appends; frontier/bloom replaces; checkpoint row)
+become visible in a single atomic catalog commit, so a kill at ANY
+point leaves the previous round's state intact and a restart resumes
+exactly (test: tests/test_resume.py).
+
+Commit ordering note (SURVEY §7.4 item 2): bloom shards are committed
+in the same manifest as `seen`, and the bloom is derived FROM the
+committed seen rows — a crash can therefore never produce a bloom
+that claims URLs the seen table lacks (no false "maybe seen" without
+an anti-join backstop, and false negatives are impossible because the
+blobs are rebuilt from the very hashes being committed).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voz_spark import bloom as B
+from voz_spark import schemas, synth
+from voz_spark.config import DEFAULT, CrawlConfig
+from voz_spark.frontier import run_round_pipeline
+from voz_spark.tables import SnapshotCatalog
+
+
+def img_space_for(n_images: int) -> int:
+    """~5% of link-graph image indexes miss the table (failure path)."""
+    return int(n_images * 1.05) + 1
+
+
+def generate_images(spark: SparkSession, path: str, n_images: int) -> None:
+    """Materialize the images input table (BASELINE.json input_hint
+    shape) with REAL encoded bytes, distributed via mapInPandas."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [synth.image_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    (
+        spark.range(n_images)
+        .repartition(max(2, min(64, n_images // 256 + 1)))
+        .mapInPandas(gen, schemas.IMAGES)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+class CrawlEngine:
+    """Drives crawl rounds over a SnapshotCatalog at `workdir`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        n_seeds: int = 30,
+        n_images: int = 2000,
+        thread_limit: int | None = None,
+        include_sticky: bool = False,
+        cfg: CrawlConfig = DEFAULT,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.n_seeds = n_seeds
+        self.n_images = n_images
+        self.img_space = img_space_for(n_images)
+        self.thread_limit = thread_limit
+        self.include_sticky = include_sticky
+        self.cat = SnapshotCatalog(workdir)
+        self.images_path = f"{workdir}/images_input"
+        self.robots = synth.robots_rules()
+        self.budgets = {r["host"]: r["max_fetches_per_round"] for r in synth.host_budgets(cfg.default_host_budget)}
+
+    # -- state ----------------------------------------------------------------
+
+    def _read(self, table: str, schema) -> DataFrame:
+        return self.cat.read(self.spark, table, schema)
+
+    def last_round(self) -> int:
+        return int(self.cat.manifest()["meta"].get("round_id", 0))
+
+    def seen(self) -> DataFrame:
+        return self._read("seen", schemas.SEEN)
+
+    def results(self) -> DataFrame:
+        return self._read("results", schemas.RESULTS)
+
+    def frontier(self) -> DataFrame:
+        return self._read("frontier", schemas.FRONTIER)
+
+    def lineage(self) -> DataFrame:
+        return self._read("lineage", schemas.LINEAGE)
+
+    def checkpoints(self) -> DataFrame:
+        return self._read("checkpoints", schemas.CHECKPOINTS)
+
+    def fetch_failures(self) -> DataFrame:
+        return self._read("fetch_failures", schemas.FETCH_FAILURES)
+
+    def schedule_order(self) -> list[tuple]:
+        """The committed crawl order: the invariant the ordering test
+        pins against the sequential simulator (SURVEY §4.3)."""
+        return [
+            (r.round_id, r.canon_url)
+            for r in self.results()
+            .where(F.col("status") != "robots")  # blocked URLs are never fetched
+            .select("round_id", "seed_rank", "page_no", "post_no", "canon_url")
+            .orderBy("round_id", "seed_rank", "page_no", "post_no", "canon_url")
+            .collect()
+        ]
+
+    # -- bootstrap ---------------------------------------------------------------
+
+    def bootstrap(self) -> None:
+        """Round 0: seeds → initial frontier (A1: thread_limit is a real
+        LIMIT; B7: sticky filter — reference src/box_crawler.py:64-87)."""
+        if self.cat.latest_version() > 0:
+            return
+        import os
+
+        if not os.path.exists(self.images_path):
+            generate_images(self.spark, self.images_path, self.n_images)
+        seeds = self.spark.createDataFrame(
+            pd.DataFrame(synth.seed_rows(self.n_seeds)), schemas.SEEDS
+        )
+        if not self.include_sticky:
+            seeds = seeds.where(~F.col("is_sticky"))
+        seeds = seeds.orderBy("seed_rank")
+        if self.thread_limit is not None:
+            seeds = seeds.limit(self.thread_limit)
+        frontier = seeds.select(
+            F.col("url"),
+            F.lit(None).cast("string").alias("base_url"),
+            "seed_rank",
+            F.lit(0).alias("page_no"),
+            F.lit(0).alias("post_no"),
+            F.lit(0).alias("attempt"),
+        )
+        files = {"frontier": self.cat.write_files(frontier, "frontier")}
+        self.cat.commit(replaces=files, meta={"round_id": 0})
+
+    # -- bloom state ---------------------------------------------------------------
+
+    def _bloom_blobs(self) -> dict[int, bytes]:
+        rows = self._read("seen_bloom", schemas.SEEN_BLOOM).collect()
+        return {int(r.shard_id): bytes(r.bits) for r in rows}
+
+    def _updated_bloom(self, new_seen: DataFrame, old_blobs: dict[int, bytes]) -> DataFrame:
+        """Distributed incremental shard rebuild: only shards receiving
+        new hashes are rewritten (applyInPandas per shard); untouched
+        shards keep their existing rows."""
+        cfg = self.cfg
+        nbits, k, n_shards = cfg.bloom_bits_per_shard, cfg.bloom_k, cfg.n_bloom_shards
+        bc = self.spark.sparkContext.broadcast(old_blobs)
+
+        def update(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["shard_id"].iloc[0])
+            old = bc.value.get(sid)
+            bits = (
+                np.frombuffer(old, dtype=np.uint8).copy()
+                if old is not None
+                else B.empty_shard(nbits)
+            )
+            B.add_hashes(bits, pdf["url_hash"].to_numpy().astype(np.uint64), nbits, k)
+            return pd.DataFrame(
+                [{"shard_id": sid, "nbits": nbits, "k": k, "bits": bits.tobytes()}]
+            )
+
+        touched = (
+            new_seen.select(
+                F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard_id"),
+                "url_hash",
+            )
+            .groupBy("shard_id")
+            .applyInPandas(update, schemas.SEEN_BLOOM)
+        )
+        touched_ids = {int(r.shard_id) for r in touched.select("shard_id").distinct().collect()}
+        old_rows = [
+            {"shard_id": sid, "nbits": nbits, "k": k, "bits": blob}
+            for sid, blob in old_blobs.items()
+            if sid not in touched_ids
+        ]
+        if old_rows:
+            keep = self.spark.createDataFrame(pd.DataFrame(old_rows), schemas.SEEN_BLOOM)
+            return touched.unionByName(keep)
+        return touched
+
+    # -- the round -------------------------------------------------------------------
+
+    def run_round(self) -> dict:
+        round_id = self.last_round() + 1
+        frontier = self.frontier()
+        seen = self.seen()
+        images = self.spark.read.schema(schemas.IMAGES).parquet(self.images_path)
+        rr = run_round_pipeline(
+            self.spark,
+            frontier,
+            seen,
+            self._bloom_blobs(),
+            images,
+            self.robots,
+            self.budgets,
+            self.cfg,
+            round_id,
+            self.img_space,
+        )
+        bloom_df = self._updated_bloom(rr.new_seen_df, self._bloom_blobs())
+        failures = rr.results_df.where(
+            F.col("status").isin("missing", "decode_error", "psnr_fail", "caption_mismatch")
+        ).select(
+            "round_id", "canon_url", "status", F.lit(self.cfg.max_retries).alias("attempt")
+        )
+
+        n_next = rr.next_frontier_df.count()
+        n_seen_total = seen.count() + rr.n_scheduled + rr.n_robots_blocked
+        checkpoint = self.spark.createDataFrame(
+            [
+                (
+                    round_id,
+                    _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                    n_next,
+                    n_seen_total,
+                )
+            ],
+            schemas.CHECKPOINTS,
+        )
+
+        appends = {
+            "seen": self.cat.write_files(rr.new_seen_df, "seen"),
+            "results": self.cat.write_files(rr.results_df, "results"),
+            "lineage": self.cat.write_files(rr.lineage_df, "lineage"),
+            "checkpoints": self.cat.write_files(checkpoint, "checkpoints"),
+        }
+        fail_files = self.cat.write_files(failures, "fetch_failures")
+        if fail_files:
+            appends["fetch_failures"] = fail_files
+        replaces = {
+            "frontier": self.cat.write_files(rr.next_frontier_df, "frontier"),
+            "seen_bloom": self.cat.write_files(bloom_df, "seen_bloom"),
+        }
+        self.cat.commit(appends=appends, replaces=replaces, meta={"round_id": round_id})
+        rr.unpersist()
+        return {
+            "round_id": round_id,
+            "n_candidates": rr.n_candidates,
+            "n_new": rr.n_new,
+            "n_robots_blocked": rr.n_robots_blocked,
+            "n_scheduled": rr.n_scheduled,
+            "n_fetched_ok": rr.n_fetched_ok,
+            "n_failed": rr.n_failed,
+            "n_next_frontier": n_next,
+        }
+
+    def run(self, max_rounds: int | None = None, verbose: bool = False) -> list[dict]:
+        self.bootstrap()
+        stats = []
+        r = 0
+        while max_rounds is None or r < max_rounds:
+            if self.frontier().limit(1).count() == 0:
+                break
+            st = self.run_round()
+            stats.append(st)
+            if verbose:
+                print(st)
+            r += 1
+        return stats

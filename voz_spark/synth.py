@@ -1,0 +1,238 @@
+"""Deterministic synthetic crawl world (seed=42, no external data).
+
+Mirrors FIXTURES.md §1-3: a seed list shaped like the reference's
+``threads_list.json`` (src/box_crawler.py:147-156), a link graph that
+replaces live XenForo HTML (thread → page-N → image URLs, page URL
+template at src/thread_crawler.py:163), and an ``images`` table per
+BASELINE.json ``input_hint``:
+
+    images(image_id string, bytes binary, w int, h int, fmt string,
+           caption string, phash bigint)
+
+Every function here is PURE and shared verbatim by the Spark engine
+(inside Arrow-batched UDFs) and the sequential oracle simulator, so
+crawl-ordering parity is by construction.
+
+Graph properties exercised on purpose (FIXTURES.md §3):
+- duplicate image URLs across pages (slot 0 is the thread's header
+  image on every page) → dedup path;
+- ~5% of image indexes point past the images table → fetch-failure;
+- some image paths live under /blocked/ on the dominant host →
+  robots path;
+- one dominant image host (~70% of URLs) + 3 minor hosts → skew /
+  salting path;
+- page URLs alternate absolute/relative → canonicalization path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from voz_spark.codec import png_encode, vqz_encode
+
+BASE = "https://voz.test"
+DOMINANT_IMG_HOST = "img.voz.test"
+MINOR_IMG_HOSTS = ["cdn0.voz.test", "cdn1.voz.test", "cdn2.voz.test"]
+
+_THREAD_RE = re.compile(r"^https://voz\.test/t/[^/]+\.(\d+)/$")
+_PAGE_RE = re.compile(r"^https://voz\.test/t/[^/]+\.(\d+)/page-(\d+)$")
+_IMG_RE = re.compile(r"^https://([^/]+)(?:/blocked)?/img/(\d{10})\.(png|vqz)$")
+
+IMAGES_PER_PAGE = 3
+
+
+def splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public-domain splitmix64 constants)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+# --- seed list -------------------------------------------------------------
+
+
+def thread_id(seed_rank: int) -> int:
+    return 1000 + seed_rank
+
+
+def thread_url(tid: int) -> str:
+    return f"{BASE}/t/build-pc-advice.{tid}/"
+
+
+def total_pages(tid: int) -> int:
+    return 1 + splitmix64(tid) % 8  # 1..8 pages
+
+
+def seed_rows(n_seeds: int) -> list[dict]:
+    rows = []
+    for r in range(n_seeds):
+        tid = thread_id(r)
+        s = splitmix64(tid * 3 + 1)
+        rows.append(
+            {
+                "seed_rank": r,
+                "thread_id": str(tid),
+                "title": f"Tư vấn cấu hình ngân sách {5 + s % 40} triệu #{tid}",
+                "url": thread_url(tid),
+                "author": f"user{s % 50:03d}",
+                "created_date": f"2024-{1 + s % 12:02d}-{1 + s % 28:02d}T10:00:00Z",
+                "reply_count": int(s % 300),
+                "view_count": int(s % 9000),
+                "is_sticky": (s % 33) == 0,
+            }
+        )
+    return rows
+
+
+# --- link graph ------------------------------------------------------------
+
+
+def image_index(tid: int, page: int, slot: int, img_space: int) -> int:
+    if slot == 0:
+        # header image: identical on every page of the thread → guaranteed
+        # duplicate URL across pages (dedup test)
+        return splitmix64(tid) % img_space
+    return splitmix64(tid * 1_000_003 + page * 1009 + slot) % img_space
+
+
+def image_id(idx: int) -> str:
+    return f"img{idx:010d}"
+
+
+def image_fmt(idx: int) -> str:
+    return "png" if idx % 2 == 0 else "vqz"
+
+
+def image_host(idx: int) -> str:
+    h = splitmix64(idx * 7 + 5)
+    if h % 10 < 7:
+        return DOMINANT_IMG_HOST
+    return MINOR_IMG_HOSTS[h % len(MINOR_IMG_HOSTS)]
+
+
+def image_blocked(idx: int) -> bool:
+    """~4% of dominant-host images live under the robots-disallowed
+    /blocked/ prefix."""
+    return image_host(idx) == DOMINANT_IMG_HOST and idx % 23 == 0
+
+
+def image_url(idx: int) -> str:
+    host = image_host(idx)
+    prefix = "/blocked" if image_blocked(idx) else ""
+    return f"https://{host}{prefix}/img/{idx:010d}.{image_fmt(idx)}"
+
+
+def page_child_url(tid: int, n: int) -> str:
+    """Absolute for odd page numbers, relative otherwise (B1 test)."""
+    if n % 2 == 1:
+        return f"{BASE}/t/build-pc-advice.{tid}/page-{n}"
+    return f"/t/build-pc-advice.{tid}/page-{n}"
+
+
+def expand_children(canon_url: str, img_space: int) -> list[tuple[str, int, int]]:
+    """Children of a canonical URL: (child_url_maybe_relative, page_no,
+    post_no). Thread root (page 1) yields page 2..P plus page-1 images;
+    a page yields its images; an image yields nothing.
+
+    Reference semantics: page loop src/thread_crawler.py:161-172, image
+    extraction :285-297, next-page discovery src/box_crawler.py:176-186.
+    """
+    m = _THREAD_RE.match(canon_url)
+    if m:
+        tid = int(m.group(1))
+        out = []
+        for n in range(2, total_pages(tid) + 1):
+            out.append((page_child_url(tid, n), n, 0))
+        for slot in range(IMAGES_PER_PAGE):
+            out.append((image_url(image_index(tid, 1, slot, img_space)), 1, slot + 1))
+        return out
+    m = _PAGE_RE.match(canon_url)
+    if m:
+        tid, n = int(m.group(1)), int(m.group(2))
+        return [
+            (image_url(image_index(tid, n, slot, img_space)), n, slot + 1)
+            for slot in range(IMAGES_PER_PAGE)
+        ]
+    return []
+
+
+def parse_image_url(canon_url: str) -> tuple[str, str] | None:
+    """→ (image_id, fmt) if the URL is an image URL, else None."""
+    m = _IMG_RE.match(canon_url)
+    if not m:
+        return None
+    return image_id(int(m.group(2))), m.group(3)
+
+
+def is_fetchable_image(idx: int, n_images: int) -> bool:
+    return idx < n_images
+
+
+# --- images table ----------------------------------------------------------
+
+
+def image_dims(idx: int) -> tuple[int, int]:
+    w = 8 + splitmix64(idx * 2 + 11) % 57
+    h = 8 + splitmix64(idx * 2 + 12) % 57
+    return int(w), int(h)
+
+
+def image_pixels(idx: int) -> np.ndarray:
+    w, h = image_dims(idx)
+    rng = np.random.default_rng(splitmix64(idx) & 0x7FFFFFFF)
+    # low-frequency base + noise: compressible and realistic-ish
+    base = rng.integers(0, 200, (1, 1, 3), dtype=np.uint8)
+    noise = rng.integers(0, 56, (h, w, 3), dtype=np.uint8)
+    return (base + noise).astype(np.uint8)
+
+
+def image_bytes(idx: int) -> bytes:
+    px = image_pixels(idx)
+    return png_encode(px) if image_fmt(idx) == "png" else vqz_encode(px)
+
+
+def image_caption(idx: int) -> str:
+    s = splitmix64(idx * 13 + 7)
+    return f"Ảnh {image_id(idx)}: cấu hình i{3 + s % 3 * 2} ngân sách {5 + s % 45} triệu"
+
+
+def image_phash(idx: int) -> int:
+    v = splitmix64(idx * 31 + 3)
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed int64
+
+
+def image_row(idx: int) -> dict:
+    w, h = image_dims(idx)
+    return {
+        "image_id": image_id(idx),
+        "bytes": image_bytes(idx),
+        "w": w,
+        "h": h,
+        "fmt": image_fmt(idx),
+        "caption": image_caption(idx),
+        "phash": image_phash(idx),
+    }
+
+
+# --- policy tables ---------------------------------------------------------
+
+
+def robots_rules() -> list[dict]:
+    """Synthetic robots.txt knowledge (north_rule new capability; the
+    reference evades robots instead — src/browser.py:40-44)."""
+    return [
+        {"host": DOMINANT_IMG_HOST, "path_prefix": "/blocked/", "allowed": False},
+    ]
+
+
+def host_budgets(default_budget: int) -> list[dict]:
+    """Per-host fetches per round (politeness; reference REQUEST_DELAY=2 s
+    at src/config.py:33 → one round ≈ one delay interval)."""
+    return [
+        {"host": "voz.test", "max_fetches_per_round": max(4, default_budget // 4)},
+        {"host": DOMINANT_IMG_HOST, "max_fetches_per_round": default_budget},
+    ] + [{"host": h, "max_fetches_per_round": max(4, default_budget // 2)} for h in MINOR_IMG_HOSTS]
