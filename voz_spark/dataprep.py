@@ -1,1 +1,830 @@
-"""placeholder — populated in a later milestone."""
+"""Large-scale training-data pipeline operators over the `documents`
+and `embeddings` tables: deduplication families (exact, MinHash+LSH,
+SimHash, n-gram Jaccard), similarity search (brute-force cosine +
+LSH-bucketed ANN), and text analysis (lang-id, quality scoring, token
+counting, fingerprinting).
+
+These go beyond the reference's own operators (its dedup is the
+URL-seen cache, src/thread_crawler.py:46-59) — they are what a 100 TB
+training-data pipeline needs, and every one is expressed as
+declarative DataFrame ops so Catalyst can prune/push down; the only
+Python is the multimodal decode batch loop.
+
+Oracle discipline: hashing is md5-based (the one hash both Spark and
+DuckDB evaluate identically), folds are explicit left-to-right
+`aggregate`/`list_reduce` with identical operand order, and floats
+that cross an interpolation/accumulation boundary are rounded.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from voz_spark.registry import register
+from voz_spark.session import load_table as T
+
+# ---------------------------------------------------------------------------
+# C30: tokenize + stopword anti-join + top-k word count (reference:
+# src/sentiment_analyzer.py:426-473). The explode is map-side; one
+# shuffle on the word key; TakeOrdered for the top-k.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "and", "value", "table"]
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "q19_word_count",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents
+)
+SELECT word, COUNT(*) AS n
+FROM w
+WHERE length(word) > 2 AND word NOT IN ({_SW_SQL})
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+""",
+)
+def q19_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 non-stopword tokens across the corpus."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .where((F.length("word") > 2) & (~F.col("word").isin(_STOPWORDS)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy (the canonical first pass of every training
+# pipeline). Shuffle on a 128-bit content hash — uniform by construction,
+# so no skew at any scale; min(doc_id) picks the canonical survivor.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_exact_dedup",
+    oracle="""
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via md5 hash-groupBy."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality + language-ID heuristics: pure column expressions with
+# explicit left-fold aggregates (order-identical on both engines).
+# ---------------------------------------------------------------------------
+
+_LANG_STOPS = "('a','the','and','of','to','in')"
+
+
+@register(
+    "q21_doc_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, n_punct,
+         len(toks) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a,b) -> a + b) AS len_sum,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, x -> CASE WHEN x IN {_LANG_STOPS} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+           (a,b) -> a + b) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_tokens, n_punct,
+       CAST(len_sum AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       CASE WHEN CAST(stop_hits AS DOUBLE) / n_tokens >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         + least(CAST(stop_hits AS DOUBLE) / n_tokens * 4.0, 1.0) * 0.5 AS quality_score
+FROM s WHERE n_tokens > 0
+""",
+)
+def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics, language guess, quality score."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "n_chars",
+        F.split(F.trim("text"), "\\s+").alias("toks"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
+    )
+    s = t.select(
+        "doc_id",
+        "n_chars",
+        "n_punct",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(toks, x -> CAST(length(x) AS BIGINT)), CAST(0 AS BIGINT), (a,b) -> a + b)"
+        ).alias("len_sum"),
+        F.expr(
+            f"aggregate(transform(toks, x -> CASE WHEN x IN {_LANG_STOPS} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a,b) -> a + b)"
+        ).alias("stop_hits"),
+    )
+    return s.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        (F.col("len_sum").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (F.col("stop_hits").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        F.when(
+            F.col("stop_hits").cast("double") / F.col("n_tokens") >= 0.05, "en"
+        ).otherwise("unk").alias("lang_guess"),
+        (F.col("n_punct").cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        (
+            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.5
+            + F.least(F.col("stop_hits").cast("double") / F.col("n_tokens") * 4.0, F.lit(1.0)) * 0.5
+        ).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex segmentation
+# (letters / digits / other), all JVM-side regexp_count.
+# ---------------------------------------------------------------------------
+
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "q22_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+       CAST(n_chars AS DOUBLE) / NULLIF(len(regexp_extract_all(text, '{_BPE_PAT}')), 0)
+         AS chars_per_token
+FROM documents
+""",
+)
+def q22_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_PAT)).alias("n_bpe_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.nullif(F.regexp_count("text", F.lit(_BPE_PAT)), F.lit(0))
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: polynomial rolling hash (base 257 mod 1e9+7)
+# over the first 64 chars — an explicit left fold, bit-identical on
+# both engines (verified: Spark aggregate == DuckDB list_reduce).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q23_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split(substr(text, 1, 64), ''), c -> CAST(ord(c) AS BIGINT))),
+         (a,b) -> (a * 257 + b) % 1000000007) AS fingerprint,
+       n_chars
+FROM documents
+""",
+)
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint of each document prefix."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a,b) -> (a * 257 + b) % 1000000007)"
+        ).alias("fingerprint"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs (near-dup dedup, the scale
+# path): word 3-shingles → 8 md5-salted minhashes → 4 bands of 2 →
+# band-bucket self-join. At 100 TB the only all-pairs work happens
+# inside a bucket — the signature pass is a single shuffle on doc_id
+# and the join shuffles on the (short) band key.
+# ---------------------------------------------------------------------------
+
+_N_MINHASH = 8
+
+
+def _shingles_sql() -> str:
+    return """
+  SELECT doc_id, word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS word,
+           generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+    FROM documents
+  )
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY shingle IS NOT NULL
+"""
+
+
+def _spark_shingles(d: DataFrame) -> DataFrame:
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    words = d.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), "\\s+")).alias("pos", "word")
+    )
+    return (
+        words.withColumn("w1", F.lead("word", 1).over(w))
+        .withColumn("w2", F.lead("word", 2).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
+    )
+
+
+_MH_COLS_SQL = ",\n         ".join(
+    f"MIN(md5(shingle || '#{j}')) AS mh{j}" for j in range(_N_MINHASH)
+)
+
+
+@register(
+    "q24_minhash_signatures",
+    oracle=f"""
+WITH sh AS ({_shingles_sql()})
+SELECT doc_id,
+         {_MH_COLS_SQL}
+FROM sh GROUP BY doc_id
+""",
+)
+def q24_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-permutation MinHash signature per document (md5-salted)."""
+    d = T(spark, sf_dir, "documents")
+    sh = _spark_shingles(d)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
+        for j in range(_N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+_BAND_SQL = ", ".join(f"md5(mh{a} || mh{b}) AS band{i}" for i, (a, b) in enumerate(_BANDS))
+_EST_SQL = " + ".join(
+    f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(_N_MINHASH)
+)
+
+
+@register(
+    "q25_lsh_candidate_pairs",
+    oracle=f"""
+WITH sh AS ({_shingles_sql()}),
+sig AS (
+  SELECT doc_id, {_MH_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, {_BAND_SQL} FROM sig
+),
+bx AS (
+  SELECT doc_id, band_idx, band_val FROM banded
+  UNPIVOT (band_val FOR band_idx IN (band0, band1, band2, band3))
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(({_EST_SQL}) AS DOUBLE) / {_N_MINHASH} AS est_jaccard
+FROM pairs p
+JOIN sig a ON p.doc_a = a.doc_id
+JOIN sig b ON p.doc_b = b.doc_id
+ORDER BY est_jaccard DESC, doc_a, doc_b
+LIMIT 100
+""",
+)
+def q25_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with estimated Jaccard."""
+    sig = q24_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{a}"), F.col(f"mh{b}"))).alias(f"band{i}")
+            for i, (a, b) in enumerate(_BANDS)
+        ],
+    )
+    bx = bands.selectExpr(
+        "doc_id",
+        "stack(4, 'band0', band0, 'band1', band1, 'band2', band2, 'band3', band3) AS (band_idx, band_val)",
+    )
+    a, b = bx.alias("a"), bx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select([F.col("doc_id").alias("doc_a")] + [F.col(f"mh{j}").alias(f"a_mh{j}") for j in range(_N_MINHASH)])
+    sb = sig.select([F.col("doc_id").alias("doc_b")] + [F.col(f"mh{j}").alias(f"b_mh{j}") for j in range(_N_MINHASH)])
+    est = sum(
+        F.when(F.col(f"a_mh{j}") == F.col(f"b_mh{j}"), 1).otherwise(0)
+        for j in range(_N_MINHASH)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (est.cast("double") / _N_MINHASH).alias("est_jaccard"),
+        )
+        .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard for candidate pairs (the verify pass after LSH).
+# Candidates = pairs sharing a LOW-frequency shingle (df ≤ 10), which
+# bounds the self-join fan-out (a shingle with df d yields ≤ d² pairs);
+# exact jaccard is then computed over the full distinct shingle sets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_shingles_sql()}),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM ds GROUP BY shingle HAVING COUNT(*) <= 10
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ds a JOIN rare r ON a.shingle = r.shingle
+            JOIN ds b ON b.shingle = r.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 100
+""",
+)
+def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for rare-shingle candidate pairs."""
+    d = T(spark, sf_dir, "documents")
+    ds = _spark_shingles(d).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 10).select("shingle")
+    a = ds.alias("a")
+    b = ds.alias("b")
+    cand = (
+        a.join(rare, "shingle")
+        .join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .join(cand, ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, md5-derived word hashes): per-bit majority vote over
+# the document's distinct words — 60 conditional sums in ONE hash
+# aggregate (no explode by bit), then near-dup pairs via 4 bands of
+# 15 bits + hamming ≤ 8 filter. Generated expression text is shared
+# verbatim between Spark and the SQL oracle.
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 60
+
+
+def _word_hash_expr(engine: str) -> str:
+    if engine == "spark":
+        return "CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)"
+    return "('0x' || substr(md5(word), 1, 15))::BIGINT"
+
+
+def _bit_sum_exprs(engine: str) -> str:
+    h = "wh"
+    return ",\n       ".join(
+        f"SUM(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIM_BITS)
+    )
+
+
+_SIM_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})"
+    for j in range(_SIM_BITS)
+)
+
+
+@register(
+    "q27_simhash",
+    oracle=f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), wh AS (
+  SELECT doc_id, {_word_hash_expr("duckdb")} AS wh FROM words
+), sums AS (
+  SELECT doc_id,
+       {_bit_sum_exprs("duckdb")}
+  FROM wh GROUP BY doc_id
+)
+SELECT doc_id, {_SIM_ASSEMBLE} AS simhash FROM sums
+""",
+)
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from md5-derived word hashes."""
+    d = T(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("word")
+    ).distinct()
+    wh = words.select("doc_id", F.expr(_word_hash_expr("spark")).alias("wh"))
+    sums = wh.groupBy("doc_id").agg(
+        *[
+            F.expr(f"SUM(CASE WHEN ((wh >> {j}) & 1) = 1 THEN 1 ELSE -1 END)").alias(f"s{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    return sums.select("doc_id", F.expr(_SIM_ASSEMBLE).alias("simhash"))
+
+
+_SIM_BAND_SQL = ", ".join(f"((simhash >> {15 * b}) & 32767) AS sb{b}" for b in range(4))
+
+
+@register(
+    "q28_simhash_neardup_pairs",
+    oracle=f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), wh AS (
+  SELECT doc_id, {_word_hash_expr("duckdb")} AS wh FROM words
+), sums AS (
+  SELECT doc_id, {_bit_sum_exprs("duckdb")} FROM wh GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_SIM_ASSEMBLE} AS simhash FROM sums
+), banded AS (
+  SELECT doc_id, simhash, {_SIM_BAND_SQL} FROM sig
+), bx AS (
+  SELECT doc_id, simhash, band_idx, band_val FROM banded
+  UNPIVOT (band_val FOR band_idx IN (sb0, sb1, sb2, sb3))
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS ha, b.doc_id AS doc_b, b.simhash AS hb
+  FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM pairs
+WHERE bit_count(xor(ha, hb)) <= 8
+ORDER BY hamming, doc_a, doc_b
+LIMIT 100
+""",
+)
+def q28_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates, hamming ≤ 8."""
+    sig = q27_simhash(spark, sf_dir)
+    banded = sig.select(
+        "doc_id", "simhash", *[F.expr(f"((simhash >> {15 * b}) & 32767)").alias(f"sb{b}") for b in range(4)]
+    )
+    bx = banded.selectExpr(
+        "doc_id",
+        "simhash",
+        "stack(4, 'sb0', sb0, 'sb1', sb1, 'sb2', sb2, 'sb3', sb3) AS (band_idx, band_val)",
+    )
+    a, b = bx.alias("a"), bx.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.select("doc_a", "doc_b", F.expr("bit_count(ha ^ hb)").alias("hamming"))
+        .where(F.col("hamming") <= 8)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings. Brute-force cosine is the
+# correctness baseline (broadcast the query set, stream the corpus);
+# the LSH-bucketed variant is the scale path (bucket key = sign bits →
+# equi-join, no all-pairs). Dot products are explicit left folds so
+# both engines accumulate in the same order; results rounded to 6dp.
+# ---------------------------------------------------------------------------
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+)
+_DOT_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),"
+    " (p, q) -> p + q)"
+)
+
+
+@register(
+    "q29_embedding_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+e AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings),
+scored AS (
+  SELECT qid, nid,
+         ROUND({_DOT_DUCK.format(a="qe", b="ne")}
+           / sqrt({_DOT_DUCK.format(a="qe", b="qe")} * {_DOT_DUCK.format(a="ne", b="ne")}), 6) AS cosine
+  FROM q, e WHERE qid <> nid
+), ranked AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= 5
+""",
+)
+def q29_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    e = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                F.expr(_DOT_SPARK.format(a="qe", b="ne"))
+                / F.sqrt(
+                    F.expr(_DOT_SPARK.format(a="qe", b="qe"))
+                    * F.expr(_DOT_SPARK.format(a="ne", b="ne"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+_SIGN_BUCKET_SPARK = " + ".join(
+    f"(CASE WHEN embedding[{i}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+_SIGN_BUCKET_DUCK = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "q30_ann_lsh_buckets",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 20),
+cand AS (
+  SELECT q.qid, q.qe, b.vec_id AS nid, b.embedding AS ne
+  FROM q JOIN b USING (bucket) WHERE q.qid <> b.vec_id
+),
+scored AS (
+  SELECT qid, nid,
+         ROUND({_DOT_DUCK.format(a="qe", b="ne")}
+           / sqrt({_DOT_DUCK.format(a="qe", b="qe")} * {_DOT_DUCK.format(a="ne", b="ne")}), 6) AS cosine
+  FROM cand
+), ranked AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def q30_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-bit LSH buckets: equi-join on bucket, top-3 within."""
+    emb = T(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", F.expr(_SIGN_BUCKET_SPARK).alias("bucket"))
+    q = b.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    e = b.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"), "bucket")
+    cand = F.broadcast(q).join(e, "bucket").where(F.col("qid") != F.col("nid"))
+    scored = cand.select(
+        "qid",
+        "nid",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="qe", b="ne"))
+            / F.sqrt(
+                F.expr(_DOT_SPARK.format(a="qe", b="qe"))
+                * F.expr(_DOT_SPARK.format(a="ne", b="ne"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (the 5th dedup family):
+# bucketed candidate pairs with cosine ≥ 0.95.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_embedding_neardup",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, x.embedding AS ea, y.vec_id AS id_b, y.embedding AS eb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND({_DOT_DUCK.format(a="ea", b="eb")}
+           / sqrt({_DOT_DUCK.format(a="ea", b="ea")} * {_DOT_DUCK.format(a="eb", b="eb")}), 6) AS cosine
+  FROM pairs
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+ORDER BY cosine DESC, id_a, id_b
+""",
+)
+def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates: same sign-bucket, cosine ≥ 0.95."""
+    emb = T(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", F.expr(_SIGN_BUCKET_SPARK).alias("bucket"))
+    a2 = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    b2 = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = a2.join(b2, "bucket").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.expr(_DOT_SPARK.format(a="ea", b="eb"))
+            / F.sqrt(
+                F.expr(_DOT_SPARK.format(a="ea", b="ea"))
+                * F.expr(_DOT_SPARK.format(a="eb", b="eb"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= 0.95).orderBy(F.desc("cosine"), "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction from the events stream (A10 analogue —
+# the reference round-trips analysis dicts through JSON files).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q32_event_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE)
+         AS k_total
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q32_event_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a JSON property from event props and aggregate it."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.where(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("bigint").cast("decimal(18,0)")
+            )
+            .cast("double")
+            .alias("k_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only check: DuckDB cannot decode):
+# binary image columns + typed metadata flowing through mapInPandas
+# decode/validate — the real Spark shape for image/audio/video
+# feature extraction at scale. Bytes are generated AND validated with
+# the repo's real codecs; true jpeg/audio decode is environment-gated
+# (NotImplementedError → failed row, never a crashed job).
+# ---------------------------------------------------------------------------
+
+
+@register("q33_multimodal_decode", oracle=None)
+def q33_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode+validate a synthetic binary-image column end-to-end."""
+    from voz_spark import schemas, synth
+    from voz_spark.codec import decode_image, psnr
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([synth.image_row(int(i)) for i in pdf["id"]])
+
+    imgs = spark.range(256).repartition(8).mapInPandas(gen, schemas.IMAGES)
+
+    out_schema = "image_id string, fmt string, w int, h int, status string, psnr_db double"
+
+    def validate(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                idx = int(r["image_id"][3:])
+                try:
+                    decoded = decode_image(bytes(r["bytes"]), r["fmt"])
+                    expected = synth.image_pixels(idx)
+                    p = psnr(expected, decoded)
+                    ok = np.array_equal(expected, decoded) if r["fmt"] == "png" else p >= 40.0
+                    rows.append((r["image_id"], r["fmt"], r["w"], r["h"], "ok" if ok else "psnr_fail", float(p)))
+                except NotImplementedError:
+                    rows.append((r["image_id"], r["fmt"], r["w"], r["h"], "decode_unsupported", None))
+            yield pd.DataFrame(rows, columns=["image_id", "fmt", "w", "h", "status", "psnr_db"])
+
+    return imgs.mapInPandas(validate, out_schema)
