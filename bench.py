@@ -1,0 +1,74 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] plus the frontier-scheduling throughput
+benchmark, and prints ONE JSON line.
+
+Output fields:
+  metric/value/unit : total headline wall seconds (lower is better)
+  queries           : per-query seconds
+  frontier          : URLs scheduled+deduped per second (BASELINE.json
+                      metric) with run details
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_orders_by_nation",
+    "q09_brand_cooccurrence",
+    "q13_sessionize_events",
+    "q21_doc_quality",
+    "q25_lsh_candidate_pairs",
+    "q27_simhash",
+    "q29_embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_frontier = int(os.environ.get("VOZ_BENCH_FRONTIER_URLS", "4000000"))
+
+    from voz_spark.bench_frontier import bench_frontier_schedule
+    from voz_spark.registry import all_queries
+    from voz_spark.session import get_spark
+
+    qs = all_queries()
+    spark = get_spark("voz_bench")
+
+    # warm the JVM/codegen path once with a trivial action
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    frontier = bench_frontier_schedule(spark, n_urls=n_frontier)
+    spark.stop()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+                "frontier": frontier,
+                "frontier_urls_per_sec": frontier["urls_per_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -79,3 +79,39 @@ def test_expand_children_deterministic():
         header_p1 = [c[0] for c in a if c[2] == 1]
         header_p2 = [c[0] for c in imgs_p2 if c[2] == 1]
         assert header_p1 == header_p2
+
+
+def test_canon_fast_path_is_fixed_point():
+    """Any URL matching the JVM fast-path shape must be a fixed point
+    of canonicalize_one — otherwise the fast path would change engine
+    semantics."""
+    import re
+
+    from voz_spark.frontier import _CANON_FASTPATH_TAIL
+
+    tail_re = re.compile(_CANON_FASTPATH_TAIL)
+
+    def is_fast(url: str) -> bool:
+        if not url.startswith("https://"):
+            return False
+        tail = url[8:]
+        return bool(tail_re.match(tail)) and "//" not in tail
+
+    # every synthetic-world URL + adversarial shapes
+    cases = [synth.thread_url(synth.thread_id(i)) for i in range(50)]
+    cases += [synth.image_url(i) for i in range(200)]
+    cases += [
+        "https://voz.test/a/b?q=1",
+        "https://voz.test/UPPER/Case",
+        "https://VOZ.test/x",          # not fast (uppercase host)
+        "https://voz.test:8443/x",     # not fast (port)
+        "https://voz.test/a//b",       # not fast (double slash)
+        "https://voz.test/a#frag",     # not fast (fragment)
+        "http://voz.test/x",           # not fast (http scheme prefix check)
+    ]
+    n_fast = 0
+    for u in cases:
+        if is_fast(u):
+            n_fast += 1
+            assert canonicalize_one(u) == u, u
+    assert n_fast >= 250  # the synthetic world rides the fast path

@@ -75,6 +75,9 @@ def png_decode(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     stride = w * 3 + 1
     rows = raw.reshape(h, stride)
+    # fast path: all rows filter-0 (what png_encode emits) → pure slice
+    if not rows[:, 0].any():
+        return rows[:, 1:].reshape(h, w, 3).copy()
     out = np.empty((h, w * 3), np.uint8)
     for y in range(h):
         filt, line = rows[y, 0], rows[y, 1:].astype(np.int64)

@@ -24,7 +24,7 @@ class CrawlConfig:
     psnr_min_db: float = 40.0
     # salting factor for the dominant-host skew (SURVEY §2.B B5);
     # at 10^10 scale this is ~2×cores-per-executor × executors.
-    n_salts: int = 8
+    n_salts: int = 64
     # bloom: shards aligned to pmod(url_hash, n_shards); bits sized for
     # the expected seen-set. 2^20 bits/shard for tests; the 10^10 design
     # point is 2^27 bits × 4096 shards ≈ 64 GiB total, ~1% FPR with k=7

