@@ -28,6 +28,7 @@ from voz_spark.frontier import (
     _canonicalize,
     _dedup_against_seen,
     _dedup_in_batch,
+    _host_path,
     _robots_flag,
     _schedule,
 )
@@ -59,6 +60,8 @@ def bench_frontier_schedule(
     n_urls: int = 2_000_000,
     cfg: CrawlConfig = DEFAULT,
     partitions: int | None = None,
+    persist_cand: bool = True,
+    persist_stage1: bool = True,
 ) -> dict:
     """One timed scheduling round over n_urls candidates."""
     sc = spark.sparkContext
@@ -122,14 +125,17 @@ def bench_frontier_schedule(
     budgets = {h: budget for h in [DOMINANT_IMG_HOST, *MINOR_IMG_HOSTS]}
 
     t0 = time.time()
-    cand = _canonicalize(frontier)
-    cand = _dedup_in_batch(cand)
-    cand = _bloom_split(spark, cand, shard_blobs, cfg).persist()
-    _tmp = [cand]
+    cand = _host_path(_dedup_in_batch(_canonicalize(frontier)))
+    cand = _bloom_split(spark, cand, shard_blobs, cfg)
+    _tmp = []
+    if persist_cand:
+        cand = cand.persist()
+        _tmp.append(cand)
     new = _dedup_against_seen(cand, seen)
     new = _robots_flag(new, robots_rules())
     allowed = new.where(~F.col("robots_blocked"))
-    sched = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, _tmp)
+    sched = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, _tmp,
+                      do_persist=persist_stage1)
     n_scheduled = sched.where(F.col("scheduled")).count()
     wall = time.time() - t0
     for df_ in _tmp:
@@ -224,8 +230,7 @@ def bench_full_round(
             yield pd.DataFrame({"status": statuses, "psnr_db": psnrs})
 
     t0 = time.time()
-    cand = _canonicalize(frontier)
-    cand = _dedup_in_batch(cand)
+    cand = _host_path(_dedup_in_batch(_canonicalize(frontier)))
     cand = _bloom_split(spark, cand, {}, cfg).persist()
     _tmp = [cand]
     new = _dedup_against_seen(cand, seen)

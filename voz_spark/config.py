@@ -29,7 +29,7 @@ class CrawlConfig:
     # the expected seen-set. 2^20 bits/shard for tests; the 10^10 design
     # point is 2^27 bits × 4096 shards ≈ 64 GiB total, ~1% FPR with k=7
     # (never broadcast whole — membership is tested shard-aligned).
-    n_bloom_shards: int = 16
+    n_bloom_shards: int = 64
     bloom_bits_per_shard: int = 1 << 20
     bloom_k: int = 5
 

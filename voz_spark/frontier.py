@@ -46,7 +46,7 @@ from pyspark.sql.window import Window
 
 from voz_spark import bloom as B
 from voz_spark import schemas, synth
-from voz_spark.canon import canonicalize_one, host_col
+from voz_spark.canon import canonicalize_one
 from voz_spark.codec import decode_image, psnr
 from voz_spark.config import CrawlConfig
 
@@ -87,12 +87,30 @@ _CANON_FASTPATH_TAIL = r"^[a-z0-9][a-z0-9.-]*/[A-Za-z0-9._~/&=+,%-]*(\?[A-Za-z0-
 
 def _canonicalize(frontier: DataFrame) -> DataFrame:
     """B1/B2: canonicalization (JVM fast path + vectorized Python slow
-    path) + JVM-side 64-bit keying."""
+    path) + JVM-side 64-bit keying.
+
+    Single-pass design: the source is evaluated ONCE. The pandas UDF is
+    in the plan unconditionally (Spark extracts Python UDFs into their
+    own projection anyway), but its *inputs* are null-gated with
+    CASE WHEN, so fast-path rows cross Arrow as nulls and cost the
+    Python side one `is None` check. The previous split-union design
+    evaluated the whole source twice (once per branch) — at 10^10 with
+    a storage-backed frontier that is two full scans.
+
+    Emits the packed priority `_pri` (seed_rank«28 | page_no«14 |
+    post_no) + `attempt` instead of four ints: one primitive-long
+    min-comparator in the dedup aggregate and the scheduling sorts,
+    and ~25% less shuffle per row. Bounds (asserted by the synth
+    fixtures): seed_rank < 2^31, page_no/post_no < 2^14.
+    """
 
     @pandas_udf("string")
     def canon_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
         return pd.Series(
-            [canonicalize_one(u, b if b else None) for u, b in zip(urls, bases)],
+            [
+                "" if u is None else canonicalize_one(u, b if b else None)
+                for u, b in zip(urls, bases)
+            ],
             dtype="object",
         )
 
@@ -103,24 +121,44 @@ def _canonicalize(frontier: DataFrame) -> DataFrame:
         & tail.rlike(_CANON_FASTPATH_TAIL)
         & ~tail.contains("//")
     )
-    # explicit split-union: a CASE WHEN around a pandas UDF would still
-    # evaluate the UDF for every row (Spark extracts python UDFs into
-    # their own projection) — filtering first keeps Python off the
-    # fast-path rows entirely
     with_flag = frontier.withColumn("_fast", fast)
-    fast_rows = with_flag.where(F.col("_fast")).withColumn("canon_url", F.col("url"))
-    slow_rows = with_flag.where(~F.col("_fast")).withColumn(
-        "canon_url", canon_udf("url", "base_url")
+    canon = F.when(F.col("_fast"), F.col("url")).otherwise(
+        canon_udf(
+            F.when(~F.col("_fast"), F.col("url")),
+            F.when(~F.col("_fast"), F.col("base_url")),
+        )
     )
-    return (
-        fast_rows.unionByName(slow_rows)
-        .withColumn("url_hash", F.xxhash64("canon_url"))
-        .withColumn("host", host_col(F.col("canon_url")))
-        # the raw url/base strings are dead weight from here on —
-        # canon_url is the URL; dropping them shrinks every downstream
-        # shuffle (dedup, anti-join, scheduling windows) by ~35%
-        .drop("url", "base_url", "_fast")
+    return with_flag.select(
+        canon.alias("canon_url"),
+        (
+            (F.col("seed_rank").cast("long") * F.lit(1 << 28))
+            + (F.col("page_no").cast("long") * F.lit(1 << 14))
+            + F.col("post_no")
+        ).alias("_pri"),
+        "attempt",
+    ).withColumn("url_hash", F.xxhash64("canon_url"))
+
+
+def _host_path(df: DataFrame) -> DataFrame:
+    """Add `host` and `path` columns as pure string arithmetic (locate
+    + substr — no parse_url: its per-row URI regex parsing was the
+    single largest CPU item in the profiled round). Valid for canonical
+    URLs, which always carry scheme:// and a rooted path. Runs AFTER
+    in-batch dedup so the work is per-distinct-URL, not per-candidate."""
+    path_start = F.expr("locate('/', canon_url, locate('://', canon_url) + 3)")
+    host = F.expr(
+        "substr(canon_url, locate('://', canon_url) + 3,"
+        " locate('/', canon_url, locate('://', canon_url) + 3)"
+        " - locate('://', canon_url) - 3)"
     )
+    # canonical hosts are already lowercase and port-stripped is NOT
+    # guaranteed (non-default ports survive canonicalization) — strip
+    # :port for host-keyed scheduling/robots
+    host = F.substring_index(host, ":", 1)
+    path = F.when(path_start == 0, F.lit("/")).otherwise(
+        F.expr("substr(canon_url, locate('/', canon_url, locate('://', canon_url) + 3))")
+    )
+    return df.withColumn("host", host).withColumn("path", path)
 
 
 def _dedup_in_batch(df: DataFrame) -> DataFrame:
@@ -128,15 +166,16 @@ def _dedup_in_batch(df: DataFrame) -> DataFrame:
     round's candidate batch (duplicates across pages are common —
     FIXTURES.md §3).
 
-    Hash aggregate with a min-struct, NOT a row_number window: the
+    Hash aggregate with a packed-long min, NOT a row_number window: the
     partial (map-side) aggregation collapses duplicates before the
     shuffle and avoids a per-partition sort — measurably better
-    scaling on wide frontiers."""
-    pri = F.struct("seed_rank", "page_no", "post_no", "attempt")
+    scaling on wide frontiers. min(struct(_pri, attempt)) is
+    lexicographically identical to the reference's
+    (seed, page, post, attempt) ordering."""
     return (
-        df.groupBy("canon_url", "url_hash", "host")
-        .agg(F.min(pri).alias("_p"))
-        .select("canon_url", "url_hash", "host", "_p.*")
+        df.groupBy("url_hash", "canon_url")
+        .agg(F.min(F.struct("_pri", "attempt")).alias("_p"))
+        .select("url_hash", "canon_url", "_p.*")
     )
 
 
@@ -186,15 +225,25 @@ def _dedup_against_seen(df: DataFrame, seen: DataFrame) -> DataFrame:
 def _robots_flag(df: DataFrame, rules: list[dict]) -> DataFrame:
     """B9: robots compliance (new capability per north_rule). The rule
     set compiles to a pure Catalyst boolean (JVM-side, codegen'd — no
-    Python crossing); with millions of per-host rules this becomes a
-    broadcast join on host + prefix filter instead."""
+    Python crossing) over the precomputed `path` column; with millions
+    of per-host rules this becomes a broadcast join on host + prefix
+    filter instead."""
     disallowed = [(r["host"], r["path_prefix"]) for r in rules if not r["allowed"]]
-    # parse_url PATH keeps the leading slash ("/blocked/img/x.png")
-    path = F.coalesce(F.parse_url("canon_url", F.lit("PATH")), F.lit("/"))
+    path = F.col("path")
     blocked = F.lit(False)
     for rh, prefix in disallowed:
         blocked = blocked | ((F.col("host") == rh) & path.startswith(prefix))
     return df.withColumn("robots_blocked", blocked)
+
+
+def _unpack_pri(df: DataFrame) -> DataFrame:
+    """Restore (seed_rank, page_no, post_no) from the packed `_pri`
+    long (bit-exact inverse of the pack in _canonicalize)."""
+    return (
+        df.withColumn("seed_rank", F.shiftright("_pri", 28).cast("int"))
+        .withColumn("page_no", (F.shiftright("_pri", 14).bitwiseAND(F.lit(16383))).cast("int"))
+        .withColumn("post_no", (F.col("_pri").bitwiseAND(F.lit(16383))).cast("int"))
+    )
 
 
 def _schedule(
@@ -203,6 +252,7 @@ def _schedule(
     default_budget: int,
     n_salts: int,
     persisted: list[DataFrame] | None = None,
+    do_persist: bool = True,
 ) -> DataFrame:
     """B4/B5/B6: salted per-host priority scheduling.
 
@@ -218,15 +268,9 @@ def _schedule(
     )
     df = df.withColumn("budget", F.coalesce(budget_map[F.col("host")], F.lit(default_budget)))
     df = df.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
-    # priority tuple packed into one bigint (bounds: page_no, post_no
-    # < 2^14; seed_rank < 2^35) — one comparator word instead of three
-    # in the window sorts, with canon_url as the total-order tie-break
-    df = df.withColumn(
-        "_pri",
-        (F.col("seed_rank").cast("long") * F.lit(1 << 28))
-        + (F.col("page_no").cast("long") * F.lit(1 << 14))
-        + F.col("post_no"),
-    )
+    # `_pri` (the packed priority long from _canonicalize) is already on
+    # the rows: one comparator word instead of three in the window
+    # sorts, with canon_url as the total-order tie-break
 
     # Exact distributed top-B per host via the threshold algorithm:
     #   phase A: per-(host,salt) rank; keep per-salt top-⌈B/S⌉
@@ -241,9 +285,11 @@ def _schedule(
     # Stage-D work is O(B log B) REGARDLESS of frontier size — the
     # property that lets one dominant host not serialize the round.
     w1 = Window.partitionBy("host", "salt").orderBy("_pri", "canon_url")
-    stage1 = df.withColumn("_r1", F.row_number().over(w1)).persist()
-    if persisted is not None:
-        persisted.append(stage1)
+    stage1 = df.withColumn("_r1", F.row_number().over(w1))
+    if do_persist:
+        stage1 = stage1.persist()
+        if persisted is not None:
+            persisted.append(stage1)
 
     per_salt = F.ceil(F.col("budget") / F.lit(n_salts)).cast("int")
     wh = Window.partitionBy("host").orderBy("_pri", "canon_url")
@@ -263,8 +309,9 @@ def _schedule(
     final = cand.withColumn("_r2", F.row_number().over(wh)).withColumn(
         "scheduled", F.col("_r2") <= F.col("budget")
     ).drop("_r2")
-    out_cols = [c for c in df.columns if c not in ("salt", "budget", "_pri")] + ["scheduled"]
-    return final.select(*out_cols).unionByName(above.select(*out_cols))
+    out_cols = [c for c in df.columns if c not in ("salt", "budget")] + ["scheduled"]
+    out = final.select(*out_cols).unionByName(above.select(*out_cols))
+    return _unpack_pri(out).drop("_pri")
 
 
 _CHILD_SCHEMA = StructType(
@@ -389,8 +436,7 @@ def run_round_pipeline(
     (nothing committed here — rounds.commit_round persists atomically)."""
     persisted: list[DataFrame] = []
 
-    cand = _canonicalize(frontier)
-    cand = _dedup_in_batch(cand)
+    cand = _host_path(_dedup_in_batch(_canonicalize(frontier)))
     # persist before the bloom fork: both the definitely-new branch and
     # the anti-join branch read this, and without a persist each branch
     # would re-run the canonicalization + dedup + bloom UDF
@@ -403,7 +449,7 @@ def run_round_pipeline(
 
     n_candidates = frontier.count()
     n_deduped = n_new = new.count()
-    blocked = new.where(F.col("robots_blocked"))
+    blocked = _unpack_pri(new.where(F.col("robots_blocked")))
     allowed = new.where(~F.col("robots_blocked"))
 
     sched_all = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, persisted).persist()

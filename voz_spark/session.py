@@ -43,6 +43,13 @@ def get_spark(
     cpus = default_parallelism()
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # Shuffle/spill to tmpfs when available: the sandbox's /tmp sits on
+    # one virtio disk whose bandwidth does NOT grow with cores, which
+    # caps N->4N scaling; on a real cluster every executor brings its
+    # own shuffle disks, so tmpfs locally is the faithful analogue.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -57,6 +64,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
