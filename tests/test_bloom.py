@@ -40,3 +40,58 @@ def test_shard_routing_matches_spark_pmod():
     assert ((shards >= 0) & (shards < 16)).all()
     # pmod semantics: non-negative result for negative hashes
     assert B.shard_of(np.array([np.uint64(2**64 - 5)]), 16)[0] == (-5 % 16)
+
+
+def test_bloom_broadcast_and_cogroup_paths_agree(spark):
+    """The broadcast membership UDF and the shard-aligned cogroup path
+    (the 10^10 no-broadcast strategy) must produce identical maybe_seen
+    flags for the same candidates and bloom state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from voz_spark import schemas
+    from voz_spark.config import CrawlConfig
+    from voz_spark.frontier import _bloom_split, _bloom_split_cogroup
+
+    cfg = CrawlConfig(n_bloom_shards=8, bloom_bits_per_shard=1 << 14, bloom_k=5)
+    rng = np.random.default_rng(7)
+    seen_hashes = rng.integers(0, 2**63, 500, dtype=np.int64)
+    blobs = {}
+    for sid in range(cfg.n_bloom_shards):
+        mask = (seen_hashes % cfg.n_bloom_shards) == sid
+        bits = B.empty_shard(cfg.bloom_bits_per_shard)
+        B.add_hashes(
+            bits,
+            seen_hashes[mask].astype(np.uint64),
+            cfg.bloom_bits_per_shard,
+            cfg.bloom_k,
+        )
+        blobs[sid] = bits.tobytes()
+    bloom_df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"shard_id": sid, "nbits": cfg.bloom_bits_per_shard, "k": cfg.bloom_k, "bits": b}
+                for sid, b in blobs.items()
+            ]
+        ),
+        schemas.SEEN_BLOOM,
+    )
+    # candidates: half seen hashes, half fresh
+    cand_hashes = np.concatenate(
+        [seen_hashes[:250], rng.integers(0, 2**63, 250, dtype=np.int64)]
+    )
+    cand = spark.createDataFrame(
+        pd.DataFrame({"url_hash": cand_hashes, "canon_url": [f"u{i}" for i in range(500)]})
+    )
+    bc = {
+        r["canon_url"]: r["maybe_seen"]
+        for r in _bloom_split(spark, cand, blobs, cfg).collect()
+    }
+    cg = {
+        r["canon_url"]: r["maybe_seen"]
+        for r in _bloom_split_cogroup(cand, bloom_df, cfg).collect()
+    }
+    assert bc == cg
+    # all genuinely-seen candidates must be flagged in both paths
+    for i in range(250):
+        assert bc[f"u{i}"]

@@ -32,6 +32,11 @@ class CrawlConfig:
     n_bloom_shards: int = 64
     bloom_bits_per_shard: int = 1 << 20
     bloom_k: int = 5
+    # bloom state at or below this total size is broadcast to the
+    # membership UDF (no shuffle); above it, membership runs shard-
+    # aligned via cogroup against the bloom table (no broadcast) — the
+    # only viable strategy at the 10^10 design point's ~64 GiB state.
+    bloom_broadcast_max_bytes: int = 64 << 20
 
 
 DEFAULT = CrawlConfig()

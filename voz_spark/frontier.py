@@ -179,15 +179,66 @@ def _dedup_in_batch(df: DataFrame) -> DataFrame:
     )
 
 
+def _bloom_split_cogroup(
+    df: DataFrame,
+    bloom_df: DataFrame,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """B3a at the 10^10 design point: shard-ALIGNED membership with no
+    broadcast of the bloom state. Candidates shuffle once on
+    pmod(url_hash, n_shards); each cogroup task sees exactly one shard's
+    candidates plus that shard's blob row (config comment in
+    config.py: 2^27 bits x 4096 shards ≈ 64 GiB total — far beyond any
+    broadcast). Bit tests are the same numpy kernel as the broadcast
+    path; equivalence is pinned by tests/test_bloom.py."""
+    n_shards = cfg.n_bloom_shards
+    cand = df.withColumn("_shard", F.pmod("url_hash", F.lit(n_shards)).cast("int"))
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("maybe_seen", BooleanType(), False)]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def test_shard(cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf[in_cols].copy()
+        if len(blob_pdf) == 0:
+            out["maybe_seen"] = False
+            return out
+        bits = np.frombuffer(blob_pdf["bits"].iloc[0], dtype=np.uint8)
+        h = cand_pdf["url_hash"].to_numpy().astype(np.uint64)
+        out["maybe_seen"] = B.maybe_contains(
+            bits, h, int(blob_pdf["nbits"].iloc[0]), int(blob_pdf["k"].iloc[0])
+        )
+        return out
+
+    return (
+        cand.groupBy("_shard")
+        .cogroup(bloom_df.groupBy("shard_id"))
+        .applyInPandas(test_shard, out_schema)
+    )
+
+
 def _bloom_split(
     spark: SparkSession,
     df: DataFrame,
     shard_blobs: dict[int, bytes],
     cfg: CrawlConfig,
+    bloom_df: DataFrame | None = None,
 ) -> DataFrame:
     """B3a: add `maybe_seen`. False → definitely unseen (skips the
-    anti-join). Shard blobs travel as a broadcast variable; membership
-    is numpy bit tests over the Arrow batch."""
+    anti-join). Two physical strategies, same semantics:
+
+    - small state (sandbox / early crawl): shard blobs broadcast once,
+      membership tested in a scalar pandas UDF — no extra shuffle;
+    - state beyond cfg.bloom_broadcast_max_bytes (the 10^10 path):
+      shard-aligned cogroup against the bloom table, no broadcast
+      (`_bloom_split_cogroup`). Callers can also force it by passing
+      `bloom_df` with shard_blobs=None.
+    """
+    if bloom_df is not None and (
+        not shard_blobs
+        or sum(len(b) for b in shard_blobs.values()) > cfg.bloom_broadcast_max_bytes
+    ):
+        return _bloom_split_cogroup(df, bloom_df, cfg)
     if not shard_blobs:
         return df.withColumn("maybe_seen", F.lit(False))
     bc = spark.sparkContext.broadcast(shard_blobs)
@@ -431,6 +482,7 @@ def run_round_pipeline(
     cfg: CrawlConfig,
     round_id: int,
     img_space: int,
+    bloom_df: DataFrame | None = None,
 ) -> RoundResult:
     """Execute one crawl round; returns the new state DataFrames
     (nothing committed here — rounds.commit_round persists atomically)."""
@@ -440,7 +492,7 @@ def run_round_pipeline(
     # persist before the bloom fork: both the definitely-new branch and
     # the anti-join branch read this, and without a persist each branch
     # would re-run the canonicalization + dedup + bloom UDF
-    cand = _bloom_split(spark, cand, shard_blobs, cfg).persist()
+    cand = _bloom_split(spark, cand, shard_blobs, cfg, bloom_df=bloom_df).persist()
     persisted.append(cand)
     new = _dedup_against_seen(cand, seen)
     new = _robots_flag(new, robots_rules)

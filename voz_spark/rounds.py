@@ -212,6 +212,7 @@ class CrawlEngine:
             self.cfg,
             round_id,
             self.img_space,
+            bloom_df=self._read("seen_bloom", schemas.SEEN_BLOOM),
         )
         bloom_df = self._updated_bloom(rr.new_seen_df, self._bloom_blobs())
         failures = rr.results_df.where(
