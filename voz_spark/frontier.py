@@ -287,6 +287,27 @@ def _robots_flag(df: DataFrame, rules: list[dict]) -> DataFrame:
     return df.withColumn("robots_blocked", blocked)
 
 
+def _robots_flag_table(df: DataFrame, robots_df: DataFrame) -> DataFrame:
+    """B9 at scale: robots rules as a TABLE instead of a compiled
+    boolean — required when the rule set is millions of (host, prefix)
+    rows (one robots.txt per crawled host at 10^10). Disallow rules are
+    pre-aggregated to one array row per host, joined 1:1 on host (no
+    row multiplication; AQE picks broadcast vs shuffle join by size),
+    and the prefix test is a JVM-side `exists` over the array.
+    Equivalence with the compiled-boolean path is pinned in
+    tests/test_frontier_order.py."""
+    rules_by_host = (
+        robots_df.where(~F.col("allowed"))
+        .groupBy("host")
+        .agg(F.collect_list("path_prefix").alias("_prefixes"))
+    )
+    joined = df.join(rules_by_host, "host", "left")
+    blocked = F.when(
+        F.col("_prefixes").isNull(), F.lit(False)
+    ).otherwise(F.exists("_prefixes", lambda p: F.col("path").startswith(p)))
+    return joined.withColumn("robots_blocked", blocked).drop("_prefixes")
+
+
 def _unpack_pri(df: DataFrame) -> DataFrame:
     """Restore (seed_rank, page_no, post_no) from the packed `_pri`
     long (bit-exact inverse of the pack in _canonicalize)."""
