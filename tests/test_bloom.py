@@ -95,3 +95,78 @@ def test_bloom_broadcast_and_cogroup_paths_agree(spark):
     # all genuinely-seen candidates must be flagged in both paths
     for i in range(250):
         assert bc[f"u{i}"]
+
+
+def test_incremental_update_broadcast_and_cogroup_agree(spark):
+    """The driver-collect/broadcast incremental rebuild and the
+    no-collect cogroup rebuild must produce bit-identical shard blobs,
+    including untouched (pass-through) and brand-new shards."""
+    import tempfile
+
+    import pandas as pd
+
+    from voz_spark import schemas
+    from voz_spark.config import CrawlConfig
+    from voz_spark.rounds import CrawlEngine
+
+    cfg = CrawlConfig(n_bloom_shards=8, bloom_bits_per_shard=1 << 14, bloom_k=5)
+    eng = CrawlEngine(spark, tempfile.mkdtemp(prefix="bloomupd-"), cfg=cfg)
+
+    rng = np.random.default_rng(11)
+    old_hashes = rng.integers(0, 2**63, 300, dtype=np.int64)
+    # old state covers only shards 0..3 → shards 4..7 start empty
+    old_hashes = old_hashes[(old_hashes % cfg.n_bloom_shards) < 4]
+    old_blobs = {}
+    for sid in range(4):
+        bits = B.empty_shard(cfg.bloom_bits_per_shard)
+        sel = old_hashes[(old_hashes % cfg.n_bloom_shards) == sid]
+        B.add_hashes(bits, sel.astype(np.uint64), cfg.bloom_bits_per_shard, cfg.bloom_k)
+        old_blobs[sid] = bits.tobytes()
+    bloom_df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"shard_id": s, "nbits": cfg.bloom_bits_per_shard, "k": cfg.bloom_k, "bits": b}
+                for s, b in old_blobs.items()
+            ]
+        ),
+        schemas.SEEN_BLOOM,
+    )
+    # new hashes touch shards {1, 5} only → 0,2,3 must pass through
+    # unchanged and 5 must build from empty
+    new_hashes = np.array(
+        [h for h in rng.integers(0, 2**63, 400, dtype=np.int64) if h % 8 in (1, 5)]
+    )
+    new_seen = spark.createDataFrame(pd.DataFrame({"url_hash": new_hashes}))
+
+    bcast = {r["shard_id"]: bytes(r["bits"]) for r in eng._updated_bloom(new_seen, old_blobs).collect()}
+    cg = {r["shard_id"]: bytes(r["bits"]) for r in eng._updated_bloom_cogroup(new_seen, bloom_df).collect()}
+    assert bcast == cg
+    assert set(cg) == {0, 1, 2, 3, 5}
+    assert cg[0] == old_blobs[0] and cg[2] == old_blobs[2] and cg[3] == old_blobs[3]
+    assert cg[1] != old_blobs[1]
+
+
+def test_crawl_engine_distributed_bloom_path_matches_broadcast(spark):
+    """Full engine E2E: a crawl forced onto the no-broadcast bloom path
+    (bloom_broadcast_max_bytes=0 → cogroup membership + cogroup
+    incremental rebuild) must produce the same crawl schedule, seen set,
+    and results as the default broadcast path."""
+    import tempfile
+
+    from voz_spark.config import CrawlConfig
+    from voz_spark.rounds import CrawlEngine
+
+    def run(cfg):
+        eng = CrawlEngine(
+            spark, tempfile.mkdtemp(prefix="bloompath-"), n_seeds=5, n_images=150, cfg=cfg
+        )
+        eng.run()
+        seen = sorted(r.canon_url for r in eng.seen().collect())
+        results = sorted(
+            (r.round_id, r.canon_url, r.status) for r in eng.results().collect()
+        )
+        return seen, eng.schedule_order(), results
+
+    base = run(CrawlConfig())
+    distributed = run(CrawlConfig(bloom_broadcast_max_bytes=0))
+    assert base == distributed

@@ -194,6 +194,49 @@ class CrawlEngine:
             return touched.unionByName(keep)
         return touched
 
+    def _updated_bloom_cogroup(self, new_seen: DataFrame, bloom_df: DataFrame) -> DataFrame:
+        """Incremental shard rebuild with NO driver collect and NO
+        broadcast — the 10^10 path (state is ~64 GiB there; neither
+        `_bloom_blobs()` nor a broadcast is possible). New hashes and
+        existing blob rows cogroup per shard; Spark's cogroup has
+        full-outer semantics, so shards that received no new hashes
+        appear as blob-only groups and pass through unchanged, and
+        brand-new shards appear as hash-only groups and build from
+        empty. Bit-equivalence with the broadcast path is pinned in
+        tests/test_bloom.py."""
+        cfg = self.cfg
+        nbits, k, n_shards = cfg.bloom_bits_per_shard, cfg.bloom_k, cfg.n_bloom_shards
+
+        def update(hashes_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(hashes_pdf) == 0:
+                return blob_pdf[["shard_id", "nbits", "k", "bits"]]
+            sid = int(hashes_pdf["shard_id"].iloc[0])
+            bits = (
+                np.frombuffer(blob_pdf["bits"].iloc[0], dtype=np.uint8).copy()
+                if len(blob_pdf)
+                else B.empty_shard(nbits)
+            )
+            B.add_hashes(bits, hashes_pdf["url_hash"].to_numpy().astype(np.uint64), nbits, k)
+            return pd.DataFrame(
+                [{"shard_id": sid, "nbits": nbits, "k": k, "bits": bits.tobytes()}]
+            )
+
+        new = new_seen.select(
+            F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard_id"),
+            "url_hash",
+        )
+        return (
+            new.groupBy("shard_id")
+            .cogroup(bloom_df.groupBy("shard_id"))
+            .applyInPandas(update, schemas.SEEN_BLOOM)
+        )
+
+    def _bloom_state_is_broadcastable(self) -> bool:
+        """Static criterion (no collect needed): full-capacity state
+        size vs the broadcast ceiling."""
+        cfg = self.cfg
+        return cfg.n_bloom_shards * cfg.bloom_bits_per_shard // 8 <= cfg.bloom_broadcast_max_bytes
+
     # -- the round -------------------------------------------------------------------
 
     def run_round(self) -> dict:
@@ -201,20 +244,27 @@ class CrawlEngine:
         frontier = self.frontier()
         seen = self.seen()
         images = self.spark.read.schema(schemas.IMAGES).parquet(self.images_path)
+        bloom_table = self._read("seen_bloom", schemas.SEEN_BLOOM)
+        broadcastable = self._bloom_state_is_broadcastable()
+        blobs = self._bloom_blobs() if broadcastable else {}
         rr = run_round_pipeline(
             self.spark,
             frontier,
             seen,
-            self._bloom_blobs(),
+            blobs,
             images,
             self.robots,
             self.budgets,
             self.cfg,
             round_id,
             self.img_space,
-            bloom_df=self._read("seen_bloom", schemas.SEEN_BLOOM),
+            bloom_df=bloom_table,
         )
-        bloom_df = self._updated_bloom(rr.new_seen_df, self._bloom_blobs())
+        bloom_df = (
+            self._updated_bloom(rr.new_seen_df, blobs)
+            if broadcastable
+            else self._updated_bloom_cogroup(rr.new_seen_df, bloom_table)
+        )
         failures = rr.results_df.where(
             F.col("status").isin("missing", "decode_error", "psnr_fail", "caption_mismatch")
         ).select(
