@@ -42,7 +42,11 @@ def q41_voz_thread_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from voz_spark.synth_posts import gen_posts_df, gen_threads_df
 
     posts = preprocess(gen_posts_df(spark, 20))
-    return thread_analysis(posts, gen_threads_df(spark, 20)).orderBy("thread_id")
+    out = thread_analysis(posts, gen_threads_df(spark, 20))
+    # The driver's canonicalizer sorts rows by every column; an array
+    # column is unsortable in pandas, so join `purposes` into a scalar
+    # string (C25 combination-key machinery) for the harness surface.
+    return out.withColumn("purposes", F.array_join("purposes", "+")).orderBy("thread_id")
 
 
 @register("q42_voz_recommendation_matrix", oracle=None)

@@ -324,8 +324,12 @@ LIMIT 100
 """,
 )
 def q25_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs with estimated Jaccard."""
-    sig = q24_minhash_signatures(spark, sf_dir)
+    """MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
+
+    `sig` is referenced 4× downstream (banding + both sides of the
+    signature re-join); persisting it materializes the shingle+window
+    DAG once instead of recomputing it per reference."""
+    sig = q24_minhash_signatures(spark, sf_dir).persist()
     bands = sig.select(
         "doc_id",
         *[
@@ -390,10 +394,11 @@ cand AS (
             JOIN ds b ON b.shingle = r.shingle AND a.doc_id < b.doc_id
 ),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, i.n_inter,
        ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
@@ -405,23 +410,30 @@ LIMIT 100
 """,
 )
 def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity for rare-shingle candidate pairs."""
+    """Exact 3-gram Jaccard similarity for rare-shingle candidate pairs.
+
+    Scale shape: the only shingle-keyed self-join runs over the
+    rare-shingle subset (df ≤ 10 → ≤ d² = 100 pairs per shingle, never
+    quadratic in a boilerplate shingle's document frequency); the exact
+    intersection is then computed per CANDIDATE PAIR by joining each
+    pair against the two docs' shingle sets (linear in
+    |cand| × shingles-per-doc), not by a full-table pair join."""
     d = T(spark, sf_dir, "documents")
-    ds = _spark_shingles(d).distinct()
+    ds = _spark_shingles(d).distinct().persist()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 10).select("shingle")
-    a = ds.alias("a")
-    b = ds.alias("b")
+    # Restrict to rare-shingle rows BEFORE any pair join: bounded fan-out.
+    ds_rare = ds.join(rare, "shingle")
+    a = ds_rare.alias("a")
+    b = ds_rare.alias("b")
     cand = (
-        a.join(rare, "shingle")
-        .join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .join(cand, ["doc_a", "doc_b"])
+        cand.join(ds.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(ds.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -705,38 +717,101 @@ def q30_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (the 5th dedup family):
-# bucketed candidate pairs with cosine ≥ 0.95.
+# banded sign-LSH candidate pairs with cosine ≥ 0.95.
+#
+# Scale shape: 4 bands × 16 hyperplane sign bits each (disjoint index
+# ranges of the 64-dim vector). A single 8-bit key gives only 256
+# buckets — at 10^10 vectors each bucket holds ~4·10^7 rows and the
+# within-bucket pair join is quadratic. 16-bit bands give 65,536
+# buckets per band; the 4 bands restore recall (a near-dup pair only
+# needs to agree on ONE band's 16 signs). Buckets larger than
+# _NEARDUP_BUCKET_CAP rows are dropped from candidate generation
+# entirely (mirrored in the oracle) — the documented recall trade that
+# caps worst-case pair fan-out at CAP²/2 per bucket.
 # ---------------------------------------------------------------------------
+
+_NEARDUP_BANDS = 4
+_NEARDUP_BITS = 16
+_NEARDUP_BUCKET_CAP = 1000
+
+
+def _band_bucket_spark(k: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{k * _NEARDUP_BITS + i}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_NEARDUP_BITS)
+    )
+
+
+def _band_bucket_duck(k: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{k * _NEARDUP_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_NEARDUP_BITS)
+    )
+
+
+_NEARDUP_BX_DUCK = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {k} AS band_id, {_band_bucket_duck(k)} AS bucket FROM embeddings"
+    for k in range(_NEARDUP_BANDS)
+)
 
 
 @register(
     "q31_embedding_neardup",
     oracle=f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM embeddings
+WITH bx AS (
+  {_NEARDUP_BX_DUCK}
+),
+ok AS (
+  SELECT band_id, bucket FROM bx GROUP BY band_id, bucket
+  HAVING COUNT(*) <= {_NEARDUP_BUCKET_CAP}
 ),
 pairs AS (
-  SELECT x.vec_id AS id_a, x.embedding AS ea, y.vec_id AS id_b, y.embedding AS eb
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bx x
+  JOIN ok o ON x.band_id = o.band_id AND x.bucket = o.bucket
+  JOIN bx y ON x.band_id = y.band_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+pe AS (
+  SELECT p.id_a, p.id_b, a.embedding AS ea, b.embedding AS eb
+  FROM pairs p
+  JOIN embeddings a ON a.vec_id = p.id_a
+  JOIN embeddings b ON b.vec_id = p.id_b
 ),
 scored AS (
   SELECT id_a, id_b,
          ROUND({_DOT_DUCK.format(a="ea", b="eb")}
            / sqrt({_DOT_DUCK.format(a="ea", b="ea")} * {_DOT_DUCK.format(a="eb", b="eb")}), 6) AS cosine
-  FROM pairs
+  FROM pe
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
 ORDER BY cosine DESC, id_a, id_b
 """,
 )
 def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicates: same sign-bucket, cosine ≥ 0.95."""
-    emb = T(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", "embedding", F.expr(_SIGN_BUCKET_SPARK).alias("bucket"))
-    a2 = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
-    b2 = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
-    pairs = a2.join(b2, "bucket").where(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
+    """Embedding near-duplicates: banded sign-LSH buckets, cosine ≥ 0.95."""
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    stack_args = ", ".join(f"{k}, {_band_bucket_spark(k)}" for k in range(_NEARDUP_BANDS))
+    bx = emb.selectExpr(
+        "vec_id", f"stack({_NEARDUP_BANDS}, {stack_args}) AS (band_id, bucket)"
+    )
+    ok = (
+        bx.groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= _NEARDUP_BUCKET_CAP)
+        .select("band_id", "bucket")
+    )
+    bxo = bx.join(ok, ["band_id", "bucket"])
+    x = bxo.select("band_id", "bucket", F.col("vec_id").alias("id_a"))
+    y = bxo.select("band_id", "bucket", F.col("vec_id").alias("id_b"))
+    pairs = (
+        x.join(y, ["band_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    scored = pairs.join(ea, "id_a").join(eb, "id_b").select(
         "id_a",
         "id_b",
         F.round(

@@ -67,6 +67,15 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, float_rtol: float = 0.0) -> 
         return False, f"row count mismatch: spark={len(got)} oracle={len(exp)}"
     for c in got.columns:
         g, e = got[c], exp[c]
+        # The driver's value hash distinguishes int from float (49 vs 49.0
+        # hash differently) — e.g. DuckDB SUM(BIGINT)→HUGEINT materializes
+        # as float64 via fetchdf(). Mirror that strictness here so the
+        # mismatch is caught by pytest, not first by the driver.
+        if pd.api.types.is_integer_dtype(g) != pd.api.types.is_integer_dtype(e):
+            return False, (
+                f"dtype mismatch col={c}: spark={g.dtype} oracle={e.dtype} "
+                "(driver hashes int and float differently — CAST the oracle)"
+            )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
             g = g.astype(float)
             e = e.astype(float)

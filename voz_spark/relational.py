@@ -623,10 +623,10 @@ WITH edges AS (
   FROM edges GROUP BY dst
 )
 SELECT COALESCE(o.node, i.node) AS node,
-       COALESCE(out_degree, 0) AS out_degree,
-       COALESCE(in_degree, 0) AS in_degree,
-       COALESCE(out_edges, 0) AS out_edges,
-       COALESCE(in_edges, 0) AS in_edges
+       CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(COALESCE(out_edges, 0) AS BIGINT) AS out_edges,
+       CAST(COALESCE(in_edges, 0) AS BIGINT) AS in_edges
 FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
 """,
 )
