@@ -170,3 +170,49 @@ def test_crawl_engine_distributed_bloom_path_matches_broadcast(spark):
     base = run(CrawlConfig())
     distributed = run(CrawlConfig(bloom_broadcast_max_bytes=0))
     assert base == distributed
+
+
+def test_bloom_param_change_rebuilds_state(spark):
+    """Resuming a crawl under DIFFERENT bloom layout parameters must
+    not reinterpret stored blobs with the new shard routing (which
+    would yield false 'definitely unseen' and silent re-crawls): the
+    engine detects the manifest-recorded parameter mismatch, rebuilds
+    the bloom from the authoritative seen table, and the finished
+    crawl still matches the sequential simulator exactly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from voz_spark.config import CrawlConfig
+    from voz_spark.oracle_sim import simulate
+    from voz_spark.rounds import CrawlEngine
+
+    wd = tempfile.mkdtemp(prefix="bloomparams-")
+    eng = CrawlEngine(spark, wd, n_seeds=5, n_images=150)
+    eng.bootstrap()
+    eng.run_round()
+    eng.run_round()
+
+    cfg2 = CrawlConfig(n_bloom_shards=8, bloom_bits_per_shard=1 << 16)
+    eng2 = CrawlEngine(spark, wd, n_seeds=5, n_images=150, cfg=cfg2)
+
+    # the rebuilt state has NO false negatives over the committed seen set
+    blobs = {r.shard_id: r for r in eng2._validated_bloom_table().collect()}
+    assert all(r.nbits == cfg2.bloom_bits_per_shard for r in blobs.values())
+    seen_hashes = [r.url_hash for r in eng2.seen().collect()]
+    assert seen_hashes
+    for h in seen_hashes:
+        sid = int(B.shard_of(np.array([h], dtype=np.int64).astype(np.uint64), cfg2.n_bloom_shards)[0])
+        row = blobs[sid]
+        bits = np.frombuffer(row.bits, dtype=np.uint8)
+        assert B.maybe_contains(
+            bits, np.array([h], dtype=np.int64).astype(np.uint64), row.nbits, row.k
+        )[0]
+
+    eng2.run()
+    sim = simulate(n_seeds=5, n_images=150)
+    assert eng2.schedule_order() == sim.schedule
+    assert {r.canon_url for r in eng2.seen().collect()} == sim.seen
+    # new manifests record the new layout
+    meta = eng2.cat.manifest()["meta"]
+    assert meta["bloom_n_shards"] == cfg2.n_bloom_shards

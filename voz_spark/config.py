@@ -14,8 +14,17 @@ class CrawlConfig:
     # politeness: reference REQUEST_DELAY=2s (src/config.py:33) →
     # per-host fetches per round; one round ≈ one politeness interval
     # across the cluster, so budget == parallel fetch slots per host.
+    # Known hosts derive their budget from min_interval_ms via
+    # synth.budget_from_interval; this is the fallback for hosts with
+    # no politeness row (≈ round_window_ms / 1000 ms default interval).
     default_host_budget: int = 64
-    # reference MAX_RETRIES (src/config.py:38)
+    # wall-clock span one crawl round models (B4 pacing): a host with
+    # min_interval_ms admits round_window_ms // min_interval_ms
+    # fetches per round.
+    round_window_ms: int = 64_000
+    # reference MAX_RETRIES (src/config.py:38): total fetch attempts
+    # per URL; a failed fetch re-enters the frontier with attempt+1
+    # until attempt+1 == max_retries, then lands in fetch_failures.
     max_retries: int = 3
     # reference min image size 100px (src/config.py:41-42); fixtures use
     # small synthetic images so the gate is scaled down with them.

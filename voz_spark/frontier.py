@@ -52,6 +52,12 @@ from voz_spark.config import CrawlConfig
 
 PRIORITY = ["seed_rank", "page_no", "post_no", "canon_url"]
 
+# Failure statuses that re-enter the frontier with attempt+1 (B8); the
+# reference retries EVERY failed download up to MAX_RETRIES, including
+# hard 404s (src/image_processor.py:56,138-142). "gated" is not a
+# failure (deterministic size skip) and "robots" is never retried.
+RETRYABLE_STATUSES = ("fetch_error", "missing", "decode_error", "psnr_fail", "caption_mismatch")
+
 
 @dataclass
 class RoundResult:
@@ -69,6 +75,7 @@ class RoundResult:
     new_seen_df: DataFrame | None = None
     next_frontier_df: DataFrame | None = None
     lineage_df: DataFrame | None = None
+    permanent_failures_df: DataFrame | None = None
     persisted: list[DataFrame] = field(default_factory=list)
 
     def unpersist(self):
@@ -577,25 +584,74 @@ def run_round_pipeline(
     validated = _validate_images(
         joined.select("canon_url", "image_id", "bytes", "fmt", "w", "h", "caption"), cfg
     )
-    image_results = (
+    # B8: transient-failure injection (deterministic 'network flake',
+    # same integer predicate as synth.is_transient_fail, evaluated
+    # JVM-side) — a flaked fetch never reaches decode, so its
+    # psnr/caption fields are nulled.
+    transient = (F.col("attempt") == 0) & (
+        F.pmod(
+            F.regexp_extract("image_id", r"(\d+)$", 1).cast("long") * F.lit(1_000_003)
+            + F.lit(17),
+            F.lit(20),
+        )
+        == 0
+    )
+    image_eval = (
         sched_imgs.select(
-            "canon_url", "host", "seed_rank", "page_no", "post_no", "kind"
+            "canon_url", "host", "seed_rank", "page_no", "post_no", "kind",
+            "url_hash", "attempt",
         )
         .join(validated, "canon_url")
-        .select(
-            F.lit(round_id).alias("round_id"),
-            "canon_url",
-            "host",
-            "seed_rank",
-            "page_no",
-            "post_no",
-            "kind",
-            "image_id",
-            "status",
-            "psnr_db",
-            "caption_ok",
-            F.lit(0).alias("n_children"),
+        .withColumn("_transient", transient)
+        .withColumn(
+            "status", F.when(F.col("_transient"), F.lit("fetch_error")).otherwise(F.col("status"))
         )
+        .withColumn(
+            "psnr_db", F.when(F.col("_transient"), F.lit(None).cast("double")).otherwise(F.col("psnr_db"))
+        )
+        .withColumn(
+            "caption_ok", F.when(F.col("_transient"), F.lit(None).cast("boolean")).otherwise(F.col("caption_ok"))
+        )
+        .persist()
+    )
+    persisted.append(image_eval)
+    image_results = image_eval.select(
+        F.lit(round_id).alias("round_id"),
+        "canon_url",
+        "host",
+        "seed_rank",
+        "page_no",
+        "post_no",
+        "kind",
+        "image_id",
+        "status",
+        "psnr_db",
+        "caption_ok",
+        F.lit(0).alias("n_children"),
+    )
+
+    # A12/B8: the retry loop. Failed fetches re-enter the next round's
+    # frontier with attempt+1 (reference src/main.py:271-276,323-325 —
+    # failed_threads.json IS the next work list — and the image retry
+    # loop at src/image_processor.py:56,138-142). Only when attempt+1
+    # reaches cfg.max_retries does the URL become a permanent failure
+    # (fetch_failures sink) and enter the seen set.
+    failed = image_eval.where(F.col("status").isin(list(RETRYABLE_STATUSES)))
+    will_retry = failed.where(F.col("attempt") + 1 < cfg.max_retries)
+    permanent = failed.where(F.col("attempt") + 1 >= cfg.max_retries)
+    retry_frontier = will_retry.select(
+        F.col("canon_url").alias("url"),
+        F.lit(None).cast("string").alias("base_url"),
+        "seed_rank",
+        "page_no",
+        "post_no",
+        (F.col("attempt") + 1).alias("attempt"),
+    )
+    permanent_failures = permanent.select(
+        F.lit(round_id).alias("round_id"),
+        "canon_url",
+        "status",
+        (F.col("attempt") + 1).alias("attempt"),
     )
 
     robots_results = blocked.select(
@@ -618,40 +674,90 @@ def run_round_pipeline(
 
     # seen: everything scheduled this round + robots-blocked (negative
     # cache — reference caches errors too, src/image_processor.py:127-136)
+    # EXCEPT URLs that will be retried: those must pass the next
+    # round's bloom + anti-join, so they only enter seen on success or
+    # permanent failure.
     new_seen = (
         scheduled.select("url_hash", "canon_url")
+        .join(
+            will_retry.select("url_hash", "canon_url"),
+            ["url_hash", "canon_url"],
+            "left_anti",
+        )
         .unionByName(blocked.select("url_hash", "canon_url"))
         .withColumn("first_round", F.lit(round_id))
     )
 
-    next_frontier = pending.select(
-        F.col("canon_url").alias("url"),
-        F.lit(None).cast("string").alias("base_url"),
-        "seed_rank",
-        "page_no",
-        "post_no",
-        "attempt",
-    ).unionByName(children.select("url", "base_url", "seed_rank", "page_no", "post_no", "attempt"))
+    next_frontier = (
+        pending.select(
+            F.col("canon_url").alias("url"),
+            F.lit(None).cast("string").alias("base_url"),
+            "seed_rank",
+            "page_no",
+            "post_no",
+            "attempt",
+        )
+        .unionByName(children.select("url", "base_url", "seed_rank", "page_no", "post_no", "attempt"))
+        .unionByName(retry_frontier)
+    )
 
-    # lineage (B13): funnel counters per host + per-partition scheduled rows
+    # lineage (B13): funnel counters per host + per-partition rows from
+    # each stage's OWN aggregation (every counter column is filled by
+    # the stage that produced it; per-partition rows sum to the funnel
+    # totals — pinned in tests/test_frontier_order.py)
     n_robots_blocked = blocked.count()
     n_scheduled = scheduled.count()
     n_fetched_ok = results.where(F.col("status") == "ok").count()
     n_failed = results.where(~F.col("status").isin("ok", "gated")).count()
+
+    _zeros = {
+        c: F.lit(0).cast("long").alias(c)
+        for c in (
+            "n_candidates",
+            "n_bloom_new",
+            "n_deduped",
+            "n_robots_blocked",
+            "n_scheduled",
+            "n_fetched",
+            "n_failed",
+        )
+    }
+
+    def _stage_rows(df: DataFrame, counters, host_col: bool = True) -> DataFrame:
+        """Per-(partition, host) rows with the given counter columns
+        aggregated from `df` and the rest zero. `counters` maps
+        lineage column → aggregate expression."""
+        key = [F.spark_partition_id().alias("partition_id")] + (
+            [F.col("host")] if host_col else [F.lit(None).cast("string").alias("host")]
+        )
+        agg = df.groupBy(*key).agg(
+            *[expr.cast("long").alias(name) for name, expr in counters.items()]
+        )
+        cols = [F.lit(round_id).alias("round_id"), "partition_id", "host"] + [
+            F.col(c) if c in counters else _zeros[c] for c in _zeros
+        ]
+        return agg.select(*cols)
+
     per_part = (
-        scheduled.groupBy(F.spark_partition_id().alias("partition_id"), "host")
-        .agg(F.count(F.lit(1)).alias("n_scheduled"))
-        .select(
-            F.lit(round_id).alias("round_id"),
-            "partition_id",
-            "host",
-            F.lit(0).cast("long").alias("n_candidates"),
-            F.lit(0).cast("long").alias("n_bloom_new"),
-            F.lit(0).cast("long").alias("n_deduped"),
-            F.lit(0).cast("long").alias("n_robots_blocked"),
-            F.col("n_scheduled").cast("long"),
-            F.lit(0).cast("long").alias("n_fetched"),
-            F.lit(0).cast("long").alias("n_failed"),
+        _stage_rows(frontier, {"n_candidates": F.count(F.lit(1))}, host_col=False)
+        .unionByName(
+            _stage_rows(
+                new,
+                {"n_bloom_new": F.count(F.lit(1)), "n_deduped": F.count(F.lit(1))},
+            )
+        )
+        .unionByName(_stage_rows(blocked, {"n_robots_blocked": F.count(F.lit(1))}))
+        .unionByName(_stage_rows(scheduled, {"n_scheduled": F.count(F.lit(1))}))
+        .unionByName(
+            _stage_rows(
+                results,
+                {
+                    "n_fetched": F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)),
+                    "n_failed": F.sum(
+                        F.when(~F.col("status").isin("ok", "gated"), 1).otherwise(0)
+                    ),
+                },
+            )
         )
     )
     funnel = spark.createDataFrame(
@@ -688,5 +794,6 @@ def run_round_pipeline(
         new_seen_df=new_seen,
         next_frontier_df=next_frontier,
         lineage_df=lineage,
+        permanent_failures_df=permanent_failures,
         persisted=persisted,
     )

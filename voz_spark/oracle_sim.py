@@ -54,7 +54,10 @@ def simulate(
 ) -> SimState:
     img_space = img_space_for(n_images)
     rules = synth.robots_rules()
-    budgets = {r["host"]: r["max_fetches_per_round"] for r in synth.host_budgets(cfg.default_host_budget)}
+    budgets = {
+        r["host"]: r["max_fetches_per_round"]
+        for r in synth.host_budgets(cfg.default_host_budget, cfg.round_window_ms)
+    }
 
     seeds = synth.seed_rows(n_seeds)
     if not include_sticky:
@@ -94,6 +97,7 @@ def simulate(
         # fetch in global priority order (the crawl-order invariant)
         scheduled.sort(key=lambda v: (v[0], v[1], v[2], v[4]))
         next_frontier = [(v[4], None, v[0], v[1], v[2], v[3]) for v in pending]
+        retried: set[str] = set()
         for rank, page, post, att, canon in scheduled:
             st.schedule.append((round_id, canon))
             parsed = synth.parse_image_url(canon)
@@ -113,11 +117,21 @@ def simulate(
             else:
                 img_id, _fmt = parsed
                 idx = int(img_id[3:])
-                if not synth.is_fetchable_image(idx, n_images):
+                # B8: transient network flake precedes everything (the
+                # request itself fails — no 404/size information exists)
+                if synth.is_transient_fail(idx, att):
+                    status = "fetch_error"
+                elif not synth.is_fetchable_image(idx, n_images):
                     status = "missing"
                 else:
                     w, h = synth.image_dims(idx)
                     status = "gated" if (w < cfg.min_image_dim or h < cfg.min_image_dim) else "ok"
+                # A12/B8 retry loop: failed fetches re-enter the next
+                # round's frontier with attempt+1 and stay OUT of seen
+                # until success or permanent failure
+                if status in ("fetch_error", "missing") and att + 1 < cfg.max_retries:
+                    next_frontier.append((canon, None, rank, page, post, att + 1))
+                    retried.add(canon)
                 st.results.append(
                     {
                         "round_id": round_id,
@@ -137,7 +151,7 @@ def simulate(
                     "n_children": 0,
                 }
             )
-        st.seen.update(v[4] for v in scheduled)
+        st.seen.update(v[4] for v in scheduled if v[4] not in retried)
         st.seen.update(v[4] for v in blocked)
         frontier = next_frontier
 

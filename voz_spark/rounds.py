@@ -78,7 +78,10 @@ class CrawlEngine:
         self.cat = SnapshotCatalog(workdir)
         self.images_path = f"{workdir}/images_input"
         self.robots = synth.robots_rules()
-        self.budgets = {r["host"]: r["max_fetches_per_round"] for r in synth.host_budgets(cfg.default_host_budget)}
+        self.budgets = {
+            r["host"]: r["max_fetches_per_round"]
+            for r in synth.host_budgets(cfg.default_host_budget, cfg.round_window_ms)
+        }
 
     # -- state ----------------------------------------------------------------
 
@@ -146,12 +149,48 @@ class CrawlEngine:
             F.lit(0).alias("attempt"),
         )
         files = {"frontier": self.cat.write_files(frontier, "frontier")}
-        self.cat.commit(replaces=files, meta={"round_id": 0})
+        self.cat.commit(replaces=files, meta={"round_id": 0, **self._bloom_params_meta()})
 
     # -- bloom state ---------------------------------------------------------------
 
-    def _bloom_blobs(self) -> dict[int, bytes]:
-        rows = self._read("seen_bloom", schemas.SEEN_BLOOM).collect()
+    def _bloom_params_meta(self) -> dict:
+        """Bloom layout parameters persisted with every commit — stored
+        blobs are only meaningful under the (n_shards, nbits, k) they
+        were built with; resuming under different cfg values would
+        route pmod(hash, n_shards) against blobs built with another
+        shard count and silently re-crawl seen URLs."""
+        cfg = self.cfg
+        return {
+            "bloom_n_shards": cfg.n_bloom_shards,
+            "bloom_bits_per_shard": cfg.bloom_bits_per_shard,
+            "bloom_k": cfg.bloom_k,
+        }
+
+    def _validated_bloom_table(self) -> DataFrame:
+        """The committed bloom state, REBUILT from `seen` if the stored
+        layout parameters disagree with (or predate) the current
+        config. The rebuild is the distributed cogroup path over the
+        authoritative seen table — never an interpretation of stored
+        blobs under mismatched shard routing."""
+        man = self.cat.manifest()
+        bloom_table = self._read("seen_bloom", schemas.SEEN_BLOOM)
+        if not man["tables"].get("seen_bloom"):
+            return bloom_table  # empty state: nothing to validate
+        meta = man["meta"]
+        stored = (
+            meta.get("bloom_n_shards"),
+            meta.get("bloom_bits_per_shard"),
+            meta.get("bloom_k"),
+        )
+        cfg = self.cfg
+        current = (cfg.n_bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_k)
+        if stored == current:
+            return bloom_table
+        empty = self.spark.createDataFrame([], schemas.SEEN_BLOOM)
+        return self._updated_bloom_cogroup(self.seen().select("url_hash"), empty)
+
+    def _bloom_blobs_from(self, bloom_df: DataFrame) -> dict[int, bytes]:
+        rows = bloom_df.collect()
         return {int(r.shard_id): bytes(r.bits) for r in rows}
 
     def _updated_bloom(self, new_seen: DataFrame, old_blobs: dict[int, bytes]) -> DataFrame:
@@ -183,7 +222,17 @@ class CrawlEngine:
             .groupBy("shard_id")
             .applyInPandas(update, schemas.SEEN_BLOOM)
         )
-        touched_ids = {int(r.shard_id) for r in touched.select("shard_id").distinct().collect()}
+        # derive touched ids from the CHEAP hash projection, not from the
+        # applyInPandas plan — collecting `touched` here would run the
+        # whole shard-rebuild pass twice (once now, once at write time)
+        touched_ids = {
+            int(r.shard_id)
+            for r in new_seen.select(
+                F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard_id")
+            )
+            .distinct()
+            .collect()
+        }
         old_rows = [
             {"shard_id": sid, "nbits": nbits, "k": k, "bits": blob}
             for sid, blob in old_blobs.items()
@@ -244,9 +293,10 @@ class CrawlEngine:
         frontier = self.frontier()
         seen = self.seen()
         images = self.spark.read.schema(schemas.IMAGES).parquet(self.images_path)
-        bloom_table = self._read("seen_bloom", schemas.SEEN_BLOOM)
+        has_bloom_state = bool(self.cat.manifest()["tables"].get("seen_bloom"))
+        bloom_table = self._validated_bloom_table()
         broadcastable = self._bloom_state_is_broadcastable()
-        blobs = self._bloom_blobs() if broadcastable else {}
+        blobs = self._bloom_blobs_from(bloom_table) if (broadcastable and has_bloom_state) else {}
         rr = run_round_pipeline(
             self.spark,
             frontier,
@@ -258,21 +308,23 @@ class CrawlEngine:
             self.cfg,
             round_id,
             self.img_space,
-            bloom_df=bloom_table,
+            # empty state (round 1 of every crawl) takes the free
+            # lit(False) membership path — never a cogroup shuffle
+            # against an empty bloom table
+            bloom_df=bloom_table if has_bloom_state else None,
         )
         bloom_df = (
             self._updated_bloom(rr.new_seen_df, blobs)
             if broadcastable
             else self._updated_bloom_cogroup(rr.new_seen_df, bloom_table)
         )
-        failures = rr.results_df.where(
-            F.col("status").isin("missing", "decode_error", "psnr_fail", "caption_mismatch")
-        ).select(
-            "round_id", "canon_url", "status", F.lit(self.cfg.max_retries).alias("attempt")
-        )
+        # A12: permanent failures only — retried URLs went back into
+        # rr.next_frontier_df with attempt+1 (the union-back lives in
+        # run_round_pipeline so the simulator semantics stay in one place)
+        failures = rr.permanent_failures_df
 
         n_next = rr.next_frontier_df.count()
-        n_seen_total = seen.count() + rr.n_scheduled + rr.n_robots_blocked
+        n_seen_total = seen.count() + rr.new_seen_df.count()
         checkpoint = self.spark.createDataFrame(
             [
                 (
@@ -298,7 +350,11 @@ class CrawlEngine:
             "frontier": self.cat.write_files(rr.next_frontier_df, "frontier"),
             "seen_bloom": self.cat.write_files(bloom_df, "seen_bloom"),
         }
-        self.cat.commit(appends=appends, replaces=replaces, meta={"round_id": round_id})
+        self.cat.commit(
+            appends=appends,
+            replaces=replaces,
+            meta={"round_id": round_id, **self._bloom_params_meta()},
+        )
         rr.unpersist()
         return {
             "round_id": round_id,

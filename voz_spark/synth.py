@@ -229,10 +229,43 @@ def robots_rules() -> list[dict]:
     ]
 
 
-def host_budgets(default_budget: int) -> list[dict]:
-    """Per-host fetches per round (politeness; reference REQUEST_DELAY=2 s
-    at src/config.py:33 → one round ≈ one delay interval)."""
-    return [
-        {"host": "voz.test", "max_fetches_per_round": max(4, default_budget // 4)},
-        {"host": DOMINANT_IMG_HOST, "max_fetches_per_round": default_budget},
-    ] + [{"host": h, "max_fetches_per_round": max(4, default_budget // 2)} for h in MINOR_IMG_HOSTS]
+def budget_from_interval(min_interval_ms: int, round_window_ms: int) -> int:
+    """B4 pacing model (reference REQUEST_DELAY + uniform(0,1) per
+    fetch, src/browser.py:57-59): one crawl round spans
+    `round_window_ms` of wall-clock; a host contacted at most once per
+    `min_interval_ms` therefore admits floor(window / interval)
+    fetches per round (≥ 1 so no host starves forever)."""
+    return max(1, round_window_ms // min_interval_ms)
+
+
+def host_budgets(default_budget: int, round_window_ms: int = 64_000) -> list[dict]:
+    """Per-host politeness table. Each host carries its
+    `min_interval_ms` (the reference's per-request delay, generalized
+    per host); the per-round fetch budget is DERIVED from it via
+    budget_from_interval — not an independent constant — so changing
+    the round window rescales every host's budget coherently."""
+    rows = [
+        {"host": "voz.test", "min_interval_ms": 4000},
+        {"host": DOMINANT_IMG_HOST, "min_interval_ms": 1000},
+    ] + [{"host": h, "min_interval_ms": 2000} for h in MINOR_IMG_HOSTS]
+    for r in rows:
+        r["max_fetches_per_round"] = budget_from_interval(
+            r["min_interval_ms"], round_window_ms
+        )
+    return rows
+
+
+# --- transient fetch failures (A12/B8 retry loop) --------------------------
+
+_TRANSIENT_MULT = 1_000_003
+_TRANSIENT_ADD = 17
+_TRANSIENT_MOD = 20
+
+
+def is_transient_fail(idx: int, attempt: int) -> bool:
+    """Deterministic 'network flake': ~5% of images fail their FIRST
+    fetch attempt and succeed on retry (reference: requests exceptions
+    retried max_retries times, src/image_processor.py:56,138-142).
+    Pure integer arithmetic so the Spark engine can evaluate the same
+    predicate JVM-side (see frontier.transient_fail_col)."""
+    return attempt == 0 and (idx * _TRANSIENT_MULT + _TRANSIENT_ADD) % _TRANSIENT_MOD == 0
