@@ -109,27 +109,55 @@ def run_at(cpus: int, n_urls: int, job: str) -> dict:
 
 
 def paired(job: str, n_urls: int, n_pairs: int, n_small: int, n_big: int) -> dict:
+    import statistics
+
     from bench.calibrate import ceiling
 
     pairs = []
     for _ in range(n_pairs):
+        # the burn BRACKETS the measurement window (before N, after 4N)
+        # so the ceiling samples the same co-tenant load the pair saw
+        cal_pre = ceiling(n_small, iters=60_000_000)
         rn = run_at(n_small, n_urls, job)
         r4n = run_at(n_big, n_urls, job)
-        cal = ceiling(n_small, iters=60_000_000)
+        cal_post = ceiling(n_small, iters=60_000_000)
+        ceil = (cal_pre["ceiling"] + cal_post["ceiling"]) / 2.0
         eff = (r4n["urls_per_sec"] / rn["urls_per_sec"]) / 4.0
+        norm = (eff / ceil) if ceil > 0 else None
         pairs.append(
             {
                 "n": rn,
                 "4n": r4n,
                 "efficiency": round(eff, 3),
-                "machine_ceiling": cal["ceiling"],
-                "normalized_efficiency": round(min(eff / cal["ceiling"], 1.0), 3)
-                if cal["ceiling"] > 0
-                else None,
+                "machine_ceiling_pre": cal_pre["ceiling"],
+                "machine_ceiling_post": cal_post["ceiling"],
+                "machine_ceiling": round(ceil, 3),
+                # UNCAPPED: a value > 1.0 means the bracketed burn still
+                # missed the pair's actual load window — flagged, never
+                # silently clamped to 1.0
+                "normalized_efficiency": round(norm, 3) if norm is not None else None,
+                "ceiling_window_mismatch": bool(norm is not None and norm > 1.0),
             }
         )
     best = max(pairs, key=lambda p: p["efficiency"])
-    return {"job": job, "pair_cores": [n_small, n_big], "n_urls": n_urls, "pairs": pairs, "best": best}
+    return {
+        "job": job,
+        "pair_cores": [n_small, n_big],
+        "n_urls": n_urls,
+        "pairs": pairs,
+        "best": best,
+        "median_efficiency": round(
+            statistics.median(p["efficiency"] for p in pairs), 3
+        ),
+        "median_normalized_efficiency": round(
+            statistics.median(
+                p["normalized_efficiency"] for p in pairs if p["normalized_efficiency"] is not None
+            ),
+            3,
+        )
+        if any(p["normalized_efficiency"] is not None for p in pairs)
+        else None,
+    }
 
 
 def main() -> None:
@@ -148,22 +176,28 @@ def main() -> None:
             "throughput_n": sched["best"]["n"]["urls_per_sec"],
             "throughput_4n": sched["best"]["4n"]["urls_per_sec"],
             "efficiency": sched["best"]["efficiency"],
+            "median_efficiency": sched["median_efficiency"],
             "machine_ceiling": sched["best"]["machine_ceiling"],
             "normalized_efficiency": sched["best"]["normalized_efficiency"],
+            "median_normalized_efficiency": sched["median_normalized_efficiency"],
         },
         "full_round": {
             "throughput_n": rnd["best"]["n"]["urls_per_sec"],
             "throughput_4n": rnd["best"]["4n"]["urls_per_sec"],
             "efficiency": rnd["best"]["efficiency"],
+            "median_efficiency": rnd["median_efficiency"],
             "machine_ceiling": rnd["best"]["machine_ceiling"],
             "normalized_efficiency": rnd["best"]["normalized_efficiency"],
+            "median_normalized_efficiency": rnd["median_normalized_efficiency"],
         },
         "schedule_8_32": {
             "throughput_n": sched32["best"]["n"]["urls_per_sec"],
             "throughput_4n": sched32["best"]["4n"]["urls_per_sec"],
             "efficiency": sched32["best"]["efficiency"],
+            "median_efficiency": sched32["median_efficiency"],
             "machine_ceiling": sched32["best"]["machine_ceiling"],
             "normalized_efficiency": sched32["best"]["normalized_efficiency"],
+            "median_normalized_efficiency": sched32["median_normalized_efficiency"],
         },
         "all_pairs": {
             "schedule": sched["pairs"],
@@ -221,7 +255,7 @@ threshold algorithm.
 | local[{pn}]  | {s_n["urls_per_sec"]:,.0f} | {s_n["wall_sec"]} | {s_n["n_urls"]:,} | {s_n["n_scheduled"]:,} |
 | local[{p4n}] | {s_4n["urls_per_sec"]:,.0f} | {s_4n["wall_sec"]} | {s_4n["n_urls"]:,} | {s_4n["n_scheduled"]:,} |
 
-Raw efficiency **{sched["best"]["efficiency"]:.3f}** · machine ceiling (same window) {sched["best"]["machine_ceiling"]:.3f} · normalized **{sched["best"]["normalized_efficiency"]:.3f}**
+Raw efficiency **{sched["best"]["efficiency"]:.3f}** (median of all pairs {sched["median_efficiency"]:.3f}) · bracketing-burn ceiling {sched["best"]["machine_ceiling"]:.3f} · normalized **{sched["best"]["normalized_efficiency"]:.3f}** (median {sched["median_normalized_efficiency"]:.3f}; uncapped — >1.0 would flag a calibration-window mismatch)
 
 ## Job 2 — full crawl round (the north-rule job), local[{pn}] vs local[{p4n}]
 
@@ -233,7 +267,7 @@ validation of every scheduled URL ({r_n["n_fetched_validated"]:,} images/round).
 | local[{pn}]  | {r_n["urls_per_sec"]:,.0f} | {r_n["wall_sec"]} |
 | local[{p4n}] | {r_4n["urls_per_sec"]:,.0f} | {r_4n["wall_sec"]} |
 
-Raw efficiency **{rnd["best"]["efficiency"]:.3f}** · machine ceiling {rnd["best"]["machine_ceiling"]:.3f} · normalized **{rnd["best"]["normalized_efficiency"]:.3f}**
+Raw efficiency **{rnd["best"]["efficiency"]:.3f}** (median {rnd["median_efficiency"]:.3f}) · bracketing-burn ceiling {rnd["best"]["machine_ceiling"]:.3f} · normalized **{rnd["best"]["normalized_efficiency"]:.3f}** (median {rnd["median_normalized_efficiency"]:.3f})
 
 ## Secondary pair — scheduling at local[8] vs local[32]
 
@@ -242,14 +276,19 @@ Raw efficiency **{rnd["best"]["efficiency"]:.3f}** · machine ceiling {rnd["best
 | local[8]  | {t_n["urls_per_sec"]:,.0f} | {t_n["wall_sec"]} |
 | local[32] | {t_4n["urls_per_sec"]:,.0f} | {t_4n["wall_sec"]} |
 
-Raw efficiency **{sched32["best"]["efficiency"]:.3f}** · machine ceiling {sched32["best"]["machine_ceiling"]:.3f} · normalized **{sched32["best"]["normalized_efficiency"]:.3f}**
+Raw efficiency **{sched32["best"]["efficiency"]:.3f}** (median {sched32["median_efficiency"]:.3f}) · bracketing-burn ceiling {sched32["best"]["machine_ceiling"]:.3f} · normalized **{sched32["best"]["normalized_efficiency"]:.3f}**
 (the 32-level oversubscribes the host — see calibration above)
 
 ## Measurement notes (honest caveats)
 
 - One shared VM; co-tenant load swings wall clock up to 10x between
-  runs. Reported numbers are the best matched (back-to-back) pair of
-  repeated runs; ALL pairs are in the scaling JSON output.
+  runs. Headline numbers are the best matched (back-to-back) pair of
+  repeated runs, with the MEDIAN across all pairs reported alongside;
+  ALL pairs are in the scaling JSON output. The burn calibration runs
+  before the N child and again after the 4N child so the ceiling
+  brackets the actual measurement window; normalized efficiency is
+  UNCAPPED and any value > 1.0 is flagged as a calibration-window
+  mismatch rather than clamped.
 - N and 4N share ONE memory subsystem here; on a real cluster 4x
   executors bring 4x memory bandwidth and 4x shuffle disks. Shuffle
   spills go to tmpfs (`spark.local.dir=/dev/shm`) because the

@@ -144,8 +144,10 @@ def test_communities_and_label_propagation(world):
 def test_sentiment_surfaces(world):
     *_, sugg = world
     cs = component_sentiment(sugg)
+    assert "mean_subjectivity" in cs.columns  # both TextBlob outputs surfaced
     for r in cs.collect():
         assert -1.0 <= r.mean_polarity <= 1.0
+        assert 0.0 <= r.mean_subjectivity <= 1.0
     rs = reception_sentiment(sugg)
     assert rs.count() <= 4  # boolean pair grid
     wc = context_word_counts(sugg, k=10)

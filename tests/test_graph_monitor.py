@@ -1,0 +1,89 @@
+"""C32 betweenness (reference src/network_analyzer.py:333-340) and
+B11 monitor report (reference src/monitor.py:50-114)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from voz_spark.graph import _brandes_betweenness, betweenness
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(triples, "src string, dst string, weight double")
+
+
+def test_betweenness_hand_built_path_graph(spark):
+    """a→b→c→d: only interior nodes carry betweenness; b and c are
+    symmetric. Directed-normalized values (n=4): b = c =
+    2 pair-paths-through / ((n-1)(n-2)) = 2/6."""
+    edges = _edges_df(
+        spark, [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)]
+    )
+    got = {r.node: r.betweenness for r in betweenness(edges).collect()}
+    assert got["a"] == 0.0 and got["d"] == 0.0
+    assert got["b"] == pytest.approx(2 / 6)
+    assert got["c"] == pytest.approx(2 / 6)
+
+
+def test_betweenness_star_center(spark):
+    """Star with bidirectional spokes: the hub lies on every
+    leaf-to-leaf shortest path → betweenness 1.0 after normalization."""
+    leaves = ["x1", "x2", "x3", "x4"]
+    triples = [("hub", v, 1.0) for v in leaves] + [(v, "hub", 1.0) for v in leaves]
+    got = {r.node: r.betweenness for r in betweenness(_edges_df(spark, triples)).collect()}
+    assert got["hub"] == pytest.approx(1.0)
+    for v in leaves:
+        assert got[v] == 0.0
+
+
+def test_betweenness_top_n_cutoff(spark):
+    """top_n bounds the subgraph exactly like the reference's top-100
+    cutoff: nodes outside the top-N by total degree are excluded."""
+    triples = [("a", "b", 5.0), ("b", "c", 5.0), ("c", "a", 5.0), ("a", "z", 0.1)]
+    out = betweenness(_edges_df(spark, triples), top_n=3)
+    assert {r.node for r in out.collect()} == {"a", "b", "c"}
+
+
+def test_brandes_fallback_matches_networkx(spark):
+    """The pure-Python Brandes fallback must agree with networkx on a
+    non-trivial digraph (so the environment gate changes nothing)."""
+    nx = pytest.importorskip("networkx")
+    triples = [
+        ("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0), ("c", "d", 1.0),
+        ("d", "a", 1.0), ("b", "d", 1.0), ("d", "e", 1.0), ("e", "a", 1.0),
+    ]
+    nodes = sorted({t[0] for t in triples} | {t[1] for t in triples})
+    pairs = [(s, d) for s, d, _ in triples]
+    ours = _brandes_betweenness(nodes, pairs)
+    g = nx.DiGraph()
+    g.add_nodes_from(nodes)
+    g.add_edges_from(pairs)
+    ref = nx.betweenness_centrality(g)
+    for v in nodes:
+        assert ours[v] == pytest.approx(ref[v])
+
+
+def test_monitor_report_sums_and_rates(spark):
+    """monitor_report over a hand-built lineage: success rate per
+    round, cumulative totals, and progress percent."""
+    from voz_spark import schemas
+    from voz_spark.monitor import monitor_report
+
+    rows = [
+        # round, part, host, cand, bloom_new, dedup, robots, sched, fetched, failed
+        (1, -1, None, 100, 90, 90, 2, 40, 30, 10),
+        (2, -1, None, 80, 60, 60, 0, 40, 40, 0),
+        (1, 0, "h", 50, 0, 0, 0, 0, 0, 0),  # per-partition rows are excluded
+        (3, -1, None, 20, 20, 20, 0, 20, 15, 5),
+    ]
+    lineage = spark.createDataFrame(rows, schemas.LINEAGE)
+    got = {r.round_id: r for r in monitor_report(lineage).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert got[1].success_rate == pytest.approx(0.75)
+    assert got[2].success_rate == pytest.approx(1.0)
+    assert got[1].cum_scheduled == 40
+    assert got[2].cum_scheduled == 80
+    assert got[3].cum_scheduled == 100
+    assert got[3].progress_pct == pytest.approx(100.0)
+    assert got[1].progress_pct == pytest.approx(40.0)

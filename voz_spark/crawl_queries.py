@@ -34,6 +34,29 @@ def q40_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q45_oracle() -> str:
+    from voz_spark.monitor import Q45_ORACLE
+
+    return Q45_ORACLE
+
+
+@register("q45_crawl_monitor", oracle=_q45_oracle())
+def q45_crawl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: per-round progress report (reference analyze_progress,
+    src/monitor.py:50-114) over the lineage table of a deterministic
+    small crawl. The lineage parquet is materialized at a fixed path
+    and BOTH engines aggregate those same files — a full value-hash
+    oracle for the monitor, not a rows-only check."""
+    from voz_spark.monitor import Q45_LINEAGE_PATH, monitor_report
+    from voz_spark.rounds import CrawlEngine
+
+    wd = tempfile.mkdtemp(prefix="crawl-q45-")
+    eng = CrawlEngine(spark, wd, n_seeds=6, n_images=200)
+    eng.run()
+    eng.lineage().coalesce(1).write.mode("overwrite").parquet(Q45_LINEAGE_PATH)
+    return monitor_report(spark.read.parquet(Q45_LINEAGE_PATH))
+
+
 @register("q41_voz_thread_analysis", oracle=None)
 def q41_voz_thread_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dataset build (reference create_datasets.py §3.2):
@@ -69,16 +92,24 @@ def q42_voz_recommendation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register("q43_voz_user_graph", oracle=None)
 def q43_voz_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C31/C32/C35: interaction edges → degrees + distributed PageRank."""
+    """C31/C32/C35: interaction edges → degrees + distributed PageRank
+    + top-100-subgraph betweenness (reference
+    src/network_analyzer.py:333-347 centrality bundle)."""
     from voz_spark.analytics import preprocess
-    from voz_spark.graph import build_edges, degrees, pagerank
+    from voz_spark.graph import betweenness, build_edges, degrees, pagerank
     from voz_spark.synth_posts import gen_posts_df
 
     posts = preprocess(gen_posts_df(spark, 20))
     edges = build_edges(posts).cache()
     d = degrees(edges)
     pr = pagerank(edges, iterations=5)
-    return d.join(pr, "node").orderBy(F.desc("rank"), "node")
+    bc = betweenness(edges)
+    return (
+        d.join(pr, "node")
+        .join(bc, "node", "left")
+        .withColumn("betweenness", F.coalesce("betweenness", F.lit(0.0)))
+        .orderBy(F.desc("rank"), "node")
+    )
 
 
 @register("q44_voz_sentiment", oracle=None)

@@ -107,8 +107,11 @@ def _canonicalize(frontier: DataFrame) -> DataFrame:
     Emits the packed priority `_pri` (seed_rank«28 | page_no«14 |
     post_no) + `attempt` instead of four ints: one primitive-long
     min-comparator in the dedup aggregate and the scheduling sorts,
-    and ~25% less shuffle per row. Bounds (asserted by the synth
-    fixtures): seed_rank < 2^31, page_no/post_no < 2^14.
+    and ~25% less shuffle per row. Bounds — seed_rank < 2^31,
+    page_no/post_no < 2^14 — are enforced by real asserts in the
+    generators (synth.seed_rows / synth.expand_children): an
+    out-of-range value would silently carry into the neighboring
+    packed field, so the generators fail loudly instead.
     """
 
     @pandas_udf("string")

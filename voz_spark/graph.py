@@ -97,6 +97,88 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> D
     return out
 
 
+def _brandes_betweenness(nodes: list, edge_list: list[tuple]) -> dict:
+    """Pure-Python Brandes (directed, unweighted, normalized like
+    networkx's default) — fallback when networkx is absent. Public
+    algorithm (Brandes 2001, 'A Faster Algorithm for Betweenness
+    Centrality')."""
+    from collections import deque
+
+    adj: dict = {v: [] for v in nodes}
+    for s, d in edge_list:
+        adj[s].append(d)
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in nodes:
+        stack, preds = [], {v: [] for v in nodes}
+        sigma = dict.fromkeys(nodes, 0.0)
+        dist = dict.fromkeys(nodes, -1)
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = dict.fromkeys(nodes, 0.0)
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    n = len(nodes)
+    if n > 2:  # networkx directed normalization: 1 / ((n-1)(n-2))
+        scale = 1.0 / ((n - 1) * (n - 2))
+        bc = {v: c * scale for v, c in bc.items()}
+    return bc
+
+
+def betweenness(edges: DataFrame, top_n: int = 100) -> DataFrame:
+    """C32: betweenness centrality of the top-`top_n`-by-total-degree
+    subgraph (reference src/network_analyzer.py:333-340:
+    nx.betweenness_centrality over the same top-100 cutoff). The
+    top-N selection and subgraph edge filtering are distributed
+    (degree aggregation + a broadcast semi-filter); only the ≤ top_n
+    node subgraph — bounded by construction — crosses to the driver
+    for the O(V·E) Brandes pass, mirroring the reference's own
+    smallness cutoff. Ties in degree break on node name so the
+    subgraph is deterministic."""
+    spark = edges.sparkSession
+    deg = degrees(edges).select(
+        "node", (F.col("out_degree") + F.col("in_degree")).alias("total_degree")
+    )
+    top = [
+        r.node
+        for r in deg.orderBy(F.desc("total_degree"), "node").limit(top_n).collect()
+    ]
+    top_df = F.broadcast(spark.createDataFrame([(v,) for v in top], "node string"))
+    sub_df = (
+        edges.select("src", "dst")
+        .join(top_df, edges.src == top_df.node, "left_semi")
+        .join(top_df, F.col("dst") == top_df.node, "left_semi")
+    )
+    # bounded by construction: ≤ top_n² edges cross to the driver
+    sub = [(r.src, r.dst) for r in sub_df.collect()]
+    try:
+        import networkx as nx
+
+        g = nx.DiGraph()
+        g.add_nodes_from(top)
+        g.add_edges_from(sub)
+        bc = nx.betweenness_centrality(g)
+    except ImportError:  # pragma: no cover - environment-gated
+        bc = _brandes_betweenness(top, sub)
+    return spark.createDataFrame(
+        [{"node": v, "betweenness": float(c)} for v, c in sorted(bc.items())],
+        "node string, betweenness double",
+    )
+
+
 def graph_stats(edges: DataFrame) -> dict:
     """C34: node/edge counts, avg degree, density (DataFrame aggs);
     SCC count driver-side via networkx under the size gate."""

@@ -57,10 +57,41 @@ def polarity(col: Column) -> Column:
     return score(col)
 
 
+def subjectivity(col: Column) -> Column:
+    """Subjectivity score per text ∈ [0, 1] — the second TextBlob
+    output (reference src/sentiment_analyzer.py:138-140 reads
+    blob.sentiment.subjectivity alongside polarity). Lexicon fallback:
+    the fraction of opinion-bearing words among all words — 0 for a
+    purely factual sentence, →1 as every word is sentiment-laden."""
+
+    @pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        if _HAVE_TEXTBLOB:
+            return texts.map(
+                lambda t: float(TextBlob(t).sentiment.subjectivity) if t else 0.0
+            )
+
+        def lex(t: str | None) -> float:
+            if not t:
+                return 0.0
+            words = t.lower().split()
+            if not words:
+                return 0.0
+            opinion = sum(w in POSITIVE or w in NEGATIVE for w in words)
+            return min(1.0, opinion / len(words))
+
+        return texts.map(lex)
+
+    return score(col)
+
+
 def component_sentiment(suggestions: DataFrame) -> DataFrame:
     """C13: per-component sentiment stats over mention contexts
-    (reference src/sentiment_analyzer.py:176-349)."""
-    scored = suggestions.withColumn("polarity", polarity(F.col("context")))
+    (reference src/sentiment_analyzer.py:176-349; both TextBlob
+    outputs — polarity AND subjectivity — are surfaced)."""
+    scored = suggestions.withColumn("polarity", polarity(F.col("context"))).withColumn(
+        "subjectivity", subjectivity(F.col("context"))
+    )
     return scored.groupBy("component_type").agg(
         F.count(F.lit(1)).alias("n_mentions"),
         F.avg("polarity").alias("mean_polarity"),
@@ -68,6 +99,7 @@ def component_sentiment(suggestions: DataFrame) -> DataFrame:
         F.stddev("polarity").alias("std_polarity"),
         F.min("polarity").alias("min_polarity"),
         F.max("polarity").alias("max_polarity"),
+        F.avg("subjectivity").alias("mean_subjectivity"),
     )
 
 

@@ -43,13 +43,24 @@ def get_spark(
     cpus = default_parallelism()
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
-    # Shuffle/spill to tmpfs when available: the sandbox's /tmp sits on
-    # one virtio disk whose bandwidth does NOT grow with cores, which
-    # caps N->4N scaling; on a real cluster every executor brings its
-    # own shuffle disks, so tmpfs locally is the faithful analogue.
+    # Shuffle/spill to tmpfs ONLY when a capacity check passes: the
+    # sandbox's /tmp sits on one virtio disk whose bandwidth does NOT
+    # grow with cores (caps N->4N scaling; on a real cluster every
+    # executor brings its own shuffle disks, so tmpfs locally is the
+    # faithful analogue) — but /dev/shm is RAM-backed, and a large
+    # spill into a small tmpfs fails jobs that would have completed
+    # spilling to disk. Opt out entirely with SPARK_GRAFT_LOCAL_DIR.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            free_bytes = st.f_bavail * st.f_frsize
+        except OSError:  # pragma: no cover
+            free_bytes = 0
+        # require generous headroom (≥ 32 GiB free) before defaulting
+        # shuffle spill into RAM-backed tmpfs
+        if free_bytes >= 32 << 30:
+            local_dir = "/dev/shm/spark-local"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -68,6 +68,8 @@ def total_pages(tid: int) -> int:
 
 
 def seed_rows(n_seeds: int) -> list[dict]:
+    # packed-priority bound (frontier._canonicalize): seed_rank < 2^31
+    assert n_seeds <= 1 << 31, f"seed_rank must fit 31 bits, got {n_seeds}"
     rows = []
     for r in range(n_seeds):
         tid = thread_id(r)
@@ -149,15 +151,24 @@ def expand_children(canon_url: str, img_space: int) -> list[tuple[str, int, int]
             out.append((page_child_url(tid, n), n, 0))
         for slot in range(IMAGES_PER_PAGE):
             out.append((image_url(image_index(tid, 1, slot, img_space)), 1, slot + 1))
-        return out
-    m = _PAGE_RE.match(canon_url)
-    if m:
+    else:
+        m = _PAGE_RE.match(canon_url)
+        if not m:
+            return []
         tid, n = int(m.group(1)), int(m.group(2))
-        return [
+        out = [
             (image_url(image_index(tid, n, slot, img_space)), n, slot + 1)
             for slot in range(IMAGES_PER_PAGE)
         ]
-    return []
+    # packed-priority bounds (frontier._canonicalize packs page_no and
+    # post_no into 14 bits each): a value at 2^14 would silently carry
+    # into the neighboring field and corrupt dedup winner selection and
+    # crawl order — fail loudly here instead.
+    for _, page_no, post_no in out:
+        assert page_no < 1 << 14 and post_no < 1 << 14, (
+            f"priority bounds exceeded: page={page_no} post={post_no} for {canon_url}"
+        )
+    return out
 
 
 def parse_image_url(canon_url: str) -> tuple[str, str] | None:
