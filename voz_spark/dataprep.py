@@ -250,15 +250,25 @@ def _shingles_sql() -> str:
 
 
 def _spark_shingles(d: DataFrame) -> DataFrame:
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    words = d.select(
-        "doc_id", F.posexplode(F.split(F.trim("text"), "\\s+")).alias("pos", "word")
-    )
+    """3-word shingles per doc as a pure JVM array transform — NO
+    shuffle: the old posexplode + lead-window formulation sorted the
+    exploded words table by (doc_id, pos) (a full shuffle of ~n_words
+    rows per doc); `transform(sequence(...))` builds the same shingle
+    set inside the row, so the downstream groupBy(doc_id) can partial-
+    aggregate map-side. Same (doc_id, shingle) set, oracle unchanged."""
+    words = F.split(F.trim("text"), r"\s+")
     return (
-        words.withColumn("w1", F.lead("word", 1).over(w))
-        .withColumn("w2", F.lead("word", 2).over(w))
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("shingle"))
+        d.select("doc_id", words.alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("shingle"),
+        )
     )
 
 
