@@ -1,0 +1,165 @@
+"""Structured Streaming surface (voz_spark/streaming.py).
+
+The registry-wide oracle-parity test already pins q46-q48 against
+DuckDB on the bounded input; this file tests what only a STREAM can
+show: incremental micro-batch execution, watermark late-data eviction,
+state carried across batches, and the session-window gap boundary.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from voz_spark.streaming import (
+    EVENTS_SCHEMA,
+    events_stream,
+    hourly_event_counts_stream,
+    running_totals_stream,
+    run_to_memory,
+    session_windows_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(event_id, minutes, user_id=1, event_type="view", value=1.0):
+    return (event_id, T0 + dt.timedelta(minutes=minutes), user_id, event_type, value, "{}")
+
+
+def _write_events(spark, rows, path):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _stream_dir(spark, tmp_path, batches):
+    """Write each batch as one parquet file under dir/events.parquet.
+
+    The file source orders micro-batches by modification time; set
+    strictly increasing mtimes explicitly so batch order is
+    deterministic even when writes land in the same clock tick.
+    """
+    d = os.path.join(str(tmp_path), "events.parquet")
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            if f.endswith(".parquet") and p not in seen:
+                seen.add(p)
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(tmp_path)
+
+
+def test_multibatch_incremental_equals_batch(spark, tmp_path):
+    """3 micro-batches of hourly counts == one batch aggregation."""
+    batches = [
+        [_ev(1, 0), _ev(2, 10), _ev(3, 70, event_type="click")],
+        [_ev(4, 20), _ev(5, 80, event_type="click")],
+        [_ev(6, 130, value=2.5)],
+    ]
+    sf = _stream_dir(spark, tmp_path, batches)
+    stream = hourly_event_counts_stream(
+        events_stream(spark, sf, max_files_per_trigger=1)
+    )
+    sink = run_to_memory(stream, "t_multibatch", "complete", spark)
+    got = {
+        (r["win"]["start"].hour, r["event_type"]): (r["n"], r["total_value"])
+        for r in sink.collect()
+    }
+    assert got == {
+        (0, "view"): (3, 3.0),
+        (1, "click"): (2, 2.0),
+        (2, "view"): (1, 2.5),
+    }
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + 1h watermark: a row arriving after its window is
+    more than one hour behind the observed max event time is dropped."""
+    d = os.path.join(str(tmp_path), "events.parquet")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    # batch 1: hour-0 window has 2 rows; max ts = 03:30 -> watermark 02:30
+    _write_events(
+        spark,
+        [_ev(1, 0), _ev(2, 30), _ev(3, 210)],
+        d,
+    )
+    stream = hourly_event_counts_stream(events_stream(spark, str(tmp_path)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE row for hour 0 (behind the 02:30 watermark ->
+        # dropped) and one on-time row at 05:01 advancing the watermark
+        # strictly past every earlier window end so they all finalize.
+        spark.createDataFrame(
+            [_ev(4, 5), _ev(5, 301)], EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["win"]["start"].hour: r["n"] for r in spark.table("t_late").collect()}
+    # hour-0 window emitted with the 2 on-time rows only; the late row
+    # (event_id 4) was evicted by the watermark, not counted
+    assert rows[0] == 2
+    assert rows[3] == 1
+
+
+def test_stateful_running_totals_carry_state(spark, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches."""
+    batches = [
+        [_ev(1, 0, user_id=7, value=1.5), _ev(2, 1, user_id=8, value=2.0)],
+        [_ev(3, 2, user_id=7, value=0.5)],
+    ]
+    sf = _stream_dir(spark, tmp_path, batches)
+    stream = running_totals_stream(events_stream(spark, sf, max_files_per_trigger=1))
+    sink = run_to_memory(stream, "t_state", "update", spark)
+    rows = sink.collect()
+    upd7 = sorted(
+        [(r["cum_events"], r["cum_value"]) for r in rows if r["user_id"] == 7]
+    )
+    # user 7 appears in both batches: first update (1, 1.5), second
+    # update folds the carried state -> (2, 2.0)
+    assert upd7 == [(1, 1.5), (2, 2.0)]
+    upd8 = [(r["cum_events"], r["cum_value"]) for r in rows if r["user_id"] == 8]
+    assert upd8 == [(1, 2.0)]
+
+
+def test_session_window_gap_boundary(spark, tmp_path):
+    """A gap of exactly 30 minutes EXTENDS the session (the window
+    [ts, ts+30min) merges with an event landing on its end); only a
+    strictly larger gap starts a new one — same rule as q13's batch
+    ``>`` form."""
+    rows = [
+        # user 1: 00:00, 00:29 -> one session; 01:00 is 31 min after
+        # 00:29 -> second session
+        _ev(1, 0, user_id=1),
+        _ev(2, 29, user_id=1),
+        _ev(3, 60, user_id=1),
+        # user 2: 00:00 then exactly 00:30 -> boundary merges -> ONE
+        _ev(4, 0, user_id=2),
+        _ev(5, 30, user_id=2),
+        # user 3: chained overlaps 00:00, 00:29, 00:58 -> ONE session
+        _ev(6, 0, user_id=3),
+        _ev(7, 29, user_id=3),
+        _ev(8, 58, user_id=3),
+    ]
+    sf = _stream_dir(spark, tmp_path, [rows])
+    stream = session_windows_stream(events_stream(spark, sf))
+    sink = run_to_memory(stream, "t_sess", "complete", spark)
+    per_user = {
+        r["user_id"]: r["n_sessions"]
+        for r in sink.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .collect()
+    }
+    assert per_user == {1: 2, 2: 1, 3: 1}

@@ -46,6 +46,15 @@ class CrawlConfig:
     # aligned via cogroup against the bloom table (no broadcast) — the
     # only viable strategy at the 10^10 design point's ~64 GiB state.
     bloom_broadcast_max_bytes: int = 64 << 20
+    # seen-filter strategy (BASELINE.json north_star: "bloom/cuckoo
+    # URL-seen filter"). "bloom" = fixed-size bitmap shards (default;
+    # ~13 bits/key, inserts only). "cuckoo" = fingerprint tables
+    # (voz_spark/cuckoo.py; ~16 bits/key) with O(1) DELETION, so
+    # recrawl/expiry (CrawlEngine.reopen) shrinks the filter in place
+    # instead of rebuilding every touched shard from `seen`. Both use
+    # the same pmod(url_hash, n_bloom_shards) shard routing and the
+    # same broadcast/cogroup membership dispatch.
+    seen_filter: str = "bloom"
 
 
 DEFAULT = CrawlConfig()

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voz_spark import bloom as B
+from voz_spark import cuckoo_state as CS
 from voz_spark import schemas, synth
 from voz_spark.config import DEFAULT, CrawlConfig
 from voz_spark.frontier import run_round_pipeline
@@ -161,6 +162,7 @@ class CrawlEngine:
         shard count and silently re-crawl seen URLs."""
         cfg = self.cfg
         return {
+            "seen_filter": cfg.seen_filter,
             "bloom_n_shards": cfg.n_bloom_shards,
             "bloom_bits_per_shard": cfg.bloom_bits_per_shard,
             "bloom_k": cfg.bloom_k,
@@ -175,6 +177,12 @@ class CrawlEngine:
         man = self.cat.manifest()
         bloom_table = self._read("seen_bloom", schemas.SEEN_BLOOM)
         if not man["tables"].get("seen_bloom"):
+            if man["tables"].get("seen"):
+                # seen exists but no bloom state (the crawl previously
+                # ran under seen_filter="cuckoo"): rebuild, or the
+                # lit(False) fast path would skip the anti-join backstop
+                empty = self.spark.createDataFrame([], schemas.SEEN_BLOOM)
+                return self._updated_bloom_cogroup(self.seen().select("url_hash"), empty)
             return bloom_table  # empty state: nothing to validate
         meta = man["meta"]
         stored = (
@@ -184,7 +192,8 @@ class CrawlEngine:
         )
         cfg = self.cfg
         current = (cfg.n_bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_k)
-        if stored == current:
+        # old manifests predate the seen_filter key: they were bloom
+        if stored == current and meta.get("seen_filter", "bloom") == "bloom":
             return bloom_table
         empty = self.spark.createDataFrame([], schemas.SEEN_BLOOM)
         return self._updated_bloom_cogroup(self.seen().select("url_hash"), empty)
@@ -280,6 +289,31 @@ class CrawlEngine:
             .applyInPandas(update, schemas.SEEN_BLOOM)
         )
 
+    def _validated_cuckoo_table(self) -> DataFrame:
+        """The committed cuckoo state, REBUILT from `seen` when the
+        stored state is absent (e.g. the crawl previously ran under
+        seen_filter="bloom") or was written under a different shard
+        count. Unlike the bloom, per-shard table geometry (n_buckets)
+        is self-describing on each blob row, so only the shard-routing
+        parameter and the filter kind need validating."""
+        man = self.cat.manifest()
+        state = self._read("seen_cuckoo", CS.SEEN_CUCKOO)
+        if not man["tables"].get("seen_cuckoo"):
+            if man["tables"].get("seen"):
+                return CS.build_from_seen(
+                    self.seen().select("url_hash"), self.cfg.n_bloom_shards
+                )
+            return state  # empty state: nothing to validate
+        meta = man["meta"]
+        if (
+            meta.get("seen_filter") == "cuckoo"
+            and meta.get("bloom_n_shards") == self.cfg.n_bloom_shards
+        ):
+            return state
+        return CS.build_from_seen(
+            self.seen().select("url_hash"), self.cfg.n_bloom_shards
+        )
+
     def _bloom_state_is_broadcastable(self) -> bool:
         """Static criterion (no collect needed): full-capacity state
         size vs the broadcast ceiling."""
@@ -293,10 +327,45 @@ class CrawlEngine:
         frontier = self.frontier()
         seen = self.seen()
         images = self.spark.read.schema(schemas.IMAGES).parquet(self.images_path)
-        has_bloom_state = bool(self.cat.manifest()["tables"].get("seen_bloom"))
-        bloom_table = self._validated_bloom_table()
-        broadcastable = self._bloom_state_is_broadcastable()
-        blobs = self._bloom_blobs_from(bloom_table) if (broadcastable and has_bloom_state) else {}
+        tables = self.cat.manifest()["tables"]
+        has_seen = bool(tables.get("seen"))
+        cuckoo_state = None
+        seen_split = None
+        if self.cfg.seen_filter == "cuckoo":
+            n_shards = self.cfg.n_bloom_shards
+            cuckoo_state = self._validated_cuckoo_table().persist()
+            if not has_seen:
+                # empty state (round 1): free lit(False) membership path
+                seen_split = lambda d: d.withColumn("maybe_seen", F.lit(False))  # noqa: E731
+            else:
+                total = (
+                    cuckoo_state.select(F.sum(F.length("table")).alias("b")).first()["b"]
+                    or 0
+                )
+                if total <= self.cfg.bloom_broadcast_max_bytes:
+                    cblobs = CS.blobs_from(cuckoo_state)
+                    seen_split = lambda d: CS.split_broadcast(  # noqa: E731
+                        self.spark, d, cblobs, n_shards
+                    )
+                else:
+                    seen_split = lambda d: CS.split_cogroup(  # noqa: E731
+                        d, cuckoo_state, n_shards
+                    )
+            blobs: dict[int, bytes] = {}
+            bloom_table = None
+        else:
+            has_bloom_state = bool(tables.get("seen_bloom")) or has_seen
+            bloom_table = self._validated_bloom_table()
+            broadcastable = self._bloom_state_is_broadcastable()
+            blobs = (
+                self._bloom_blobs_from(bloom_table)
+                if (broadcastable and has_bloom_state)
+                else {}
+            )
+            # empty state (round 1 of every crawl) takes the free
+            # lit(False) membership path — never a cogroup shuffle
+            # against an empty bloom table
+            bloom_table = bloom_table if has_bloom_state else None
         rr = run_round_pipeline(
             self.spark,
             frontier,
@@ -308,16 +377,26 @@ class CrawlEngine:
             self.cfg,
             round_id,
             self.img_space,
-            # empty state (round 1 of every crawl) takes the free
-            # lit(False) membership path — never a cogroup shuffle
-            # against an empty bloom table
-            bloom_df=bloom_table if has_bloom_state else None,
+            bloom_df=bloom_table,
+            seen_split=seen_split,
         )
-        bloom_df = (
-            self._updated_bloom(rr.new_seen_df, blobs)
-            if broadcastable
-            else self._updated_bloom_cogroup(rr.new_seen_df, bloom_table)
-        )
+        if self.cfg.seen_filter == "cuckoo":
+            filter_name = "seen_cuckoo"
+            filter_df = CS.updated(
+                seen.select("url_hash").unionByName(rr.new_seen_df.select("url_hash")),
+                rr.new_seen_df.select("url_hash"),
+                cuckoo_state,
+                self.cfg.n_bloom_shards,
+            )
+        else:
+            filter_name = "seen_bloom"
+            filter_df = (
+                self._updated_bloom(rr.new_seen_df, blobs)
+                if broadcastable
+                else self._updated_bloom_cogroup(rr.new_seen_df, bloom_table
+                                                 if bloom_table is not None
+                                                 else self._read("seen_bloom", schemas.SEEN_BLOOM))
+            )
         # A12: permanent failures only — retried URLs went back into
         # rr.next_frontier_df with attempt+1 (the union-back lives in
         # run_round_pipeline so the simulator semantics stay in one place)
@@ -346,9 +425,14 @@ class CrawlEngine:
         fail_files = self.cat.write_files(failures, "fetch_failures")
         if fail_files:
             appends["fetch_failures"] = fail_files
+        # the inactive filter's table is replaced with an empty file set:
+        # switching strategies mid-crawl must not leave stale state that
+        # a later switch-back would trust under the wrong routing
+        other_filter = "seen_bloom" if filter_name == "seen_cuckoo" else "seen_cuckoo"
         replaces = {
             "frontier": self.cat.write_files(rr.next_frontier_df, "frontier"),
-            "seen_bloom": self.cat.write_files(bloom_df, "seen_bloom"),
+            filter_name: self.cat.write_files(filter_df, filter_name),
+            other_filter: [],
         }
         self.cat.commit(
             appends=appends,
@@ -356,6 +440,8 @@ class CrawlEngine:
             meta={"round_id": round_id, **self._bloom_params_meta()},
         )
         rr.unpersist()
+        if cuckoo_state is not None:
+            cuckoo_state.unpersist()
         return {
             "round_id": round_id,
             "n_candidates": rr.n_candidates,

