@@ -837,6 +837,132 @@ def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-Flat ANN (the brief's "IVF or LSH-bucketed variant as the scale
+# path" — q30 is the LSH one, this is the IVF one). Structure:
+#
+#   build : assign every corpus vector to its nearest of K centroids
+#           (broadcast-K cross join + argmin — a single narrow pass,
+#           no shuffle beyond the inverted-list write);
+#   search: a query scores only the vectors in its NPROBE nearest
+#           centroid lists (equi-join on centroid id), reading
+#           ~NPROBE/K of the corpus instead of all of it.
+#
+# Centroid choice is pinned deterministic (the first K corpus vectors)
+# so the DuckDB oracle reproduces the exact index; production would
+# refine them with distributed Lloyd iterations — each iteration is the
+# same broadcast-assign pass plus a groupBy-mean, so the plan shape
+# below IS the k-means step. At the 10^10 design point K≈√N≈10^5
+# centroids ≈ 25 MB at 64 dims — still broadcastable; list skew is
+# bounded by k-means balance rather than hash luck (the LSH failure
+# mode q31 documents). Cosines are explicit left folds (identical
+# accumulation order in both engines); assignment/probe ranking uses
+# the UNROUNDED value with centroid-id tie-breaks.
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16  # centroids (sandbox scale; √N in production)
+_IVF_NPROBE = 4  # probed inverted lists per query
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SPARK.format(a=a, b=b)} / sqrt({_DOT_SPARK.format(a=a, b=a)}"
+        f" * {_DOT_SPARK.format(a=b, b=b)})"
+    )
+
+
+def _cos_duck(a: str, b: str) -> str:
+    return (
+        f"{_DOT_DUCK.format(a=a, b=b)} / sqrt({_DOT_DUCK.format(a=a, b=a)}"
+        f" * {_DOT_DUCK.format(a=b, b=b)})"
+    )
+
+
+@register(
+    "q49_ann_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}
+),
+assigned AS (
+  SELECT nid, ne, cid FROM (
+    SELECT e.vec_id AS nid, e.embedding AS ne, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_duck("e.embedding", "c.ce")} DESC, c.cid
+           ) AS arnk
+    FROM embeddings e, cent c
+  ) WHERE arnk = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+probe AS (
+  SELECT qid, qe, cid FROM (
+    SELECT q.qid, q.qe, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_cos_duck("q.qe", "c.ce")} DESC, c.cid
+           ) AS prnk
+    FROM q, cent c
+  ) WHERE prnk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.qid, a.nid,
+         ROUND({_cos_duck("p.qe", "a.ne")}, 6) AS cosine
+  FROM probe p JOIN assigned a USING (cid)
+  WHERE p.qid <> a.nid
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, nid, cosine, rnk FROM ranked WHERE rnk <= 5
+""",
+)
+def q49_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: nearest-centroid inverted lists, NPROBE-list search."""
+    emb = T(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    # build: broadcast-K assign pass (argmin over centroids per vector)
+    e = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    aw = Window.partitionBy("nid").orderBy(
+        F.desc(F.expr(_cos("ne", "ce"))), "cid"
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("arnk", F.row_number().over(aw))
+        .where(F.col("arnk") == 1)
+        .select("nid", "ne", "cid")
+    )
+    # search: probe the NPROBE nearest lists only
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pw = Window.partitionBy("qid").orderBy(
+        F.desc(F.expr(_cos("qe", "ce"))), "cid"
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("prnk", F.row_number().over(pw))
+        .where(F.col("prnk") <= _IVF_NPROBE)
+        .select("qid", "qe", "cid")
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(assigned, "cid")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(F.expr(_cos("qe", "ne")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "nid", "cosine", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON property extraction from the events stream (A10 analogue —
 # the reference round-trips analysis dicts through JSON files).
 # ---------------------------------------------------------------------------
