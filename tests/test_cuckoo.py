@@ -203,6 +203,43 @@ def test_engine_filter_switch_rebuilds_state(spark):
     assert {r.canon_url for r in eng3.seen().collect()} == sim.seen
 
 
+def test_engine_reopen_recrawls_urls(spark):
+    """Recrawl story end-to-end, both filter strategies: reopened URLs
+    leave `seen` and the filter, re-enter the frontier with their
+    original priority fields, and the next run fetches them AGAIN
+    (one extra results row each); every other URL stays crawled-once."""
+    import tempfile
+    from collections import Counter
+
+    from voz_spark.config import CrawlConfig
+    from voz_spark.rounds import CrawlEngine
+
+    for cfg in (CrawlConfig(seen_filter="cuckoo"), CrawlConfig()):
+        eng = CrawlEngine(
+            spark, tempfile.mkdtemp(prefix="reopen-"), n_seeds=5, n_images=150, cfg=cfg
+        )
+        eng.run()
+        threads = sorted(
+            {r.canon_url for r in eng.results().where(F.col("kind") == "thread").collect()}
+        )
+        targets = threads[:3]
+        seen_before = {r.canon_url for r in eng.seen().collect()}
+        st = eng.reopen(
+            spark.createDataFrame([(u,) for u in targets], "canon_url string")
+        )
+        assert st["n_reopened"] == len(targets)
+        seen_mid = {r.canon_url for r in eng.seen().collect()}
+        assert seen_mid == seen_before - set(targets)
+
+        eng.run()  # fetches exactly the reopened URLs, then drains
+        assert {r.canon_url for r in eng.seen().collect()} == seen_before
+        counts = Counter(r.canon_url for r in eng.results().collect())
+        for u in targets:
+            assert counts[u] == 2, (cfg.seen_filter, u, counts[u])
+        untouched = [u for u in threads if u not in targets]
+        assert all(counts[u] == 1 for u in untouched)
+
+
 def test_delete_reopens_urls_without_rebuild(spark):
     """The recrawl story: removing URLs from the seen index makes them
     schedulable again — in place, no full rebuild (bloom cannot)."""

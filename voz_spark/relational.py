@@ -778,3 +778,143 @@ def q50_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_order"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity rollup (GROUPING SETS family). ONE pass computes
+# every granularity level — Spark expands the rollup in the same
+# aggregate (partial+final hash agg per grouping id), so at 100 TB
+# this costs one shuffle, not one per level.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q51_order_rollup",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def q51_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/revenue at (priority, status), (priority), and
+    grand-total granularities in one ROLLUP aggregate."""
+    o = T(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias(
+            "total_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time RANGE window frame: a trailing fixed-duration window per
+# key, distinct from q12's ROWS frame (rows count positions, RANGE
+# bounds by the ORDER BY value — peers at equal ts share a frame).
+# Scale: one shuffle on user_id; the frame is evaluated with a sliding
+# two-pointer over each partition's sort order, O(n) per key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q52_trailing_hour_window",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def q52_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity (count + exact decimal sum)
+    for the same user — an event-time RANGE frame."""
+    ev = T(spark, sf_dir, "events")
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        f"count(*) {frame} AS n_trailing_1h",
+        f"CAST(sum(CAST(value AS DECIMAL(18,6))) {frame} AS DOUBLE)"
+        " AS value_trailing_1h",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (the brief's other named custom operator): pairs of rows
+# related by a time-interval predicate. Naive form is a key join with
+# an inequality — Spark executes that as a per-key cartesian before
+# filtering. The scale path BINS event time so candidates equi-join on
+# (key, bin): an error in bin b can only match clicks in bins {b-1, b}
+# (bin width == the 5-minute range bound), so the join is hash-based,
+# candidate fan-out is bounded by per-bin density, and the exact
+# interval predicate prunes the residue. The oracle states the same
+# semantics as the plain inequality join.
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_SECS = 300  # 5-minute window; also the bin width
+
+
+@register(
+    "q53_clicks_before_error",
+    oracle=f"""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       COUNT(c.ts) AS n_clicks_5m
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id
+ AND c.ts < e.ts
+ AND c.ts >= e.ts - INTERVAL {_RANGE_JOIN_SECS} SECOND
+GROUP BY e.event_id, e.user_id
+""",
+)
+def q53_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: how many clicks the same user made in
+    the strictly-preceding 5 minutes (binned range join)."""
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    to_bin = F.floor(F.col("ts").cast("timestamp").cast("long") / _RANGE_JOIN_SECS)
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("ets"), to_bin.alias("_ebin")
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"), F.col("ts").alias("cts"), to_bin.alias("_bin")
+    )
+    # each error probes its own bin and the previous one (bin width ==
+    # range bound, so no other bin can contain a match)
+    probes = err.select(
+        "event_id",
+        "user_id",
+        "ets",
+        F.explode(F.array(F.col("_ebin") - 1, F.col("_ebin"))).alias("_bin"),
+    )
+    matched = (
+        probes.join(
+            clk,
+            (probes["user_id"] == clk["cuid"]) & (probes["_bin"] == clk["_bin"]),
+        )
+        .where(
+            (F.col("cts") < F.col("ets"))
+            & (F.col("cts") >= F.expr(f"ets - INTERVAL {_RANGE_JOIN_SECS} SECOND"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_5m"))
+    )
+    return (
+        err.select("event_id", "user_id")
+        .join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks_5m"), F.lit(0)).alias("n_clicks_5m"),
+        )
+    )

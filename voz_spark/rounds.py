@@ -453,6 +453,78 @@ class CrawlEngine:
             "n_next_frontier": n_next,
         }
 
+    def reopen(self, urls: DataFrame) -> dict:
+        """Make already-crawled URLs crawlable again (recrawl of a
+        stale host, cache expiry, deletion requests): remove them from
+        `seen`, remove their fingerprints from the seen filter, and
+        re-enter them into the frontier with their ORIGINAL priority
+        fields so the next round fetches them in the right order.
+
+        Reference analogue: deleting a thread's cache file makes the
+        thread crawlable again on the next run
+        (src/thread_crawler.py:46-59).
+
+        Filter cost asymmetry (why cfg.seen_filter="cuckoo" exists):
+        the cuckoo path deletes fingerprints IN PLACE (O(1) per URL,
+        only touched shards rewritten); the bloom path cannot unset
+        bits and must rebuild the filter from the remaining seen rows.
+
+        ``urls``: a DataFrame with a ``canon_url`` column. Returns the
+        number of URLs actually reopened.
+        """
+        from pyspark.sql.window import Window
+
+        urls = urls.select("canon_url").distinct().persist()
+        seen = self.seen()
+        removed = seen.join(urls, "canon_url", "left_semi").persist()
+        n_removed = removed.count()
+        remaining = seen.join(urls, "canon_url", "left_anti")
+        # original priority fields from the results log (first crawl wins)
+        w = Window.partitionBy("canon_url").orderBy(
+            "round_id", "seed_rank", "page_no", "post_no"
+        )
+        refetch = (
+            self.results()
+            .join(urls, "canon_url", "left_semi")
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(
+                F.col("canon_url").alias("url"),
+                F.lit(None).cast("string").alias("base_url"),
+                "seed_rank",
+                "page_no",
+                "post_no",
+                F.lit(0).alias("attempt"),
+            )
+        )
+        next_frontier = self.frontier().unionByName(refetch)
+        if self.cfg.seen_filter == "cuckoo":
+            filter_name = "seen_cuckoo"
+            filter_df = CS.deleted(
+                removed.select("url_hash"),
+                self._validated_cuckoo_table(),
+                self.cfg.n_bloom_shards,
+            )
+        else:
+            filter_name = "seen_bloom"
+            empty = self.spark.createDataFrame([], schemas.SEEN_BLOOM)
+            filter_df = self._updated_bloom_cogroup(
+                remaining.select("url_hash"), empty
+            )
+        other_filter = "seen_bloom" if filter_name == "seen_cuckoo" else "seen_cuckoo"
+        self.cat.commit(
+            replaces={
+                "seen": self.cat.write_files(remaining, "seen"),
+                "frontier": self.cat.write_files(next_frontier, "frontier"),
+                filter_name: self.cat.write_files(filter_df, filter_name),
+                other_filter: [],
+            },
+            meta={"round_id": self.last_round(), **self._bloom_params_meta()},
+        )
+        urls.unpersist()
+        removed.unpersist()
+        return {"n_reopened": n_removed}
+
     def run(self, max_rounds: int | None = None, verbose: bool = False) -> list[dict]:
         self.bootstrap()
         stats = []
