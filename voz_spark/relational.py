@@ -325,15 +325,32 @@ LIMIT 20
 """,
 )
 def q09_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brand pairs co-occurring in one order, top-20."""
+    """Brand pairs co-occurring in one order, top-20.
+
+    Plan: NO self-join. Brands collect per order (collect_set dedups —
+    the DISTINCT is free), pairs expand IN-ROW over the sorted array,
+    and a hash agg counts them. Two shuffles total (orderkey, then the
+    map-combined tiny pair domain) vs the self-join's three, and the
+    per-order work is bounded by brands-per-order (≤ lines-per-order,
+    ≤7 here) — at 100 TB the self-join would re-shuffle the distinct
+    output on orderkey twice and pay a per-key cartesian besides."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("l_orderkey", "p_brand").distinct()
-    a = ob.alias("a")
-    b = ob.alias("b")
+    ob = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    pair_expr = (
+        "flatten(transform(bs, (x, i) ->"
+        " transform(slice(bs, i + 2, size(bs)),"
+        " y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.p_brand") < F.col("b.p_brand")))
-        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+        ob.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .groupBy(
+            F.col("pr.brand_a").alias("brand_a"), F.col("pr.brand_b").alias("brand_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(20)
