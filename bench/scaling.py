@@ -69,10 +69,14 @@ print("RESULT " + json.dumps(best))
 """
 
 
-def wait_quiet(max_load: float = 2.0, timeout_s: int = 1200) -> float:
+def wait_quiet(max_load: float = 3.5, timeout_s: int = 600) -> float:
     """Block until the box's 1-min load average drops below max_load —
     co-tenant bursts swing wall clock up to 10x; gating each child on a
-    quiet window is what makes matched pairs comparable."""
+    quiet window is what makes matched pairs comparable. The gate is
+    3.5 (was 2.0): this VM's idle baseline hovers near 4 with other
+    tenants resident, so a 2.0 gate never opens and every child just
+    burns its full timeout before running anyway; 3.5 still filters
+    the 6-10 storm peaks that actually distort pairs."""
     import time
 
     l1 = 0.0
