@@ -287,14 +287,34 @@ FROM sh GROUP BY doc_id
 """,
 )
 def q24_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-permutation MinHash signature per document (md5-salted)."""
+    """8-permutation MinHash signature per document (md5-salted).
+
+    ZERO-shuffle plan: the shingle array is built in-row (same
+    transform as `_spark_shingles`) and each permutation's min is an
+    `array_min(transform(...))` over it — no explode, no groupBy. The
+    old explode + hash-agg form pushed ~shingles-per-doc × docs rows
+    through a partial aggregate; this touches one row per doc and at
+    100 TB turns the signature stage into a pure map."""
     d = T(spark, sf_dir, "documents")
-    sh = _spark_shingles(d)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
+    words = F.split(F.trim("text"), r"\s+")
+    sh = (
+        d.select("doc_id", words.alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            ).alias("sh"),
+        )
+    )
+    cols = [
+        F.expr(f"array_min(transform(sh, s -> md5(concat(s, '#{j}'))))").alias(
+            f"mh{j}"
+        )
         for j in range(_N_MINHASH)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *cols)
 
 
 _BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
