@@ -69,6 +69,19 @@ def main() -> None:
         r = bench_frontier_schedule(spark, n_urls=n_frontier)
         if frontier is None or r["urls_per_sec"] > frontier["urls_per_sec"]:
             frontier = r
+
+    # secondary: the same pipeline through the cuckoo seen filter
+    # (BASELINE names "bloom/cuckoo"; both strategies are first-class)
+    import dataclasses
+
+    from voz_spark.config import DEFAULT
+
+    ckcfg = dataclasses.replace(DEFAULT, seen_filter="cuckoo")
+    frontier_ck = None
+    for _ in range(2):
+        r = bench_frontier_schedule(spark, n_urls=n_frontier, cfg=ckcfg)
+        if frontier_ck is None or r["urls_per_sec"] > frontier_ck["urls_per_sec"]:
+            frontier_ck = r
     spark.stop()
 
     total = round(sum(times.values()), 3)
@@ -81,6 +94,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf_dir,
                 "frontier": frontier,
+                "frontier_cuckoo": frontier_ck,
                 "frontier_urls_per_sec": frontier["urls_per_sec"],
             }
         )

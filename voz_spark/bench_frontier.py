@@ -94,28 +94,49 @@ def bench_frontier_schedule(
     )
     n_seen = seen.count()
 
-    # bloom shards for the seen set (engine build path, distributed)
+    # seen-filter state (engine build paths, distributed). The build is
+    # deliberately outside the timed window for BOTH strategies — the
+    # metric is the per-round membership + scheduling cost.
     import pandas as pd
 
     nbits, k, n_shards = cfg.bloom_bits_per_shard, cfg.bloom_k, cfg.n_bloom_shards
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    if cfg.seen_filter == "cuckoo":
+        from voz_spark import cuckoo_state as CS
 
-        sid = int(pdf["shard_id"].iloc[0])
-        bits = B.empty_shard(nbits)
-        B.add_hashes(bits, pdf["url_hash"].to_numpy().astype(np.uint64), nbits, k)
-        return pd.DataFrame([{"shard_id": sid, "nbits": nbits, "k": k, "bits": bits.tobytes()}])
+        cstate = CS.build_from_seen(seen.select("url_hash"), n_shards)
+        cblobs = CS.blobs_from(cstate)
 
-    from voz_spark import schemas
+        def membership(df):
+            return CS.split_broadcast(spark, df, cblobs, n_shards)
 
-    blob_rows = (
-        seen.select(F.pmod("url_hash", F.lit(n_shards)).cast("int").alias("shard_id"), "url_hash")
-        .groupBy("shard_id")
-        .applyInPandas(build, schemas.SEEN_BLOOM)
-        .collect()
-    )
-    shard_blobs = {int(r.shard_id): bytes(r.bits) for r in blob_rows}
+    else:
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            sid = int(pdf["shard_id"].iloc[0])
+            bits = B.empty_shard(nbits)
+            B.add_hashes(bits, pdf["url_hash"].to_numpy().astype(np.uint64), nbits, k)
+            return pd.DataFrame(
+                [{"shard_id": sid, "nbits": nbits, "k": k, "bits": bits.tobytes()}]
+            )
+
+        from voz_spark import schemas
+
+        blob_rows = (
+            seen.select(
+                F.pmod("url_hash", F.lit(n_shards)).cast("int").alias("shard_id"),
+                "url_hash",
+            )
+            .groupBy("shard_id")
+            .applyInPandas(build, schemas.SEEN_BLOOM)
+            .collect()
+        )
+        shard_blobs = {int(r.shard_id): bytes(r.bits) for r in blob_rows}
+
+        def membership(df):
+            return _bloom_split(spark, df, shard_blobs, cfg)
 
     # politeness budgets are inherently small vs the frontier: that is
     # what keeps the per-host exact top-k (stage-2) bounded at
@@ -126,7 +147,7 @@ def bench_frontier_schedule(
 
     t0 = time.time()
     cand = _host_path(_dedup_in_batch(_canonicalize(frontier)))
-    cand = _bloom_split(spark, cand, shard_blobs, cfg)
+    cand = membership(cand)
     _tmp = []
     if persist_cand:
         cand = cand.persist()
@@ -146,6 +167,7 @@ def bench_frontier_schedule(
         "n_urls": n_urls,
         "n_seen_preloaded": n_seen,
         "n_scheduled": n_scheduled,
+        "seen_filter": cfg.seen_filter,
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(n_urls / wall, 1),
         "parallelism": sc.defaultParallelism,
