@@ -533,19 +533,35 @@ SELECT doc_id, {_SIM_ASSEMBLE} AS simhash FROM sums
 """,
 )
 def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document from md5-derived word hashes."""
+    """60-bit SimHash per document from md5-derived word hashes.
+
+    ZERO-shuffle plan (same move as q24): the distinct word set and
+    the 60 signed bit-sums fold in-row over the word-hash array — one
+    aggregate() pass with a 60-element accumulator replaces the old
+    explode → distinct → 60-column hash aggregate (two shuffles of
+    ~words-per-doc × docs rows). Same bit rule, oracle unchanged."""
     d = T(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("word")
-    ).distinct()
-    wh = words.select("doc_id", F.expr(_word_hash_expr("spark")).alias("wh"))
-    sums = wh.groupBy("doc_id").agg(
-        *[
-            F.expr(f"SUM(CASE WHEN ((wh >> {j}) & 1) = 1 THEN 1 ELSE -1 END)").alias(f"s{j}")
-            for j in range(_SIM_BITS)
-        ]
+    whs = d.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(trim(text), '\\\\s+')),"
+            " word -> " + _word_hash_expr("spark") + ")"
+        ).alias("whs"),
     )
-    return sums.select("doc_id", F.expr(_SIM_ASSEMBLE).alias("simhash"))
+    fold = f"""
+aggregate(
+  whs,
+  array_repeat(CAST(0 AS BIGINT), {_SIM_BITS}),
+  (acc, h) -> zip_with(acc, sequence(0, {_SIM_BITS - 1}),
+                       (a, j) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END),
+  acc -> aggregate(
+    zip_with(acc, sequence(0, {_SIM_BITS - 1}),
+             (s, j) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
+                       ELSE CAST(0 AS BIGINT) END),
+    CAST(0 AS BIGINT), (p, q) -> p + q)
+)
+"""
+    return whs.select("doc_id", F.expr(fold).alias("simhash"))
 
 
 _SIM_BAND_SQL = ", ".join(f"((simhash >> {15 * b}) & 32767) AS sb{b}" for b in range(4))
