@@ -134,6 +134,27 @@ def test_stateful_running_totals_carry_state(spark, tmp_path):
     assert upd8 == [(1, 2.0)]
 
 
+def test_stream_dedup_state_spans_batches(spark, tmp_path):
+    """dropDuplicates state carries across micro-batches: a key seen
+    in batch 1 is NOT re-emitted when batch 2 repeats it (append mode
+    emits first occurrences only)."""
+    batches = [
+        [_ev(1, 0, user_id=1, event_type="view"), _ev(2, 1, user_id=2, event_type="click")],
+        [_ev(3, 2, user_id=1, event_type="view"), _ev(4, 3, user_id=1, event_type="click")],
+    ]
+    sf = _stream_dir(spark, tmp_path, batches)
+    from voz_spark.streaming import events_stream
+
+    stream = (
+        events_stream(spark, sf, max_files_per_trigger=1)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = run_to_memory(stream, "t_dedup", "append", spark)
+    rows = sorted((r.user_id, r.event_type) for r in sink.collect())
+    assert rows == [(1, "click"), (1, "view"), (2, "click")]
+
+
 def test_session_window_gap_boundary(spark, tmp_path):
     """A gap of exactly 30 minutes EXTENDS the session (the window
     [ts, ts+30min) merges with an event landing on its end); only a

@@ -261,6 +261,34 @@ def q47_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_stream_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def q54_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup — the crawl engine's seen-set concept
+    as a stream operator: `dropDuplicates` on the key carries exact
+    dedup state across micro-batches and emits each key's FIRST
+    occurrence (append mode). Only the key columns are returned, so
+    the result is deterministic regardless of which physical row won,
+    and equals batch SELECT DISTINCT.
+
+    Scale notes: state is one row per distinct key, shuffled on the
+    key — the same story as the engine's `seen` table. A production
+    stream with unbounded keys bounds state with
+    `dropDuplicatesWithinWatermark` instead (keys can then re-emit
+    after eviction — exactly why the CRAWL keeps its seen state in a
+    table + bloom/cuckoo filter with no TTL rather than in stream
+    state; SURVEY §2.E)."""
+    stream = events_stream(spark, sf_dir).dropDuplicates(["user_id", "event_type"])
+    sink = run_to_memory(
+        stream.select("user_id", "event_type"), "q54_sink", "append", spark
+    )
+    return sink
+
+
+@register(
     "q48_stream_running_totals",
     oracle="""
 SELECT user_id,
