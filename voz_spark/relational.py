@@ -798,6 +798,121 @@ def q50_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting (compact-forward / degree orientation). The naive
+# E⋈E⋈E triple self-join blows up on high-degree nodes (a hub of
+# degree d contributes d² wedges); orienting every edge from its
+# LOWER-(degree, id) endpoint to the higher one bounds out-degree by
+# O(√m), so the wedge join is O(m^1.5) worst case — the standard
+# distributed triangle algorithm. The orientation is a deterministic
+# function of (degree, node id), so DuckDB reproduces it exactly.
+# Edges = part pairs co-occurring in >= 2 distinct orders (the weight
+# floor keeps the graph sparse; co-purchase "strong ties").
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q55_triangle_count",
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+directed AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+),
+tri AS (
+  SELECT COUNT(*) AS n
+  FROM (
+    SELECT w1.dst AS b, w2.dst AS c FROM directed w1
+    JOIN directed w2 ON w1.src = w2.src AND w1.dst < w2.dst
+  ) w
+  JOIN (
+    SELECT src AS b, dst AS c FROM directed
+    UNION ALL
+    SELECT dst AS b, src AS c FROM directed
+  ) cl ON w.b = cl.b AND w.c = cl.c
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT n FROM tri) AS n_triangles
+""",
+)
+def q55_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the strong part-co-purchase graph (edge = pair of
+    parts sharing >= 2 orders), counted with degree orientation.
+
+    Wedge subtlety: the wedge pair (b, c) is ordered by RAW id (any
+    total order over the center's out-neighbors works — each
+    unordered wedge must be generated exactly once), but the CLOSING
+    edge b—c is stored under the (degree, id) orientation, which may
+    point either way relative to raw-id order — so the probe joins
+    against both directions of the directed edge list. Each closed
+    wedge matches exactly once (directed has one row per edge)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pair_expr = (
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+    )
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    forward = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(forward, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(forward, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .persist()
+    )
+    w1 = directed.select(F.col("src"), F.col("dst").alias("b"))
+    w2 = directed.select(F.col("src"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "src").where(F.col("b") < F.col("c"))
+    # both orientations of every edge (unionByName — a positional
+    # unionAll would silently NOT reverse the second branch)
+    closing = directed.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    ).unionByName(directed.select(F.col("dst").alias("b"), F.col("src").alias("c")))
+    tri = wedges.join(closing, ["b", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = deg.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    out = counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Multi-granularity rollup (GROUPING SETS family). ONE pass computes
 # every granularity level — Spark expands the rollup in the same
 # aggregate (partial+final hash agg per grouping id), so at 100 TB
