@@ -55,6 +55,21 @@ class CrawlConfig:
     # the same pmod(url_hash, n_bloom_shards) shard routing and the
     # same broadcast/cogroup membership dispatch.
     seen_filter: str = "bloom"
+    # exact-anti-join seen storage. "plain": read the catalog's seen
+    # parquet files directly — the anti-join then shuffles BOTH sides
+    # on (url_hash, canon_url) every round, i.e. a full exchange of the
+    # 10^10-row seen table per round at the design point. "bucketed":
+    # maintain a hash-bucketed, bucket-sorted index of seen (CLUSTERED
+    # BY (url_hash, canon_url) SORTED BY the same) that the anti-join
+    # reads with NO seen-side exchange — only the tiny bloom-survivor
+    # candidate set shuffles into the bucket layout. At 10^10 rows the
+    # per-round saving is the entire seen shuffle (network + spill);
+    # the index is appended per round (bucket spec preserved), so each
+    # round pays only the new rows' write. seen_buckets sizes the
+    # layout: 32 for the sandbox; ~4096 at the design point (≈2.4M
+    # rows/bucket).
+    seen_store: str = "plain"
+    seen_buckets: int = 32
 
 
 DEFAULT = CrawlConfig()

@@ -30,6 +30,7 @@ from voz_spark import cuckoo_state as CS
 from voz_spark import schemas, synth
 from voz_spark.config import DEFAULT, CrawlConfig
 from voz_spark.frontier import run_round_pipeline
+from voz_spark.seen_index import BucketedSeenIndex
 from voz_spark.tables import SnapshotCatalog
 
 
@@ -78,6 +79,13 @@ class CrawlEngine:
         self.include_sticky = include_sticky
         self.cat = SnapshotCatalog(workdir)
         self.images_path = f"{workdir}/images_input"
+        # derived bucketed index of seen for a shuffle-free exact
+        # anti-join (cfg.seen_store; see voz_spark/seen_index.py)
+        self.seen_idx = (
+            BucketedSeenIndex(spark, workdir, cfg.seen_buckets)
+            if cfg.seen_store == "bucketed"
+            else None
+        )
         self.robots = synth.robots_rules()
         self.budgets = {
             r["host"]: r["max_fetches_per_round"]
@@ -366,10 +374,13 @@ class CrawlEngine:
             # lit(False) membership path — never a cogroup shuffle
             # against an empty bloom table
             bloom_table = bloom_table if has_bloom_state else None
+        # the exact-anti-join side of seen: the bucketed index (no
+        # seen-side exchange) when configured, else the catalog files
+        seen_for_anti = self.seen_idx.sync(self.cat) if self.seen_idx else seen
         rr = run_round_pipeline(
             self.spark,
             frontier,
-            seen,
+            seen_for_anti,
             blobs,
             images,
             self.robots,
