@@ -87,3 +87,106 @@ def test_monitor_report_sums_and_rates(spark):
     assert got[3].cum_scheduled == 100
     assert got[3].progress_pct == pytest.approx(100.0)
     assert got[1].progress_pct == pytest.approx(40.0)
+
+
+# ---------------------------------------------------------------------------
+# connected_components (alternating star contraction) and k_core
+# (iterative peeling): exact parity vs naive sequential algorithms on
+# hand graphs, including the long-path worst case that defeats
+# diameter-bound label propagation.
+# ---------------------------------------------------------------------------
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _naive_k_core(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        low = [n for n, ns in adj.items() if len(ns) < k]
+        if not low:
+            return {n: len(ns) for n, ns in adj.items()}
+        for n in low:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+
+
+def test_connected_components_matches_union_find(spark):
+    from voz_spark.graph import connected_components
+
+    pairs = [
+        # component A: triangle + pendant
+        (1, 2), (2, 3), (1, 3), (3, 4),
+        # component B: two nodes
+        (10, 11),
+        # component C: long path (diameter 9 — exceeds the handful of
+        # star rounds a diameter-bound propagation would need 9 rounds for)
+        (20, 21), (21, 22), (22, 23), (23, 24), (24, 25),
+        (25, 26), (26, 27), (27, 28), (28, 29),
+        # noise: duplicate + reversed + self-loop
+        (2, 1), (4, 3), (5, 5), (4, 5),
+    ]
+    got = {
+        r.node: r.component
+        for r in connected_components(_pairs_df(spark, pairs)).collect()
+    }
+    want = _uf_components([(a, b) for a, b in pairs if a != b])
+    assert got == want
+
+
+def test_connected_components_handles_empty(spark):
+    from voz_spark.graph import connected_components
+
+    assert connected_components(_pairs_df(spark, [])).count() == 0
+
+
+def test_k_core_matches_naive_peeling(spark):
+    from voz_spark.graph import k_core
+
+    # 4-clique (survives k=3) + a triangle hanging off it (peeled at
+    # k=3: each triangle-only node has degree 2) + a chain
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 10), (10, 11), (11, 3), (11, 12), (12, 13)]
+    pairs = clique + extra
+    got = {
+        r.node: r.core_degree
+        for r in k_core(_pairs_df(spark, pairs), k=3).collect()
+    }
+    assert got == _naive_k_core(pairs, 3)
+    # k=2: the triangle {3,10,11} also survives; the chain does not
+    got2 = {
+        r.node: r.core_degree
+        for r in k_core(_pairs_df(spark, pairs), k=2).collect()
+    }
+    assert got2 == _naive_k_core(pairs, 2)
+
+
+def test_k_core_fully_peeled_graph_is_empty(spark):
+    from voz_spark.graph import k_core
+
+    pairs = [(1, 2), (2, 3), (3, 4)]  # path: no 3-core at all
+    assert k_core(_pairs_df(spark, pairs), k=3).count() == 0

@@ -1224,3 +1224,155 @@ def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(features, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling + dataset splitting. Training pipelines
+# need reproducible sampling that (a) never shuffles, (b) gives the
+# same answer under any partitioning / engine / re-run, and (c) keeps
+# whole-document decisions stable as the corpus grows (a doc's sample
+# fate depends only on its id, never on what else is in the batch).
+# Both are pure per-row maps over md5(doc_id): a lexicographic
+# threshold on one hex slice implements per-language Bernoulli rates;
+# a DISJOINT hex slice assigns train/val/test so split assignment is
+# independent of the sampling decision. Zero shuffles, zero RNG state,
+# bit-identical in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+# per-language keep thresholds on substr(md5,1,4) ∈ [0000, ffff):
+# en is downsampled hardest (dominant class), tail languages kept whole
+_SAMPLE_TH = {"en": "8000", "zh": "c000", "es": "c000", "de": "ffff", "fr": "ffff"}
+_SPLIT_SLICE = (5, 4)  # decorrelated from the sampling slice (1, 4)
+
+
+@register(
+    "q58_hash_split_sample",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hs,
+         substr(md5(CAST(doc_id AS VARCHAR)), 5, 4) AS hsplit
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN hsplit < 'cccc' THEN 'train'
+            WHEN hsplit < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+WHERE hs < CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN 'c000'
+                     WHEN 'es' THEN 'c000' ELSE 'ffff' END
+""",
+)
+def q58_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic downsample of documents with
+    a decorrelated 80/10/10 train/val/test split — both decisions pure
+    functions of md5(doc_id), so the plan is a single scan+project
+    (no shuffle, no RNG) and survives any re-partitioning or re-run."""
+    d = T(spark, sf_dir, "documents")
+    hexes = F.md5(F.col("doc_id").cast("string"))
+    hs = F.substring(hexes, 1, 4)
+    hsplit = F.substring(hexes, *_SPLIT_SLICE)
+    th = F.when(F.col("lang") == "en", "8000").when(
+        F.col("lang").isin("zh", "es"), "c000"
+    ).otherwise("ffff")
+    return (
+        d.select("doc_id", "lang", hs.alias("hs"), hsplit.alias("hsplit"))
+        .where(F.col("hs") < th)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("hsplit") < "cccc", "train")
+            .when(F.col("hsplit") < "e666", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — the mergeable
+# cardinality estimator family (HLL's simpler cousin; Bar-Yossef et
+# al. 2002). Unlike approx_count_distinct, this formulation is FULLY
+# deterministic (md5-based), so the sketch itself is oracle-checkable
+# bit-for-bit: both engines compute the same k smallest hash values
+# and therefore the same estimate. Scale shape: the k-min selection is
+# SALTED two-phase top-k — per-(group, salt) candidates first (bounded
+# k per salt), then the global k per group — so a single dominant
+# event_type never funnels its whole distinct-hash set through one
+# window partition. The estimate reconstructs cardinality from the
+# k-th smallest hash's position in the 48-bit hash space.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 48)
+_KMV_SALTS = 32
+
+
+@register(
+    "q59_kmv_distinct",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type, substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS hs
+  FROM events
+),
+r AS (
+  SELECT event_type, hs,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hs) AS rn
+  FROM h
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n_kept,
+         MAX(CASE WHEN rn = {_KMV_K} THEN hs END) AS kth
+  FROM r WHERE rn <= {_KMV_K} GROUP BY event_type
+),
+e AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       CASE WHEN g.n_kept < {_KMV_K} THEN CAST(g.n_kept AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE) * CAST({int(_KMV_SPACE)} AS DOUBLE) /
+                 CAST(CAST('0x' || g.kth AS BIGINT) AS DOUBLE)
+       END AS kmv_estimate
+FROM e JOIN g ON e.event_type = g.event_type
+""",
+)
+def q59_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: exact count alongside the
+    deterministic KMV estimate from the 64 smallest 48-bit md5 hashes
+    (estimate = (k-1) / normalized k-th minimum)."""
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.select(
+        "event_type",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12).alias("hs"),
+    ).distinct()
+    # phase 1: k smallest per (group, salt) — caps any one window
+    # partition at its salt's share of the distinct hashes
+    salted = h.withColumn(
+        "_salt", F.pmod(F.xxhash64("hs"), F.lit(_KMV_SALTS)).cast("int")
+    )
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("hs")
+    cand = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= _KMV_K)
+        .drop("_rn", "_salt")
+    )
+    # phase 2: global k smallest per group over <= k*n_salts candidates
+    w2 = Window.partitionBy("event_type").orderBy("hs")
+    kept = cand.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= _KMV_K)
+    g = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hs"))).alias("kth"),
+    )
+    e = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    est = (
+        F.when(F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.lit(float(_KMV_K - 1))
+            * F.lit(_KMV_SPACE)
+            / F.conv(F.col("kth"), 16, 10).cast("double")
+        )
+        .alias("kmv_estimate")
+    )
+    return e.join(g, "event_type").select("event_type", "n_exact", est)

@@ -269,3 +269,60 @@ def q38_dataset_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = write_dataset_files(threads, sugg, outdir)
     back = read_dataset_files(spark, paths)
     return back["threads_analysis"].orderBy("thread_id")
+
+
+# -- columnar sinks beyond parquet -------------------------------------------
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (built into Spark core — columnar, predicate-pushdown
+    capable, the natural interchange format with Hive-era warehouses).
+    Avro is NOT registered: the spark-avro datasource module is a
+    separate deploy-time artifact (--packages org.apache.spark:spark-avro)
+    and is absent here, so it is deliberately not claimed."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """ORC source with a declared schema (same no-inference discipline
+    as CSV/JSON — never pay a schema pass over 100 TB)."""
+    return spark.read.schema(schema).orc(path)
+
+
+_Q39_SCHEMA = StructType(
+    [
+        StructField("l_returnflag", StringType(), True),
+        StructField("l_linestatus", StringType(), True),
+        StructField("n_items", LongType(), True),
+        StructField("total_qty", DoubleType(), True),
+    ]
+)
+
+
+@register(
+    "q39_orc_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q39_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source proof: aggregate → ORC sink → schema'd ORC
+    source → re-read rows (oracle = the aggregate alone, so the file
+    round-trip must preserve every value and type)."""
+    from voz_spark.relational import T
+
+    agg = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="voz-q39-") + "/orc"
+    write_orc(agg, path)
+    return read_orc(spark, path, _Q39_SCHEMA)

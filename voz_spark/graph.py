@@ -265,3 +265,125 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
         )
     sym.unpersist()
     return labels
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Distributed connected components via alternating large-star /
+    small-star contraction ("Connected Components in MapReduce and
+    Beyond", Kiveris et al., MR'14) — converges in O(log² n) rounds
+    regardless of component diameter, unlike min-label propagation
+    whose round count is the graph diameter (a 10^9-node path graph
+    would need 10^9 rounds; star contraction needs ~60).
+
+    ``edges``: undirected (u, v) long pairs, loops/dupes tolerated.
+    Returns (node, component) with component = min node id of the
+    component — every node appears exactly once, including roots.
+
+    Scale notes: each half-iteration is one groupBy(min) plus one
+    shuffle-sharing join on the same key; the edge set only shrinks
+    toward the star forest. Lineage is truncated per iteration with
+    localCheckpoint (on a cluster: ``spark.sparkContext.setCheckpointDir``
+    + ``checkpoint()`` for executor-replicated truncation).
+    Convergence is detected with an O(1)-driver aggregate signature
+    (count + bit_xor of per-edge xxhash64) instead of a full exceptAll
+    diff; iteration is additionally capped at max_iters.
+    """
+    cur = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame):
+        # bit_xor (not sum) of per-edge hashes: order-independent,
+        # cannot overflow under ANSI mode, distinct edges never cancel
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(least(u, v), greatest(u, v)))"
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def star(df: DataFrame, large: bool) -> DataFrame:
+        nbrs = df.unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        joined = nbrs.join(mins, "u")
+        if large:
+            # connect strictly-larger neighbors to the min
+            out = joined.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            # connect smaller-or-equal neighbors AND u itself to the min
+            out = (
+                joined.where(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+            )
+        return (
+            out.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        )
+
+    sig = signature(cur)
+    for _ in range(max_iters):
+        cur = star(star(cur, large=True), large=False)
+        new_sig = signature(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged star forest: every edge is (child, root<child)
+    children = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return children.unionByName(roots)
+
+
+def k_core(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
+    """Distributed k-core: iteratively peel nodes of degree < k until
+    the fixpoint; returns (node, core_degree) for survivors — the
+    maximal subgraph where every node keeps >= k neighbors.
+
+    Each iteration is one degree aggregate + two broadcast-able
+    anti-joins against the (shrinking) low-degree node set; the edge
+    set only shrinks, and lineage is truncated per iteration with
+    localCheckpoint. Iteration count is bounded by the peeling depth
+    (<= max degree), with an explicit cap. The only driver-side value
+    per iteration is the low-degree node COUNT (O(1)).
+
+    ``edges``: undirected (u, v) long pairs.
+    """
+    cur = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        low = deg.where(F.col("d") < k).select("u").localCheckpoint()
+        if low.limit(1).count() == 0:
+            final = deg.select(F.col("u").alias("node"), F.col("d").alias("core_degree"))
+            return final
+        cur = (
+            cur.join(low, "u", "left_anti")
+            .join(low.select(F.col("u").alias("v")), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iters} iterations")

@@ -810,6 +810,39 @@ def q50_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Strong part-co-purchase edges: canonical (u < v) part pairs
+    sharing >= 2 distinct orders. Pairs are generated IN-ROW from each
+    order's sorted part set (no self-join): per-order fan-out is
+    bounded by the line count per order, and the only shuffles are the
+    two groupBys."""
+    pair_expr = (
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+    )
+
+
+# shared by q55/q56 oracles: the same edge set in DuckDB SQL
+_EDGES_CTE = """
+ob AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)"""
+
+
 @register(
     "q55_triangle_count",
     oracle="""
@@ -860,20 +893,7 @@ def q55_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     against both directions of the directed edge list. Each closed
     wedge matches exactly once (directed has one row per edge)."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pair_expr = (
-        "flatten(transform(ps, (x, i) ->"
-        " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
-    )
-    edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .select("u", "v")
-        .persist()
-    )
+    edges = _copurchase_edges(li).persist()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -1050,3 +1070,62 @@ def q53_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_clicks_5m"), F.lit(0)).alias("n_clicks_5m"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the co-purchase graph. Spark side: the
+# alternating large-star/small-star contraction in
+# graph.connected_components — O(log² n) rounds independent of
+# component diameter, each round two groupBy+join passes on the same
+# key. Oracle side: DuckDB computes the same components by recursive-
+# CTE reachability closure (fine at sf0.01; the closure is the very
+# quadratic blow-up the star algorithm exists to avoid at scale).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q56_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_CTE},
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS component,
+       COUNT(*) AS n_nodes
+FROM comp GROUP BY component
+""",
+)
+def q56_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component id (min member part id) and size for every connected
+    component of the strong co-purchase graph (edge = part pair
+    sharing >= 2 orders)."""
+    from voz_spark.graph import connected_components
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li)
+    cc = connected_components(edges)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition over the co-purchase graph: iterative peeling
+# (graph.k_core). Genuinely iterative — no single ANSI-SQL equivalent —
+# so the driver records the rows-only check; exact parity vs a naive
+# sequential peeler is pinned in tests/test_graph_monitor.py.
+# ---------------------------------------------------------------------------
+
+
+@register("q57_k_core")
+def q57_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes of the 3-core of the strong co-purchase graph with their
+    within-core degree (the maximal subgraph where every part keeps
+    >= 3 strong co-purchase ties)."""
+    from voz_spark.graph import k_core
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return k_core(_copurchase_edges(li), k=3)
