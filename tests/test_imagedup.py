@@ -1,0 +1,81 @@
+"""Image-payload perceptual dedup gates (imagedup.py, phash.py).
+
+The reference caches images by URL filename only
+(src/image_processor.py:44-56); content-level near-dup detection is a
+new capability the 100 TB crawl needs. These tests pin:
+- the pHash function itself (invariance to rescale/re-noise, spread
+  for unrelated images),
+- the decode→hash parity contract (exact for lossless png, bounded
+  drift for the lossy vqz codec — the hash analogue of PSNR ≥ 40 dB),
+- the banded LSH recall semantics on planted near-duplicates
+  (pigeonhole-guaranteed subset + measured recall).
+Oracle exactness for q61 is covered by test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import random
+
+from voz_spark import synth
+from voz_spark.codec import decode_image
+from voz_spark.phash import hamming64, phash64
+
+
+def _planted_pairs(n: int) -> list[tuple[int, int]]:
+    return [(i - 1, i) for i in range(1, n) if i % 7 == 3]
+
+
+def test_phash_invariance_and_spread():
+    ham_var = [
+        hamming64(synth.image_phash(a), synth.image_phash(b)) for a, b in _planted_pairs(420)
+    ]
+    assert max(ham_var) <= 10  # rescaled+re-noised copies stay close
+    rng = random.Random(1)
+    ham_rand = []
+    while len(ham_rand) < 200:
+        a, b = rng.sample(range(420), 2)
+        if synth.image_pattern_idx(a) != synth.image_pattern_idx(b):
+            ham_rand.append(hamming64(synth.image_phash(a), synth.image_phash(b)))
+    assert min(ham_rand) > 10  # unrelated images never near-dup
+    assert sum(ham_rand) / len(ham_rand) > 25  # ~32 expected
+
+
+def test_phash_decode_parity():
+    for idx in range(80):
+        decoded = decode_image(synth.image_bytes(idx), synth.image_fmt(idx))
+        hd = hamming64(phash64(decoded), synth.image_phash(idx))
+        if synth.image_fmt(idx) == "png":
+            assert hd == 0, f"lossless decode must reproduce phash (idx={idx})"
+        else:
+            assert hd <= 4, f"lossy decode drifted {hd} bits (idx={idx})"
+
+
+def test_q60_all_rows_ok(spark, sf_dir):
+    from voz_spark.imagedup import q60_image_phash
+
+    rows = q60_image_phash(spark, sf_dir).collect()
+    assert len(rows) == 256
+    bad = [r.image_id for r in rows if not r.ok]
+    assert not bad, f"phash parity failed for {bad}"
+
+
+def test_q61_planted_recall(spark, sf_dir):
+    from voz_spark.imagedup import _N_IMAGES, q61_phash_neardup
+
+    result = q61_phash_neardup(spark, sf_dir).collect()
+    found = {(r.id_a, r.id_b) for r in result}
+    planted = {
+        (synth.image_id(a), synth.image_id(b)) for a, b in _planted_pairs(_N_IMAGES)
+    }
+    # pigeonhole: hamming <= 3 across 4 disjoint 16-bit bands forces an
+    # equal band, so those pairs are ALWAYS candidates
+    guaranteed = {
+        (synth.image_id(a), synth.image_id(b))
+        for a, b in _planted_pairs(_N_IMAGES)
+        if hamming64(synth.image_phash(a), synth.image_phash(b)) <= 3
+    }
+    assert guaranteed <= found
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"banded recall {recall:.2f} below contract"
+    # verify stage is exact: nothing beyond the hamming threshold
+    assert all(r.hamming <= 10 for r in result)

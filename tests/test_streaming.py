@@ -184,3 +184,35 @@ def test_session_window_gap_boundary(spark, tmp_path):
         .collect()
     }
     assert per_user == {1: 2, 2: 1, 3: 1}
+
+
+def test_stream_stream_join_state_spans_batches(spark, tmp_path):
+    """Stream-stream interval join: a click buffered in batch 1 joins a
+    purchase that only arrives in batch 2 (cross-batch join state), and
+    the interval bound + user key are enforced."""
+    from voz_spark.streaming import click_purchase_join_stream
+
+    src = _stream_dir(
+        spark,
+        tmp_path,
+        [
+            # batch 1: two clicks, no purchases yet
+            [
+                _ev(1, 0, user_id=1, event_type="click"),
+                _ev(2, 0, user_id=2, event_type="click"),
+            ],
+            # batch 2: u1 purchase inside the 30-min horizon (joins the
+            # buffered click), u2 purchase outside it (must not join),
+            # u3 purchase with no click at all
+            [
+                _ev(3, 10, user_id=1, event_type="purchase", value=99.0),
+                _ev(4, 40, user_id=2, event_type="purchase", value=5.0),
+                _ev(5, 10, user_id=3, event_type="purchase", value=7.0),
+            ],
+        ],
+    )
+    stream = click_purchase_join_stream(events_stream(spark, src, max_files_per_trigger=1))
+    sink = run_to_memory(stream, "t_ssjoin", "append", spark)
+    rows = sink.select("click_id", "purchase_id", "amount").collect()
+    assert len(rows) == 1
+    assert (rows[0].click_id, rows[0].purchase_id, rows[0].amount) == (1, 3, 99.0)

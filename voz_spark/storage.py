@@ -1,0 +1,156 @@
+"""Storage-layout operators: bucketed co-located joins and partitioned
+sinks with partition pruning (the A-axis scale levers).
+
+Neither has a reference analogue — the reference holds everything in
+driver-memory pandas frames (src/data_analyzer.py) — but both are
+mandatory at 100 TB:
+
+- q62: a fact-fact join (orders ⋈ lineitem) re-shuffles BOTH tables on
+  every query unless the tables are stored bucketed on the join key.
+  Writing them `bucketBy(B, key).sortBy(key)` once makes every later
+  equi-join on that key a zero-Exchange merge join — the plan evidence
+  is asserted in tests/test_storage.py (no Exchange under the
+  SortMergeJoin; a per-partition in-memory Sort remains because the
+  Spark ≥3.0 bucketed reader intentionally drops file ordering to keep
+  scans parallel per file) and recorded in PLANS.md.
+- q63: a date-partitioned sink (`partitionBy(event_date)`) turns a
+  time-windowed query from a full scan into a directory listing: the
+  scan's PartitionFilters prune to the 5 matching date directories
+  before any file is opened.
+
+Both queries carry full DuckDB oracles: the *result* of the layout-
+aware plan must equal the layout-oblivious SQL over the original
+tables — storage layout is a physical concern and must never change
+answers.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voz_spark.registry import register
+from voz_spark.session import load_table as T
+
+_N_BUCKETS = 8
+
+
+def write_bucketed(
+    df: DataFrame, name: str, path: str, key: str, n_buckets: int = _N_BUCKETS
+) -> None:
+    """Persist `df` as an external bucketed+sorted table: the one-time
+    shuffle that amortizes every future join/agg on `key`."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.repartition(n_buckets, key)  # align write tasks with buckets
+        .write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
+def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    base = tempfile.mkdtemp(prefix="voz-bucketed-")
+    write_bucketed(
+        T(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "orderkey"),
+        "voz_orders_b",
+        os.path.join(base, "orders"),
+        "orderkey",
+    )
+    write_bucketed(
+        T(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey"),
+        "voz_lineitem_b",
+        os.path.join(base, "lineitem"),
+        "orderkey",
+    )
+    return spark.table("voz_orders_b"), spark.table("voz_lineitem_b")
+
+
+@register(
+    "q62_bucketed_join",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28, 8))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderpriority
+ORDER BY priority
+""",
+)
+def q62_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority over a bucket-co-located orders ⋈
+    lineitem merge join: both sides are read pre-hashed on the join
+    key, so the physical plan has NO Exchange — at 100 TB that is the
+    difference between re-shuffling two fact tables per query and a
+    streaming merge over co-located buckets. The `merge` hint pins the
+    strategy (a tiny test-scale orders side would otherwise broadcast,
+    bypassing the layout being exercised)."""
+    orders, lineitem = bucketed_orders_lineitem(spark, sf_dir)
+    joined = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .hint("merge")
+        .join(lineitem.hint("merge"), "orderkey")
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+_PRUNE_LO, _PRUNE_HI = "2024-01-05", "2024-01-09"
+
+
+@register(
+    "q63_partition_pruning",
+    oracle=f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28, 8))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}'
+GROUP BY 1, 2
+ORDER BY event_date, event_type
+""",
+)
+def q63_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events date-partitioned, then answer a 5-day window query
+    from the partitioned copy: the parquet scan lists only the 5
+    matching `event_date=...` directories (PartitionFilters — asserted
+    in tests/test_storage.py), never touching the other ~25 days. The
+    oracle runs the same window over the unpartitioned view — layout
+    must not change the answer."""
+    path = os.path.join(tempfile.mkdtemp(prefix="voz-part-"), "events")
+    (
+        T(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    ev = spark.read.parquet(path).where(
+        F.col("event_date").between(F.lit(_PRUNE_LO), F.lit(_PRUNE_HI))
+    )
+    return (
+        ev.groupBy(F.col("event_date").cast("string").alias("event_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,8)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -319,3 +319,86 @@ def q48_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.cum_events").alias("cum_events"),
         F.round("s.cum_value", 6).alias("cum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (click → purchase attribution). The one
+# streaming operator family the surface lacked: both sides are
+# unbounded, so the join buffers each side in watermark-bounded state.
+# ---------------------------------------------------------------------------
+
+
+def click_purchase_join_stream(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Inner stream-stream join: every purchase within `horizon` after
+    a click by the same user. Both sides carry a watermark and the join
+    condition bounds purchase_ts to [click_ts, click_ts + horizon], so
+    Spark can evict click state once the purchase-side watermark passes
+    click_ts + horizon — state is O(events inside the horizon), not
+    O(stream). Without the time bound the state would grow forever;
+    that is the 100 TB failure mode this operator shape exists to
+    avoid."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+            """
+        ),
+        "inner",
+    )
+
+
+@register(
+    "q64_stream_click_attribution",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_sec,
+       CAST(p.value AS DOUBLE) AS amount
+FROM events c
+JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY 1, 2, 3
+""",
+)
+def q64_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution computed BY a stream-stream interval
+    join (watermarked state both sides), equal to the batch interval
+    join the oracle runs. Two sibling streams of the same source file
+    feed the two sides — the production form is two Kafka topics."""
+    ev = events_stream(spark, sf_dir)
+    stream = click_purchase_join_stream(ev)
+    sink = run_to_memory(stream, "q64_sink", "append", spark)
+    return sink.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("lag_sec"),
+        F.col("amount").cast("double").alias("amount"),
+    ).orderBy("user_id", "click_id", "purchase_id")

@@ -187,18 +187,50 @@ def is_fetchable_image(idx: int, n_images: int) -> bool:
 
 
 def image_dims(idx: int) -> tuple[int, int]:
-    w = 8 + splitmix64(idx * 2 + 11) % 57
-    h = 8 + splitmix64(idx * 2 + 12) % 57
+    w = 16 + splitmix64(idx * 2 + 11) % 49
+    h = 16 + splitmix64(idx * 2 + 12) % 49
     return int(w), int(h)
+
+
+def image_pattern_idx(idx: int) -> int:
+    """Planted near-duplicates for the perceptual-dedup surface: every
+    idx % 7 == 3 image re-renders the *previous* image's pattern at its
+    own resolution with its own noise — a rescaled/re-noised copy, the
+    thing a content (not URL) dedup must catch."""
+    return idx - 1 if idx % 7 == 3 and idx > 0 else idx
+
+
+def _image_field(pattern_idx: int, w: int, h: int) -> np.ndarray:
+    """Smooth per-channel 2-D cosine field (float, (h, w, 3)): real
+    low-frequency structure so DCT perceptual hashing is meaningful.
+    Parameters depend only on pattern_idx — the same pattern sampled at
+    a different (w, h) is the 'same picture at a different size'."""
+    yy = (np.arange(h) + 0.5)[:, None] / h
+    xx = (np.arange(w) + 0.5)[None, :] / w
+    out = np.empty((h, w, 3))
+    # dense low-frequency spectrum (like natural images' 1/f falloff):
+    # every 8×8 DCT bin gets a random-signed coefficient well above the
+    # noise floor, so each perceptual-hash bit is structure-determined
+    for c in range(3):
+        rng = np.random.default_rng(splitmix64(pattern_idx * 97 + 17 + c) & 0x7FFFFFFF)
+        j = np.arange(8)
+        amp = 50.0 / (1.0 + j[:, None] + j[None, :])
+        coef = amp * rng.choice([-1.0, 1.0], (8, 8)) * rng.uniform(0.6, 1.0, (8, 8))
+        coef[0, 0] = 0.0
+        cy = np.cos(np.pi * yy * j[None, :])  # (h, 5) DCT-basis-like modes
+        cx = np.cos(np.pi * xx.T * j[None, :])  # (w, 5)
+        out[..., c] = 128.0 + cy @ coef @ cx.T
+    return out
 
 
 def image_pixels(idx: int) -> np.ndarray:
     w, h = image_dims(idx)
     rng = np.random.default_rng(splitmix64(idx) & 0x7FFFFFFF)
-    # low-frequency base + noise: compressible and realistic-ish
-    base = rng.integers(0, 200, (1, 1, 3), dtype=np.uint8)
-    noise = rng.integers(0, 56, (h, w, 3), dtype=np.uint8)
-    return (base + noise).astype(np.uint8)
+    # low-frequency field + bounded noise: compressible, realistic-ish,
+    # and structurally dominant so phash variants stay hamming-close
+    field = _image_field(image_pattern_idx(idx), w, h)
+    noise = rng.integers(-12, 13, (h, w, 3))
+    return np.clip(field + noise, 0, 255).astype(np.uint8)
 
 
 def image_bytes(idx: int) -> bytes:
@@ -212,8 +244,13 @@ def image_caption(idx: int) -> str:
 
 
 def image_phash(idx: int) -> int:
-    v = splitmix64(idx * 31 + 3)
-    return v - (1 << 64) if v >= (1 << 63) else v  # signed int64
+    """TRUE 64-bit DCT perceptual hash of the image's pixels (signed
+    int64, per the input-table contract) — not a synthetic random id:
+    re-deriving it from the decoded bytes must reproduce it (exactly
+    for png; within a few bits for the lossy vqz codec)."""
+    from voz_spark.phash import phash64
+
+    return phash64(image_pixels(idx))
 
 
 def image_row(idx: int) -> dict:
