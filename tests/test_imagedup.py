@@ -79,3 +79,50 @@ def test_q61_planted_recall(spark, sf_dir):
     assert recall >= 0.95, f"banded recall {recall:.2f} below contract"
     # verify stage is exact: nothing beyond the hamming threshold
     assert all(r.hamming <= 10 for r in result)
+
+
+def test_q65_clusters_keep_best_resolution(spark, sf_dir):
+    from voz_spark.imagedup import _N_IMAGES, q65_image_dedup_clusters
+
+    rows = q65_image_dedup_clusters(spark, sf_dir).collect()
+    assert rows, "planted variants must form clusters"
+    # every planted (source, variant) pair must land in one cluster and
+    # the survivor must be the larger-resolution member of its cluster
+    by_cluster = {r.cluster: r for r in rows}
+    assert len(by_cluster) == len(rows), "one survivor per cluster"
+    for a, b in _planted_pairs(_N_IMAGES):
+        ha = hamming64(synth.image_phash(a), synth.image_phash(b))
+        if ha > 3:
+            continue  # only pigeonhole-guaranteed pairs are certain
+        ida, idb = synth.image_id(a), synth.image_id(b)
+        cluster = min(ida, idb)
+        assert cluster in by_cluster, f"pair ({ida},{idb}) missing cluster"
+        r = by_cluster[cluster]
+        assert r.n_members >= 2
+        wa, haa = synth.image_dims(a)
+        wb, hb = synth.image_dims(b)
+        if r.n_members == 2:  # pure pair: survivor is argmax(w*h)
+            best = ida if wa * haa > wb * hb or (wa * haa == wb * hb and ida < idb) else idb
+            assert r.kept_id == best
+
+
+def test_q66_rehosts_found_exactly(spark, sf_dir):
+    from voz_spark.imagedup import _N_IMAGES, q66_image_exact_dedup
+
+    rows = q66_image_exact_dedup(spark, sf_dir).collect()
+    planted = [i for i in range(_N_IMAGES) if i % 9 == 4]
+    assert len(rows) == len(planted), "each rehost forms exactly one group"
+    for r in rows:
+        assert r.n_copies == 2
+        assert not r.kept_id.endswith("~r"), "original id wins the min tie"
+
+
+def test_q67_mismatch_is_subset_of_neardups(spark, sf_dir):
+    from voz_spark.imagedup import q61_phash_neardup, q67_caption_mismatch
+
+    nd = {(r.id_a, r.id_b) for r in q61_phash_neardup(spark, sf_dir).collect()}
+    mm = q67_caption_mismatch(spark, sf_dir).collect()
+    assert mm, "per-idx captions make planted variants disagree"
+    for r in mm:
+        assert (r.id_a, r.id_b) in nd
+        assert r.caption_a != r.caption_b

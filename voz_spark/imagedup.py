@@ -40,14 +40,25 @@ _BANDS = 4
 _BUCKET_CAP = 1000
 
 
-def images_df(spark: SparkSession, n: int) -> DataFrame:
+def images_df(spark: SparkSession, n: int, rehost_every: int | None = None) -> DataFrame:
     """Deterministic synthetic input table in the BASELINE input_hint
-    shape: (image_id, bytes, w, h, fmt, caption, phash)."""
+    shape: (image_id, bytes, w, h, fmt, caption, phash).
+
+    ``rehost_every``: additionally emit a byte-identical copy of every
+    idx % rehost_every == 4 image under a new image_id — the re-hosted
+    exact duplicate case (same file mirrored on another host) that the
+    reference's URL-keyed cache cannot see (src/image_processor.py:44-56)."""
     from voz_spark import schemas, synth
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame([synth.image_row(int(i)) for i in pdf["id"]])
+            rows = []
+            for i in pdf["id"]:
+                r = synth.image_row(int(i))
+                rows.append(r)
+                if rehost_every and int(i) % rehost_every == 4:
+                    rows.append({**r, "image_id": r["image_id"] + "~r"})
+            yield pd.DataFrame(rows)
 
     return spark.range(n).repartition(8).mapInPandas(gen, schemas.IMAGES)
 
@@ -103,22 +114,11 @@ ORDER BY hamming, id_a, id_b
 """
 
 
-@register("q61_phash_neardup", oracle=_Q61_ORACLE)
-def q61_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-duplicate image pairs: 4×16-bit banded LSH over
-    the 64-bit pHash column, exact hamming ≤ 10 verify. The DuckDB
-    oracle applies the same band semantics to the same parquet rows
-    (brute-force there — fine at oracle scale), so the driver check is
-    a full value-hash match, not rows-only."""
-    (
-        images_df(spark, _N_IMAGES)
-        .select("image_id", "phash")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(Q61_PHASH_PATH)
-    )
-    p = spark.read.parquet(Q61_PHASH_PATH)
-
+def _neardup_pairs(p: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of ``p`` (image_id, phash, ...) under
+    the banded-LSH candidate rule + exact hamming verify. Shared by
+    q61/q65/q67 — one shuffle on the band key, one distinct on the
+    pair, JVM-only expressions."""
     stack_args = ", ".join(f"{k}, {_band_expr(k)}" for k in range(_BANDS))
     bx = p.selectExpr("image_id", "phash", f"stack({_BANDS}, {stack_args}) AS (band_id, bucket)")
     # skew guard, same discipline as q31: a degenerate bucket (e.g. a
@@ -143,7 +143,219 @@ def q61_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn(
             "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
         )
-        .where(F.col("hamming") <= _HAMMING_MAX)
+        .where(F.col("hamming") <= hamming_max)
         .select("id_a", "id_b", "hamming")
-        .orderBy("hamming", "id_a", "id_b")
+    )
+
+
+@register("q61_phash_neardup", oracle=_Q61_ORACLE)
+def q61_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: 4×16-bit banded LSH over
+    the 64-bit pHash column, exact hamming ≤ 10 verify. The DuckDB
+    oracle applies the same band semantics to the same parquet rows
+    (brute-force there — fine at oracle scale), so the driver check is
+    a full value-hash match, not rows-only."""
+    (
+        images_df(spark, _N_IMAGES)
+        .select("image_id", "phash")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(Q61_PHASH_PATH)
+    )
+    p = spark.read.parquet(Q61_PHASH_PATH)
+    return _neardup_pairs(p).orderBy("hamming", "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q65: near-dup CLUSTER canonicalization — pairs are only half the dedup
+# story; a training pipeline must pick ONE survivor per visual cluster.
+# Pairs (q61 rule) → connected components (alternating-star contraction,
+# graph.connected_components — O(log² n) rounds at any diameter) → keep
+# the highest-resolution member (max w*h, then lexicographic min id).
+# The reference never gets here: its URL cache stores every re-encode.
+# ---------------------------------------------------------------------------
+
+Q65_IMAGES_PATH = "/tmp/voz_spark_q65_images"
+
+_BAND_MATCH = " OR ".join(
+    f"{_band_expr(k).replace('phash', 'a.phash')} = {_band_expr(k).replace('phash', 'b.phash')}"
+    for k in range(_BANDS)
+)
+
+_Q65_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT image_id, phash, w, h FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM p a JOIN p b ON a.image_id < b.image_id
+  WHERE ({_BAND_MATCH})
+    AND bit_count(xor(a.phash, b.phash)) <= {_HAMMING_MAX}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.cluster, c.node,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY p.w * p.h DESC, c.node) AS rk,
+         COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+  FROM comp c JOIN p ON p.image_id = c.node
+)
+SELECT cluster, node AS kept_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
+ORDER BY cluster
+"""
+
+
+@register("q65_image_dedup_clusters", oracle=_Q65_ORACLE)
+def q65_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual dedup clusters with a canonical survivor each: banded
+    pHash pairs → distributed connected components → per-cluster keep
+    the highest-resolution image (max w*h, tie = min image_id). The
+    DuckDB oracle recomputes the identical pair rule + a recursive-CTE
+    reachability closure on the same parquet rows."""
+    from pyspark.sql import Window
+
+    from voz_spark.graph import connected_components
+
+    (
+        images_df(spark, _N_IMAGES)
+        .select("image_id", "phash", "w", "h")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(Q65_IMAGES_PATH)
+    )
+    p = spark.read.parquet(Q65_IMAGES_PATH)
+    pairs = _neardup_pairs(p)
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).withColumnRenamed("component", "cluster")
+    sized = cc.join(p, cc["node"] == p["image_id"]).select(
+        "cluster", "node", (F.col("w") * F.col("h")).alias("px")
+    )
+    win = Window.partitionBy("cluster")
+    ranked = sized.select(
+        "cluster",
+        "node",
+        F.row_number()
+        .over(win.orderBy(F.col("px").desc(), F.col("node")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(win).alias("n_members"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select("cluster", F.col("node").alias("kept_id"), "n_members")
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66: exact byte-level image dedup. Re-hosted copies of one file are
+# byte-identical under different URLs/ids; the reference's cache key is
+# md5(url) (src/image_processor.py:63-70) so every mirror is stored
+# again. Content key here is md5 over the hex of the bytes — hex()
+# renders identically in Spark and DuckDB, and this DuckDB build only
+# hashes VARCHAR, so both engines compute the same key from raw bytes.
+# ---------------------------------------------------------------------------
+
+Q66_BYTES_PATH = "/tmp/voz_spark_q66_bytes"
+
+_Q66_ORACLE = f"""
+SELECT md5(hex(bytes)) AS content_md5,
+       MIN(image_id) AS kept_id,
+       COUNT(*) AS n_copies
+FROM read_parquet('{Q66_BYTES_PATH}/*.parquet')
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY 1
+"""
+
+
+@register("q66_image_exact_dedup", oracle=_Q66_ORACLE)
+def q66_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (byte-identical) image dedup groups over a world where
+    every idx % 9 == 4 image is also re-hosted under a second id: one
+    hash aggregate on the content key — the uniform-key shuffle shape
+    that holds at any scale (the md5 domain has no skew)."""
+    (
+        images_df(spark, _N_IMAGES, rehost_every=9)
+        .select("image_id", "bytes")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(Q66_BYTES_PATH)
+    )
+    b = spark.read.parquet(Q66_BYTES_PATH)
+    return (
+        b.groupBy(F.md5(F.hex("bytes")).alias("content_md5"))
+        .agg(
+            F.min("image_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .orderBy("content_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q67: label-noise detection — visually near-duplicate images whose
+# captions DISAGREE. For caption-supervised training these pairs are
+# exactly the rows a pipeline must route to reconciliation; the q61
+# pair machinery already pays for the join, this adds one lookup of
+# each side's caption.
+# ---------------------------------------------------------------------------
+
+Q67_IMAGES_PATH = "/tmp/voz_spark_q67_images"
+
+_Q67_ORACLE = f"""
+WITH p AS (
+  SELECT image_id, phash, caption FROM read_parquet('{Q67_IMAGES_PATH}/*.parquet')
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+       a.caption AS caption_a, b.caption AS caption_b
+FROM p a JOIN p b ON a.image_id < b.image_id
+WHERE ({_BAND_MATCH})
+  AND bit_count(xor(a.phash, b.phash)) <= {_HAMMING_MAX}
+  AND a.caption <> b.caption
+ORDER BY id_a, id_b
+"""
+
+
+@register("q67_caption_mismatch", oracle=_Q67_ORACLE)
+def q67_caption_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs (q61 band rule) whose captions
+    differ — candidate label noise. Captions ride the existing pair
+    join via two slim (image_id, caption) lookups; no new shuffle
+    shape beyond q61's."""
+    (
+        images_df(spark, _N_IMAGES)
+        .select("image_id", "phash", "caption")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(Q67_IMAGES_PATH)
+    )
+    p = spark.read.parquet(Q67_IMAGES_PATH)
+    pairs = _neardup_pairs(p)
+    caps = p.select("image_id", "caption")
+    return (
+        pairs.join(
+            caps.select(
+                F.col("image_id").alias("id_a"), F.col("caption").alias("caption_a")
+            ),
+            "id_a",
+        )
+        .join(
+            caps.select(
+                F.col("image_id").alias("id_b"), F.col("caption").alias("caption_b")
+            ),
+            "id_b",
+        )
+        .where(F.col("caption_a") != F.col("caption_b"))
+        .select("id_a", "id_b", "hamming", "caption_a", "caption_b")
+        .orderBy("id_a", "id_b")
     )
