@@ -1376,3 +1376,123 @@ def q59_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kmv_estimate")
     )
     return e.join(g, "event_type").select("event_type", "n_exact", est)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, table A1): duplicate
+# word/bigram fractions and top-gram mass per document, plus the
+# keep/filter decision.  Reference analogue: the reference filters crawl
+# text by repeated-content heuristics before analysis
+# (src/data_analyzer.py clean_text / quality gates); this is the
+# standard LLM-corpus formulation of the same idea.
+#
+# Scale shape: every signal is computed IN-ROW with higher-order
+# functions over the token array — zero shuffle, zero explode, perfectly
+# embarrassingly parallel (the ideal 100 TB plan: one scan, one project).
+# The run-length fold over the sorted token array replaces a
+# groupBy(word).count() that would shuffle |tokens| rows per doc.
+# ---------------------------------------------------------------------------
+
+_MAX_RUN = """
+aggregate(
+  array_sort({arr}),
+  named_struct('prev', CAST('' AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+  (acc, x) -> named_struct(
+     'prev', x,
+     'run',  CASE WHEN x = acc.prev THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+     'best', greatest(acc.best,
+             CASE WHEN x = acc.prev THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END)),
+  acc -> acc.best)
+"""
+
+
+@register(
+    "q68_repetition_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM base
+),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+agg_w AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+         CAST(MAX(c) AS BIGINT) AS top_word_count
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         word || chr(1) || LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM w
+),
+bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg WHERE bigram IS NOT NULL
+  GROUP BY doc_id, bigram
+),
+agg_b AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_count
+  FROM bgc GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_words, a.n_distinct_words, a.top_word_count,
+       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(b.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(COALESCE(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       1.0 - CAST(a.n_distinct_words AS DOUBLE) / CAST(a.n_words AS DOUBLE) AS dup_word_frac,
+       CAST(a.top_word_count AS DOUBLE) / CAST(a.n_words AS DOUBLE) AS top_word_frac,
+       CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+            ELSE 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+       END AS dup_bigram_frac,
+       (1.0 - CAST(a.n_distinct_words AS DOUBLE) / CAST(a.n_words AS DOUBLE)) <= 0.30
+       AND CAST(a.top_word_count AS DOUBLE) / CAST(a.n_words AS DOUBLE) <= 0.20
+       AND (CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+            END) <= 0.20 AS keep
+FROM agg_w a LEFT JOIN agg_b b USING (doc_id)
+""",
+)
+def q68_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher A1): duplicate-word
+    fraction, top-word mass, duplicate-bigram fraction, and the
+    keep/filter verdict — all in-row (no shuffle, no explode)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+    )
+    d = d.withColumn(
+        "bgs",
+        F.expr(
+            "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+            " (a, b) -> concat(a, chr(1), b))"
+        ),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct_words"),
+        F.expr(_MAX_RUN.format(arr="ws")).alias("top_word_count"),
+        F.size("bgs").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bgs")).cast("long").alias("n_distinct_bigrams"),
+        F.when(F.size("bgs") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(_MAX_RUN.format(arr="bgs")))
+        .alias("top_bigram_count"),
+    )
+    dup_w = F.lit(1.0) - F.col("n_distinct_words").cast("double") / F.col(
+        "n_words"
+    ).cast("double")
+    top_w = F.col("top_word_count").cast("double") / F.col("n_words").cast("double")
+    dup_b = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams").cast("double")
+    )
+    return d.select(
+        "*",
+        dup_w.alias("dup_word_frac"),
+        top_w.alias("top_word_frac"),
+        dup_b.alias("dup_bigram_frac"),
+        ((dup_w <= 0.30) & (top_w <= 0.20) & (dup_b <= 0.20)).alias("keep"),
+    )

@@ -359,3 +359,72 @@ def q67_caption_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming", "caption_a", "caption_b")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q69: metadata-only pre-filter funnel (LAION/DataComp-style). Before
+# any decode, a 100 TB image pipeline drops rows on (w, h, fmt,
+# byte-length) alone — the cheapest possible gate, one scan with zero
+# Python and zero shuffle beyond the per-format count aggregate. The
+# reference downloads every discovered URL unconditionally
+# (src/image_processor.py:44-56); this is the gate it lacks. All
+# predicates are integer-exact (no float thresholds) so both engines
+# agree bit-for-bit. Funnel stages are SEQUENTIAL: each row is charged
+# to its first failing gate only.
+# ---------------------------------------------------------------------------
+
+Q69_IMAGES_PATH = "/tmp/voz_spark_q69_images"
+
+_Q69_ORACLE = f"""
+WITH p AS (
+  SELECT fmt, w, h, n_bytes,
+         (LEAST(w, h) < 32) AS too_small,
+         (GREATEST(w, h) > 2 * LEAST(w, h)) AS bad_aspect,
+         (n_bytes > 3 * w * h OR 2 * n_bytes < w * h) AS bad_density
+  FROM read_parquet('{Q69_IMAGES_PATH}/*.parquet')
+)
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN too_small THEN 1 ELSE 0 END) AS BIGINT) AS n_too_small,
+       CAST(SUM(CASE WHEN NOT too_small AND bad_aspect THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_aspect,
+       CAST(SUM(CASE WHEN NOT too_small AND NOT bad_aspect AND bad_density THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_density,
+       CAST(SUM(CASE WHEN NOT (too_small OR bad_aspect OR bad_density) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM p
+GROUP BY fmt
+ORDER BY fmt
+"""
+
+
+@register("q69_image_size_filter", oracle=_Q69_ORACLE)
+def q69_image_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free image pre-filter funnel per format: min-dimension,
+    aspect-ratio, and bytes-per-pixel gates over (w, h, fmt,
+    octet_length(bytes)) only — integer predicates, one scan, one
+    count aggregate."""
+    (
+        images_df(spark, _N_IMAGES)
+        .select(
+            "image_id", "w", "h", "fmt", F.octet_length("bytes").alias("n_bytes")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(Q69_IMAGES_PATH)
+    )
+    p = spark.read.parquet(Q69_IMAGES_PATH)
+    too_small = F.least("w", "h") < 32
+    bad_aspect = F.greatest("w", "h") > 2 * F.least("w", "h")
+    bad_density = (F.col("n_bytes") > 3 * F.col("w") * F.col("h")) | (
+        2 * F.col("n_bytes") < F.col("w") * F.col("h")
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        p.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            one(too_small).alias("n_too_small"),
+            one(~too_small & bad_aspect).alias("n_bad_aspect"),
+            one(~too_small & ~bad_aspect & bad_density).alias("n_bad_density"),
+            one(~(too_small | bad_aspect | bad_density)).alias("n_keep"),
+        )
+        .orderBy("fmt")
+    )
