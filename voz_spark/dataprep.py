@@ -448,7 +448,23 @@ def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection is then computed per CANDIDATE PAIR by joining each
     pair against the two docs' shingle sets (linear in
     |cand| × shingles-per-doc), not by a full-table pair join."""
-    d = T(spark, sf_dir, "documents")
+    return (
+        _jaccard_pairs(T(spark, sf_dir, "documents"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(F.col("jaccard"), 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+def _jaccard_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, jaccard) for every rare-shingle candidate
+    pair, jaccard UNROUNDED. Shared by q26 (top-100 report) and q70
+    (threshold + clustering)."""
     ds = _spark_shingles(d).distinct().persist()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 10).select("shingle")
@@ -476,12 +492,10 @@ def q26_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "n_inter",
-            F.round(
-                F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            (
+                F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
             ).alias("jaccard"),
         )
-        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        .limit(100)
     )
 
 
@@ -1495,4 +1509,103 @@ def q68_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_w.alias("top_word_frac"),
         dup_b.alias("dup_bigram_frac"),
         ((dup_w <= 0.30) & (top_w <= 0.20) & (dup_b <= 0.20)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70: text near-dup CLUSTERS with a canonical survivor — the text twin
+# of q65 (images). Pairs are only half the dedup story: a corpus build
+# must drop all-but-one member of every near-dup cluster. Rule: exact
+# 3-gram Jaccard >= 0.8 over rare-shingle candidate pairs (the q26
+# machinery, unrounded) -> distributed connected components
+# (alternating-star contraction, O(log^2 n) rounds) -> keep the longest
+# document (tie: min doc_id). Reference analogue: the reference has no
+# content dedup at all (its cache key is the URL, src/image_processor.py:63-70);
+# this is the standard MinHash-cluster formulation (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better").
+#
+# Scale shape: the pair join is bounded by the rare-shingle rule
+# (df <= 10 => <= 100 pairs/shingle, never quadratic in a boilerplate
+# shingle's document frequency); components contract in O(log^2 n)
+# shuffles on the node key; the survivor pick is one window over
+# cluster — no driver collect anywhere.
+# ---------------------------------------------------------------------------
+
+Q70_JACCARD_MIN = 0.8
+
+
+@register(
+    "q70_text_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE sh AS ({{shingles}}),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+rare AS (SELECT shingle FROM ds GROUP BY shingle HAVING COUNT(*) <= 10),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ds a JOIN rare r ON a.shingle = r.shingle
+            JOIN ds b ON b.shingle = r.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {Q70_JACCARD_MIN}
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.cluster, c.node,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY length(d.text) DESC, c.node) AS rk,
+         COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT cluster, node AS kept_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
+ORDER BY cluster
+""".replace("{shingles}", _shingles_sql()),
+)
+def q70_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate text clusters (exact jaccard >= 0.8) with one
+    canonical survivor each: longest text, tie-broken by min doc_id.
+    The DuckDB oracle recomputes the identical pair rule plus a
+    recursive-CTE reachability closure on the same table."""
+    from pyspark.sql import Window
+
+    from voz_spark.graph import connected_components
+
+    d = T(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(d).where(F.col("jaccard") >= Q70_JACCARD_MIN)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).withColumnRenamed("component", "cluster")
+    sized = cc.join(
+        d.select("doc_id", F.length("text").alias("len")),
+        cc["node"] == F.col("doc_id"),
+    ).select("cluster", "node", "len")
+    win = Window.partitionBy("cluster")
+    ranked = sized.select(
+        "cluster",
+        "node",
+        F.row_number().over(win.orderBy(F.col("len").desc(), F.col("node"))).alias("rk"),
+        F.count(F.lit(1)).over(win).alias("n_members"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select("cluster", F.col("node").alias("kept_id"), "n_members")
+        .orderBy("cluster")
     )

@@ -428,3 +428,69 @@ def q69_image_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# ---------------------------------------------------------------------------
+# q71: pHash similarity SEARCH — given a set of query images, the top-k
+# visually-closest corpus images by hamming distance on the 64-bit
+# pHash. The image twin of q29 (brute-force embedding top-k): the exact
+# correctness baseline every bucketed/banded ANN variant (q61's LSH) is
+# judged against. Query side is tiny and broadcast; the corpus is
+# scanned ONCE with the distance evaluated JVM-side
+# (xor + bit_count, whole-stage codegen) — no shuffle of the corpus,
+# one window top-k per query partition.
+# ---------------------------------------------------------------------------
+
+Q71_IMAGES_PATH = "/tmp/voz_spark_q71_phash"
+_Q71_TOPK = 5
+_Q71_QUERY_EVERY = 40  # image idx % 40 == 0 -> 14 query images at n=560
+
+_Q71_ORACLE = f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{Q71_IMAGES_PATH}/*.parquet')),
+q AS (SELECT image_id AS query_id, phash AS qhash FROM p
+      WHERE CAST(substr(image_id, 4) AS BIGINT) % {_Q71_QUERY_EVERY} = 0),
+d AS (
+  SELECT q.query_id, p.image_id, bit_count(xor(q.qhash, p.phash)) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY bit_count(xor(q.qhash, p.phash)), p.image_id) AS rk
+  FROM q JOIN p ON p.image_id <> q.query_id
+)
+SELECT query_id, image_id, CAST(hamming AS INT) AS hamming, CAST(rk AS INT) AS rk
+FROM d WHERE rk <= {_Q71_TOPK}
+ORDER BY query_id, rk
+"""
+
+
+@register("q71_phash_topk_search", oracle=_Q71_ORACLE)
+def q71_phash_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest images per query by pHash hamming distance:
+    broadcast(query) x corpus, distance in-row (xor + bit_count,
+    JVM-side), row_number window per query. The DuckDB oracle runs the
+    identical distance + ranking on the same parquet rows."""
+    from pyspark.sql import Window
+
+    (
+        images_df(spark, _N_IMAGES)
+        .select("image_id", "phash")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(Q71_IMAGES_PATH)
+    )
+    p = spark.read.parquet(Q71_IMAGES_PATH)
+    q = p.where(
+        F.substring("image_id", 4, 100).cast("long") % _Q71_QUERY_EVERY == 0
+    ).select(F.col("image_id").alias("query_id"), F.col("phash").alias("qhash"))
+    d = (
+        p.crossJoin(F.broadcast(q))
+        .where(F.col("image_id") != F.col("query_id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("qhash").bitwiseXOR(F.col("phash"))).cast("int")
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy("hamming", "image_id")
+    return (
+        d.withColumn("rk", F.row_number().over(win).cast("int"))
+        .where(F.col("rk") <= _Q71_TOPK)
+        .select("query_id", "image_id", "hamming", "rk")
+        .orderBy("query_id", "rk")
+    )
