@@ -1609,3 +1609,82 @@ def q70_text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", F.col("node").alias("kept_id"), "n_members")
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# q72: training-sequence packing plan — the last mile of an LLM data
+# pipeline: assign documents to fixed-length (CTX-token) training
+# sequences. Deterministic chunked-concatenation rule: within a shard,
+# documents are laid out in doc_id order and a document belongs to the
+# sequence its first token lands in (floor(cum_tokens_before / CTX)).
+# Packing is PER SHARD (shard = doc_id % N_PACK_SHARDS): global order
+# is irrelevant to training, so each shard packs independently — the
+# window cumsum parallelizes across shards instead of collapsing onto
+# one partition. At crawl scale the shard key would be
+# pmod(xxhash64(doc_id), n); the modulo form keeps the DuckDB oracle
+# bit-identical (DuckDB has no xxhash64).
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 512
+_N_PACK_SHARDS = 8
+
+
+@register(
+    "q72_sequence_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {_N_PACK_SHARDS} AS shard,
+         CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT shard,
+       CAST(FLOOR(cum_before / {_PACK_CTX}) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM placed
+GROUP BY shard, seq_id
+ORDER BY shard, seq_id
+""",
+)
+def q72_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {CTX}-token training sequences per shard:
+    window cumsum in doc_id order inside each shard, sequence id =
+    floor(tokens-before / CTX), then per-sequence stats. One shuffle
+    on the shard key; the window never sees more than one shard."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(_N_PACK_SHARDS)).cast("long").alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy(
+            "shard",
+            F.floor(F.col("cum_before") / _PACK_CTX).cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("shard", "seq_id")
+    )
