@@ -1688,3 +1688,103 @@ def q72_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q73: the text-curation FUNNEL — the composition query a corpus build
+# actually runs: every document is charged to its first failing gate
+# (too-short -> repetitive -> low-quality), and the report is the
+# per-source funnel. Gate predicates reuse q21's quality signals and
+# q68's repetition signals but compare with INTEGER cross-products
+# (10*(n_words-n_distinct) > 3*n_words instead of dup_frac > 0.3), so
+# both engines agree bit-for-bit with no float-threshold edge cases.
+#
+# Scale shape: all signals fold in-row (higher-order functions over
+# the token array — no explode, no per-token shuffle); the only
+# Exchange carries |sources| aggregate rows. Ideal 100 TB plan: one
+# scan at parquet bandwidth, one tiny aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q73_text_filter_funnel",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_word,
+         CAST(SUM(CASE WHEN word IN {_LANG_STOPS} THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM wc GROUP BY doc_id
+),
+gated AS (
+  SELECT d.source,
+         (s.n_words < 20) AS g_short,
+         (10 * (s.n_words - s.n_distinct) > 3 * s.n_words
+          OR 5 * s.top_word > s.n_words) AS g_rep,
+         (20 * s.stop_hits < s.n_words
+          OR 5 * length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) > d.n_chars) AS g_qual
+  FROM documents d JOIN sig s USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(SUM(CASE WHEN NOT g_short AND g_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(CASE WHEN NOT g_short AND NOT g_rep AND g_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN NOT (g_short OR g_rep OR g_qual) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN NOT (g_short OR g_rep OR g_qual) THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS keep_rate
+FROM gated
+GROUP BY source
+ORDER BY source
+""",
+)
+def q73_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: length -> repetition -> quality
+    gates, each row charged to its first failing gate. All signals
+    fold in-row; the single Exchange carries |sources| rows."""
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.split(F.trim("text"), r"\s+").alias("ws"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
+    )
+    s = d.select(
+        "source",
+        "n_chars",
+        "n_punct",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
+        F.expr(_MAX_RUN.format(arr="ws")).alias("top_word"),
+        F.expr(
+            f"aggregate(transform(ws, x -> CASE WHEN x IN {_LANG_STOPS} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a,b) -> a + b)"
+        ).alias("stop_hits"),
+    )
+    g_short = F.col("n_words") < 20
+    g_rep = (10 * (F.col("n_words") - F.col("n_distinct")) > 3 * F.col("n_words")) | (
+        5 * F.col("top_word") > F.col("n_words")
+    )
+    g_qual = (20 * F.col("stop_hits") < F.col("n_words")) | (
+        5 * F.col("n_punct") > F.col("n_chars")
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            one(g_short).alias("n_too_short"),
+            one(~g_short & g_rep).alias("n_repetitive"),
+            one(~g_short & ~g_rep & g_qual).alias("n_low_quality"),
+            one(~(g_short | g_rep | g_qual)).alias("n_keep"),
+            (
+                F.sum(F.when(~(g_short | g_rep | g_qual), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
