@@ -494,3 +494,76 @@ def q71_phash_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "image_id", "hamming", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q74: stock/boilerplate CAPTION detection — the fourth quadrant of
+# image-caption pair hygiene. q67 finds visually-identical pairs with
+# DIFFERENT captions (label noise); this finds one caption attached to
+# many visually DISTINCT images ("illustrative photo", filename
+# captions, watermark text) — uninformative for caption-supervised
+# training and dropped by every serious pipeline (LAION/DataComp do
+# this by caption frequency). The synthetic captions are unique by
+# construction, so the fixture deterministically plants two stock
+# strings over idx%9==1 / idx%23==2 before the analysis.
+#
+# Scale shape: one shuffle on the normalized caption; both counts are
+# partial-aggregatable (count + two-phase distinct), so a mega-stock
+# caption at 10^10 rows combines map-side instead of flooding one
+# reducer with raw rows.
+# ---------------------------------------------------------------------------
+
+Q74_IMAGES_PATH = "/tmp/voz_spark_q74_captions"
+_Q74_MIN_IMAGES = 3
+
+_Q74_ORACLE = f"""
+WITH p AS (
+  SELECT lower(trim(caption)) AS caption_norm, phash
+  FROM read_parquet('{Q74_IMAGES_PATH}/*.parquet')
+)
+SELECT caption_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_visuals,
+       (COUNT(*) >= {_Q74_MIN_IMAGES} AND COUNT(DISTINCT phash) >= {_Q74_MIN_IMAGES}) AS is_stock
+FROM p
+GROUP BY caption_norm
+HAVING COUNT(*) > 1
+ORDER BY caption_norm
+"""
+
+
+@register("q74_stock_captions", oracle=_Q74_ORACLE)
+def q74_stock_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Captions shared by multiple images, flagged stock when they
+    span >= 3 images AND >= 3 distinct visuals (phash): one shuffle on
+    the normalized caption, both aggregates map-side combinable."""
+    base = images_df(spark, _N_IMAGES).select("image_id", "caption", "phash")
+    idx = F.substring("image_id", 4, 100).cast("long")
+    planted = base.withColumn(
+        "caption",
+        F.when(idx % 9 == 1, F.lit("  Anh minh hoa "))
+        .when(idx % 23 == 2, F.lit("xem chi tiet trong bai"))
+        .otherwise(F.col("caption")),
+    )
+    (
+        planted.coalesce(1).write.mode("overwrite").parquet(Q74_IMAGES_PATH)
+    )
+    p = spark.read.parquet(Q74_IMAGES_PATH)
+    return (
+        p.groupBy(F.lower(F.trim("caption")).alias("caption_norm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.countDistinct("phash").cast("long").alias("n_visuals"),
+        )
+        .where(F.col("n_images") > 1)
+        .select(
+            "caption_norm",
+            "n_images",
+            "n_visuals",
+            (
+                (F.col("n_images") >= _Q74_MIN_IMAGES)
+                & (F.col("n_visuals") >= _Q74_MIN_IMAGES)
+            ).alias("is_stock"),
+        )
+        .orderBy("caption_norm")
+    )
