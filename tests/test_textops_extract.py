@@ -174,3 +174,58 @@ def test_detect_categories(spark):
     )
     got = detect_categories(df).first().purposes
     assert sorted(got) == ["gaming", "office"]
+
+
+# --- q75 decontamination / q76 BPE pair semantics -------------------------
+
+
+def test_decontamination_flags_verbatim_copy(spark):
+    """A corpus doc that IS a benchmark doc verbatim must be flagged
+    with every one of its shingles hitting (n_hits == n_shingles);
+    a doc sharing no 3-gram with the benchmark set must be absent."""
+    import pandas as pd
+
+    from voz_spark.dataprep import q75_decontamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    clean_text = "one two three four five six seven"
+    rows = pd.DataFrame(
+        {
+            # 0 and 97 are benchmark slots (doc_id % 97 == 0)
+            "doc_id": [0, 1, 2],
+            "text": [bench_text, bench_text, clean_text],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(bench_text), len(bench_text), len(clean_text)],
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+        out = {r["doc_id"]: r.asDict() for r in q75_decontamination(spark, d).collect()}
+    assert set(out) == {1}  # doc 2 shares nothing; doc 0 is the benchmark itself
+    assert out[1]["n_hits"] == out[1]["n_shingles"] == 4  # 6 words -> 4 shingles
+
+
+def test_bpe_pairs_counts_adjacent_chars(spark):
+    """'abab abab' -> pairs ab,ba,ab per word occurrence: ab=4, ba=2."""
+    import tempfile
+
+    import pandas as pd
+
+    from voz_spark.dataprep import q76_bpe_pairs
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["abab abab"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [9],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+        got = {r["pair"]: r["n"] for r in q76_bpe_pairs(spark, d).collect()}
+    assert got == {"ab": 4, "ba": 2}

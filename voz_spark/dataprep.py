@@ -1788,3 +1788,136 @@ def q73_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75: benchmark DECONTAMINATION — the corpus-hygiene op every LLM
+# training pipeline runs before the corpus ships: flag training
+# documents that share any word n-gram with a held-out benchmark/test
+# set so eval numbers aren't inflated by memorized test items. The
+# benchmark set is carved deterministically from the corpus itself
+# (doc_id % 97 == 0) — no external data.
+#
+# Scale shape: the benchmark n-gram set is small by construction (a
+# test suite is KBs-MBs of text even when the corpus is 100 TB), so
+# it BROADCASTS; the corpus side builds its distinct-shingle array
+# in-row (array_distinct over the same transform as q24 — no explode
+# shuffle, n_shingles comes free as size(sh)), and the only Exchange
+# is the per-doc hit count partial-aggregated map-side after the
+# broadcast semi-join. One corpus scan, one tiny shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q75_decontamination",
+    oracle=f"""
+WITH sh AS ({_shingles_sql()}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM corp c JOIN bench b USING (shingle)
+  GROUP BY c.doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shingles
+  FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id
+)
+SELECT h.doc_id, h.n_hits, t.n_shingles
+FROM hits h JOIN tot t USING (doc_id)
+ORDER BY h.n_hits DESC, h.doc_id
+""",
+)
+def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 word 3-gram with the benchmark slice
+    (doc_id % 97 == 0): per doc, how many of its distinct shingles
+    hit the benchmark set, next to its total distinct-shingle count.
+
+    Plan: benchmark shingles broadcast; corpus distinct shingles are
+    an in-row array (no explode shuffle); the single Exchange is the
+    doc_id hit-count aggregate."""
+    d = T(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    da = (
+        d.select("doc_id", words.alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("sh"),
+        )
+    )
+    bench = (
+        da.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    corp = da.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("sh").cast("long").alias("n_shingles"), F.explode("sh").alias("shingle")
+    )
+    return (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.first("n_shingles").alias("n_shingles"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76: BPE merge-candidate counting — the inner step of byte-pair-
+# encoding tokenizer training: count adjacent symbol (character) pairs
+# across every word occurrence in the corpus; the top pair is the next
+# merge. One training iteration expressed as one DataFrame job.
+#
+# Scale shape: both explodes (words, then in-word char pairs) are
+# map-side generators feeding a partial hash aggregate; the only
+# Exchange carries the pair-key partial counts (alphabet² ≤ 676 keys
+# here, bounded by |vocab|² in general — tiny). At 100 TB this is a
+# pure scan + map-side combine; the final TakeOrdered(50) never
+# materializes a global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q76_bpe_pairs",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents
+),
+wi AS (
+  SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+  FROM w WHERE length(word) >= 2
+),
+p AS (SELECT substring(word, CAST(i AS INT), 2) AS pair FROM wi)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+""",
+)
+def q76_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs over all word occurrences —
+    the merge-candidate table of one BPE training iteration."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
