@@ -54,7 +54,10 @@ cpus = int(os.environ["VOZ_BENCH_CPUS"])
 n = int(os.environ["VOZ_BENCH_URLS"])
 job = os.environ["VOZ_BENCH_JOB"]
 spark = get_spark("voz_scaling", master="local[" + str(cpus) + "]", shuffle_partitions=cpus,
-                  extra_conf={{"spark.sql.adaptive.enabled": "false"}})
+                  extra_conf={{"spark.sql.adaptive.enabled": "false",
+                               # at >=256M URLs the stage feeding a broadcast
+                               # exceeds the 300s default at the small-N level
+                               "spark.sql.broadcastTimeout": "1800"}})
 spark.range(1000).count()  # JVM warmup
 best = None
 for _ in range(int(os.environ.get("VOZ_BENCH_REPEATS", "2"))):

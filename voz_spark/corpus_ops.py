@@ -1,0 +1,323 @@
+"""Corpus-governance operators: privacy (pseudonymization +
+k-anonymity audit), per-source characteristic terms (tf-idf family),
+training-mix weighting (temperature sampling), and semantic dedup
+(cluster-centroid canonicalization over embeddings).
+
+These extend the training-data pipeline family in dataprep.py with the
+governance ops a 100 TB corpus needs before it ships: strip direct
+identifiers, audit quasi-identifier re-identification risk, pick the
+language/source mixture, and collapse semantically-identical items.
+(The reference has no analogue — its data never leaves one machine;
+the closest surface is the per-user aggregation in
+src/network_analyzer.py:86-118, which motivates the quasi-identifier
+grouping here.)
+
+Oracle discipline (same as dataprep.py): md5 is the cross-engine hash;
+cross-row float sums go through ROUND + DECIMAL so they are
+order-independent and bit-identical; divisions happen once, on exact
+operands, in IEEE double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from voz_spark.dataprep import _SIGN_BUCKET_DUCK, _SIGN_BUCKET_SPARK
+from voz_spark.registry import register
+from voz_spark.session import load_table as T
+
+# ---------------------------------------------------------------------------
+# q77: PII pseudonymization + k-anonymity audit. Before a corpus with
+# user-derived rows ships for training, direct identifiers are
+# replaced by stable pseudonyms (md5 — deterministic, so joins across
+# table versions still line up) and every quasi-identifier combination
+# is audited for re-identification risk: a (nationkey, mktsegment)
+# group smaller than k=5 means those rows are re-identifiable from
+# public attributes alone.
+#
+# Scale shape: the quasi-identifier domain is bounded (|nations| x
+# |segments| = 125 groups), so the group-size table BROADCASTS back
+# onto the scan — one full-table scan, one 125-row aggregate, zero
+# large shuffles. The pseudonym is a pure projection.
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@register(
+    "q77_pii_pseudonymize",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c.c_custkey,
+       substr(md5(c.c_name), 1, 16) AS pseudonym,
+       c.c_nationkey, c.c_mktsegment, g.group_n,
+       (g.group_n >= {_K_ANON}) AS k_anonymous
+FROM customer c JOIN g USING (c_nationkey, c_mktsegment)
+ORDER BY c.c_custkey
+""",
+)
+def q77_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replace the direct identifier (c_name) with a stable md5
+    pseudonym and flag rows whose quasi-identifier group
+    (c_nationkey, c_mktsegment) has fewer than k=5 members."""
+    c = T(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_n")
+    )
+    return (
+        c.join(F.broadcast(g), ["c_nationkey", "c_mktsegment"])
+        .select(
+            "c_custkey",
+            F.substring(F.md5("c_name"), 1, 16).alias("pseudonym"),
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            (F.col("group_n") >= _K_ANON).alias("k_anonymous"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78: per-source characteristic terms — the tf-idf family ranking
+# used to profile what each corpus source is "about" (and to spot
+# boilerplate: a term with huge tf and df ≈ N scores ~tf). The idf
+# factor is the LINEAR form N/df rather than ln(N/df): the ranking it
+# induces per (tf, df) is the same monotone family, and tf * N / df is
+# one exact integer product and one IEEE division — bit-identical on
+# both engines with no libm dependency.
+#
+# Scale shape: both aggregates are vocabulary-bounded (map-side
+# partial combine on (source, term) and term), the df table joins on
+# term (vocab-sized, broadcastable in practice), and the final top-10
+# per source is a bounded window over |vocab| rows per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q78_tfidf_terms",
+    oracle="""
+WITH w AS (
+  SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term FROM documents
+),
+f AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM w WHERE length(term) > 2 GROUP BY source, term
+),
+df_t AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term FROM documents
+  ) WHERE length(term) > 2 GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+s AS (
+  SELECT f.source, f.term, f.tf, df_t.df,
+         ROUND(CAST(f.tf AS DOUBLE) * n.n_docs / df_t.df, 6) AS score
+  FROM f JOIN df_t USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT source, term, tf, df, score, rnk FROM r WHERE rnk <= 10
+ORDER BY source, rnk
+""",
+)
+def q78_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 characteristic terms per source by tf * N / df (linear
+    idf — same ranking family as ln(N/df), exact cross-engine)."""
+    d = T(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).where(F.length("term") > 2)
+    f = words.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_t = words.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    s = (
+        f.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("source", "term", "tf", "df", "score", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79: training-mix weights by temperature sampling — the standard
+# multilingual-corpus mixing rule (weight stratum i by its token count
+# raised to alpha < 1, renormalized) that upsamples low-resource
+# strata relative to raw proportions. alpha = 0.5 so the power is
+# sqrt, which IEEE 754 requires to be correctly rounded — bit-exact on
+# both engines with no libm pow() dependency.
+#
+# Scale shape: one scan folding token counts in-row (size of the
+# whitespace split — no explode), one partial-combined aggregate to
+# |source x lang| rows, and the renormalizing window runs over that
+# tiny stratum table. Cross-row sums go through ROUND + DECIMAL so the
+# normalization denominators are order-independent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q79_mixture_weights",
+    oracle="""
+WITH s AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source, lang
+),
+w AS (
+  SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS wdec FROM s
+)
+SELECT source, lang, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS raw_share,
+       ROUND(CAST(wdec AS DOUBLE) / CAST(SUM(wdec) OVER () AS DOUBLE), 6) AS alpha_weight
+FROM w ORDER BY source, lang
+""",
+)
+def q79_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) token counts with raw proportional share and
+    alpha=0.5 temperature-sampling weight (sqrt-scaled, renormalized)."""
+    d = T(spark, sf_dir, "documents")
+    s = (
+        d.select(
+            "source", "lang", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("nt")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "wdec", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast("decimal(38,6)")
+        )
+    )
+    every = Window.partitionBy()
+    return s.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(every), 6
+        ).alias("raw_share"),
+        F.round(
+            F.col("wdec").cast("double") / F.sum("wdec").over(every).cast("double"), 6
+        ).alias("alpha_weight"),
+    ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q80: semantic dedup (SemDeDup-style) — collapse embedding-space
+# duplicate clusters to one canonical item: bucket vectors by sign-LSH
+# key, compute each bucket's centroid, keep the vector closest to the
+# centroid and mark the rest as semantic duplicates. This is the
+# embedding counterpart of q70's text near-dup canonicalization.
+#
+# Scale shape: the explode is by a FIXED dim (64), so the (bucket,
+# pos) centroid aggregate and the (bucket, vec_id) distance aggregate
+# are both keyed, partial-combined shuffles whose width is input-
+# proportional with uniform keys; the rank window runs per bucket
+# (bucket sizes capped by the LSH key width — widen the key at scale,
+# as q31 documents). Centroid sums and squared-distance sums go
+# through ROUND + DECIMAL so both engines accumulate order-free and
+# rank identically on the unrounded-but-exact dist2.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q80_semantic_dedup",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET_DUCK} AS bucket FROM embeddings
+),
+sized AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_bucket FROM b GROUP BY bucket HAVING COUNT(*) >= 2
+),
+ex AS (
+  SELECT vec_id, bucket,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM b SEMI JOIN sized USING (bucket)
+),
+cent AS (
+  SELECT bucket, pos,
+         CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM ex GROUP BY bucket, pos
+),
+d2 AS (
+  SELECT ex.bucket, ex.vec_id,
+         CAST(SUM(CAST(ROUND((CAST(ex.v AS DOUBLE) - cent.c) * (CAST(ex.v AS DOUBLE) - cent.c),
+                             12) AS DECIMAL(38,12))) AS DOUBLE) AS dist2
+  FROM ex JOIN cent USING (bucket, pos)
+  GROUP BY ex.bucket, ex.vec_id
+),
+rk AS (
+  SELECT bucket, vec_id, ROUND(dist2, 6) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY dist2, vec_id) AS rnk
+  FROM d2
+)
+SELECT rk.bucket, s.n_bucket, rk.vec_id, rk.dist2, (rk.rnk = 1) AS is_canonical
+FROM rk JOIN sized s USING (bucket)
+ORDER BY rk.bucket, rk.dist2, rk.vec_id
+""",
+)
+def q80_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster canonicalization: within each sign-LSH
+    bucket (size >= 2), rank vectors by squared distance to the
+    bucket centroid; rank 1 is the canonical survivor."""
+    emb = T(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", F.expr(_SIGN_BUCKET_SPARK).alias("bucket"))
+    sized = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bucket"))
+        .where(F.col("n_bucket") >= 2)
+    )
+    ex = b.join(F.broadcast(sized), "bucket").select(
+        "vec_id", "bucket", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = ex.groupBy("bucket", "pos").agg(
+        (
+            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    dd = F.col("v").cast("double") - F.col("c")
+    d2 = (
+        ex.join(cent, ["bucket", "pos"])
+        .groupBy("bucket", "vec_id")
+        .agg(F.sum(F.round(dd * dd, 12).cast("decimal(38,12)")).cast("double").alias("dist2"))
+    )
+    w = Window.partitionBy("bucket").orderBy("dist2", "vec_id")
+    return (
+        d2.withColumn("rnk", F.row_number().over(w))
+        .join(F.broadcast(sized), "bucket")
+        .select(
+            "bucket",
+            "n_bucket",
+            "vec_id",
+            F.round("dist2", 6).alias("dist2"),
+            (F.col("rnk") == 1).alias("is_canonical"),
+        )
+        .orderBy("bucket", "dist2", "vec_id")
+    )
