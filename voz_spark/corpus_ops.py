@@ -321,3 +321,168 @@ def q80_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "dist2", "vec_id")
     )
+
+# ---------------------------------------------------------------------------
+# q81: exact substring-level dedup — the "duplicated span" measure
+# from corpus dedup practice (flag every 8-token window that occurs in
+# >= 2 distinct documents, then score each document by the fraction of
+# its windows that are duplicated). Catches copy-paste boilerplate and
+# near-verbatim syndication that document-level hashing (q20) and
+# MinHash (q24-q26) both miss when the shared span is a small part of
+# an otherwise-unique page.
+#
+# Scale shape: windows are built IN-ROW (transform over sequence —
+# no per-token explode before hashing), so the explode emits one
+# md5(span) per window position. The duplicate-detection aggregate is
+# partial-combined on the uniform md5 key (a boilerplate span with
+# document-frequency d contributes d rows to ONE group — linear, never
+# a pair join, the q26 lesson). The join back is 1:1 per window row on
+# the same uniform key. Nothing is quadratic in span frequency.
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKENS = 8
+
+
+@register(
+    "q81_dup_span_fraction",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks) - {_SPAN_TOKENS - 1})) AS i,
+         toks
+  FROM w WHERE len(toks) >= {_SPAN_TOKENS}
+),
+h AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+{_SPAN_TOKENS - 1}], ' ')) AS span_h FROM sp
+),
+dup AS (
+  SELECT span_h FROM h GROUP BY span_h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT h.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN d.span_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM h LEFT JOIN dup d USING (span_h)
+  GROUP BY h.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
+FROM per_doc WHERE n_dup_spans > 0
+ORDER BY dup_frac DESC, doc_id
+""",
+)
+def q81_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 8-token windows that also occur in at
+    least one other document (substring-level exact dedup signal)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks")).where(
+        F.size("toks") >= _SPAN_TOKENS
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_SPAN_TOKENS - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_TOKENS}))))"
+            )
+        ).alias("span_h"),
+    )
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("span_h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        spans.join(dup, "span_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .where(F.col("n_dup_spans") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82: unigram-rarity quality scoring — the libm-free analogue of the
+# n-gram-LM perplexity filters (KenLM-style) corpus pipelines use to
+# rank documents: score each document by the mean corpus rarity of its
+# tokens, rarity(w) = N_total / freq(w). A doc of common words scores
+# ~low; a doc of corpus-rare tokens (mojibake, code soup, other-
+# language contamination) scores high. Linear rarity keeps the exact
+# cross-engine guarantee that ln()-based surprisal cannot.
+#
+# Scale shape: the frequency table is vocabulary-bounded, so it
+# BROADCASTS onto the token stream (at open-web vocab scale, keep the
+# shuffle join — the md5-uniform word key salts cleanly); per-doc
+# rarity sums go through ROUND + DECIMAL so accumulation order never
+# matters; the single corpus-sized exchange is the per-doc aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q82_unigram_rarity",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents
+),
+wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w WHERE word <> '' GROUP BY word),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM w WHERE word <> ''),
+scored AS (
+  SELECT w.doc_id,
+         CAST(SUM(CAST(ROUND(CAST(tot.n_total AS DOUBLE) / wf.freq, 6) AS DECIMAL(38,6))) AS DOUBLE) AS rarity_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM w JOIN wf USING (word) CROSS JOIN tot
+  WHERE w.word <> ''
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_words, rarity_sum / n_words AS mean_rarity
+FROM scored ORDER BY mean_rarity DESC, doc_id LIMIT 100
+""",
+)
+def q82_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 documents by mean unigram rarity (N_total / freq,
+    DECIMAL-exact accumulation) — the perplexity-filter analogue."""
+    d = T(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+    ).where(F.col("word") != "")
+    wf = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    tot = w.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    rarity = F.round(F.col("n_total").cast("double") / F.col("freq"), 6).cast(
+        "decimal(38,6)"
+    )
+    return (
+        w.join(F.broadcast(wf), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(rarity).cast("double").alias("rarity_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            # no ROUND: both engines divide the same DECIMAL-exact sum by
+            # the same count once in IEEE double — bit-identical; a final
+            # ROUND would re-introduce tie-breaking divergence at .5 ulps
+            (F.col("rarity_sum") / F.col("n_words")).alias("mean_rarity"),
+        )
+        .orderBy(F.desc("mean_rarity"), "doc_id")
+        .limit(100)
+    )
