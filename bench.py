@@ -36,6 +36,8 @@ HEADLINE = [
 EXTRA = [
     "q61_phash_neardup",
     "q62_bucketed_join",
+    "q80_semantic_dedup",
+    "q81_dup_span_fraction",
 ]
 
 

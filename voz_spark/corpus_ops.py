@@ -486,3 +486,79 @@ def q82_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_rarity"), "doc_id")
         .limit(100)
     )
+
+# ---------------------------------------------------------------------------
+# q83: cross-modal consistency audit — score every text-level near-dup
+# pair (q28's banded SimHash pairs) by the cosine of the two docs'
+# embeddings. In a healthy multimodal corpus, text near-dups should
+# embed near each other; pairs where the modalities disagree expose
+# either embedding-pipeline drift (stale/mismatched vectors) or
+# templated pages that share words but not meaning. Every pair here is
+# flagged inconsistent by construction — the synthetic embeddings are
+# independent of the text, which is precisely what the audit detects.
+#
+# Scale shape: the near-dup pair table is orders of magnitude smaller
+# than the corpus (it's the output of banded LSH), so it BROADCASTS
+# against the embeddings scan twice (doc_a side, doc_b side); the
+# cosine is the same in-row left-fold as q29 — no corpus-sized shuffle
+# beyond q28's own banding.
+# ---------------------------------------------------------------------------
+
+
+def _q83_oracle() -> str:
+    from voz_spark.dataprep import _DOT_DUCK
+    from voz_spark.registry import REGISTRY
+
+    q28 = REGISTRY["q28_simhash_neardup_pairs"].oracle
+    cos = (
+        f"ROUND({_DOT_DUCK.format(a='va', b='vb')}"
+        f" / sqrt({_DOT_DUCK.format(a='va', b='va')} * {_DOT_DUCK.format(a='vb', b='vb')}), 6)"
+    )
+    return f"""
+WITH nd AS ({q28}),
+j AS (
+  SELECT nd.doc_a, nd.doc_b, nd.hamming, ea.embedding AS va, eb.embedding AS vb
+  FROM nd JOIN embeddings ea ON nd.doc_a = ea.vec_id
+          JOIN embeddings eb ON nd.doc_b = eb.vec_id
+)
+SELECT doc_a, doc_b, hamming,
+       {cos} AS cosine,
+       ({cos} >= 0.5) AS modality_consistent
+FROM j ORDER BY cosine, doc_a, doc_b
+"""
+
+
+@register("q83_crossmodal_audit", oracle=_q83_oracle())
+def q83_crossmodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dup pairs (q28) scored by embedding cosine; pairs
+    below the 0.5 agreement threshold are modality-inconsistent."""
+    from voz_spark.dataprep import _DOT_SPARK, q28_simhash_neardup_pairs
+
+    pairs = q28_simhash_neardup_pairs(spark, sf_dir)
+    emb = T(spark, sf_dir, "embeddings")
+    j = (
+        emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+        .join(F.broadcast(pairs), "doc_a")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb")),
+            "doc_b",
+        )
+    )
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="va", b="vb"))
+        / F.sqrt(
+            F.expr(_DOT_SPARK.format(a="va", b="va"))
+            * F.expr(_DOT_SPARK.format(a="vb", b="vb"))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            cos.alias("cosine"),
+            (cos >= 0.5).alias("modality_consistent"),
+        )
+        .orderBy("cosine", "doc_a", "doc_b")
+    )
