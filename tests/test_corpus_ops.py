@@ -1,0 +1,88 @@
+"""Semantic invariants for the corpus-governance ops (q77–q83) beyond
+their bit-exact oracle parity (tests/test_oracle_parity.py covers
+that): these pin the properties a user relies on — pseudonym
+stability, score monotonicity, exactly-one-canonical-per-cluster —
+which a value-hash alone doesn't explain when it breaks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from voz_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_pseudonyms_are_stable_and_distinct(spark):
+    qs = all_queries()
+    df = qs["q77_pii_pseudonymize"](spark, SF).cache()
+    n = df.count()
+    # one row per customer, pseudonyms collision-free at this scale,
+    # and no raw c_name column survives into the output schema
+    assert df.select("c_custkey").distinct().count() == n
+    assert df.select("pseudonym").distinct().count() == n
+    assert "c_name" not in df.columns
+    # deterministic: a second run produces the identical mapping
+    again = qs["q77_pii_pseudonymize"](spark, SF)
+    assert df.select("c_custkey", "pseudonym").exceptAll(
+        again.select("c_custkey", "pseudonym")
+    ).count() == 0
+    df.unpersist()
+
+
+def test_mixture_weights_normalize_and_flatten(spark):
+    qs = all_queries()
+    rows = qs["q79_mixture_weights"](spark, SF).collect()
+    raw = sum(r.raw_share for r in rows)
+    alpha = sum(r.alpha_weight for r in rows)
+    assert abs(raw - 1.0) < 1e-3 and abs(alpha - 1.0) < 1e-3
+    # temperature sampling flattens the mix: the largest stratum's
+    # share shrinks, the smallest stratum's share grows
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    assert big.alpha_weight < big.raw_share
+    assert small.alpha_weight > small.raw_share
+
+
+def test_semantic_dedup_one_canonical_per_bucket(spark):
+    qs = all_queries()
+    df = qs["q80_semantic_dedup"](spark, SF).cache()
+    per_bucket = df.groupBy("bucket").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("n_bucket").alias("n_bucket"),
+    )
+    bad = per_bucket.where(
+        (F.col("n_canon") != 1) | (F.col("n_rows") != F.col("n_bucket"))
+    ).count()
+    assert bad == 0
+    # the canonical member has the minimum centroid distance in its bucket
+    w = df.groupBy("bucket").agg(F.min("dist2").alias("min_d"))
+    mism = (
+        df.where("is_canonical")
+        .join(w, "bucket")
+        .where(F.col("dist2") != F.col("min_d"))
+        .count()
+    )
+    assert mism == 0
+    df.unpersist()
+
+
+def test_dup_span_fraction_bounds_and_symmetry(spark):
+    qs = all_queries()
+    rows = qs["q81_dup_span_fraction"](spark, SF).collect()
+    assert rows, "synthetic corpus contains shared spans"
+    for r in rows:
+        assert 0 < r.n_dup_spans <= r.n_spans
+        assert 0.0 < r.dup_frac <= 1.0
+    # a duplicated span involves >=2 docs, so flagged docs come in groups
+    assert len(rows) >= 2
+
+
+def test_crossmodal_audit_matches_neardup_pairs(spark):
+    qs = all_queries()
+    pairs = qs["q28_simhash_neardup_pairs"](spark, SF)
+    audit = qs["q83_crossmodal_audit"](spark, SF)
+    assert audit.count() == pairs.count()
+    # cosine in [-1, 1]
+    assert audit.where((F.col("cosine") < -1.0) | (F.col("cosine") > 1.0)).count() == 0
