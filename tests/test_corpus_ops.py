@@ -6,11 +6,16 @@ which a value-hash alone doesn't explain when it breaks."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
+from conftest import SF_CORRECT
 from voz_spark.registry import all_queries
 
-SF = "/root/testdata/sf0.01"
+# sf0.01 by default (large enough for non-vacuous assertions), but
+# honor the same override every other test module goes through
+SF = os.environ.get("VOZ_TEST_SF_DIR", SF_CORRECT)
 
 
 def test_pseudonyms_are_stable_and_distinct(spark):
@@ -83,6 +88,8 @@ def test_crossmodal_audit_matches_neardup_pairs(spark):
     qs = all_queries()
     pairs = qs["q28_simhash_neardup_pairs"](spark, SF)
     audit = qs["q83_crossmodal_audit"](spark, SF)
-    assert audit.count() == pairs.count()
+    n_pairs = pairs.count()
+    assert n_pairs > 0, "near-dup pair table must be non-empty for a meaningful audit"
+    assert audit.count() == n_pairs
     # cosine in [-1, 1]
     assert audit.where((F.col("cosine") < -1.0) | (F.col("cosine") > 1.0)).count() == 0

@@ -41,9 +41,21 @@ from voz_spark.session import load_table as T
 # |segments| = 125 groups), so the group-size table BROADCASTS back
 # onto the scan — one full-table scan, one 125-row aggregate, zero
 # large shuffles. The pseudonym is a pure projection.
+#
+# Security honesty: the pseudonym is md5(salt || name) with a salt
+# that is a CODE CONSTANT here so the DuckDB oracle can reproduce it.
+# Identifiers like these are low-entropy and enumerable, so in
+# production the salt must be a secret (keyed HMAC injected from a
+# secret store) or the whole keyspace can be hashed and inverted by
+# dictionary; the c_custkey column is likewise retained here only so
+# the audit output joins back to the source rows — a shipping corpus
+# would drop it. What this op demonstrates is the PLAN shape
+# (projection-only pseudonyms + broadcast k-anonymity audit), which is
+# identical under a secret key.
 # ---------------------------------------------------------------------------
 
 _K_ANON = 5
+_PII_SALT = "voz-pii-salt-v1"  # production: secret from a key store, not code
 
 
 @register(
@@ -54,7 +66,7 @@ WITH g AS (
   FROM customer GROUP BY c_nationkey, c_mktsegment
 )
 SELECT c.c_custkey,
-       substr(md5(c.c_name), 1, 16) AS pseudonym,
+       substr(md5('{_PII_SALT}' || c.c_name), 1, 16) AS pseudonym,
        c.c_nationkey, c.c_mktsegment, g.group_n,
        (g.group_n >= {_K_ANON}) AS k_anonymous
 FROM customer c JOIN g USING (c_nationkey, c_mktsegment)
@@ -62,9 +74,11 @@ ORDER BY c.c_custkey
 """,
 )
 def q77_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replace the direct identifier (c_name) with a stable md5
+    """Replace the direct identifier (c_name) with a stable salted-md5
     pseudonym and flag rows whose quasi-identifier group
-    (c_nationkey, c_mktsegment) has fewer than k=5 members."""
+    (c_nationkey, c_mktsegment) has fewer than k=5 members. The salt
+    is a code constant only for oracle reproducibility — see the
+    security note above; production needs a secret key."""
     c = T(spark, sf_dir, "customer")
     g = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("long").alias("group_n")
@@ -73,7 +87,9 @@ def q77_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(g), ["c_nationkey", "c_mktsegment"])
         .select(
             "c_custkey",
-            F.substring(F.md5("c_name"), 1, 16).alias("pseudonym"),
+            F.substring(F.md5(F.concat(F.lit(_PII_SALT), F.col("c_name"))), 1, 16).alias(
+                "pseudonym"
+            ),
             "c_nationkey",
             "c_mktsegment",
             "group_n",
@@ -236,9 +252,11 @@ def q79_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: the explode is by a FIXED dim (64), so the (bucket,
 # pos) centroid aggregate and the (bucket, vec_id) distance aggregate
 # are both keyed, partial-combined shuffles whose width is input-
-# proportional with uniform keys; the rank window runs per bucket
-# (bucket sizes capped by the LSH key width — widen the key at scale,
-# as q31 documents). Centroid sums and squared-distance sums go
+# proportional with uniform keys; the rank window runs per bucket.
+# The key width caps bucket COUNT (2^bits), not bucket size — expected
+# size is ~N/2^bits, so at scale widen the key so buckets stay
+# window-sized, and cap stragglers like q31's _NEARDUP_BUCKET_CAP
+# does. Centroid sums and squared-distance sums go
 # through ROUND + DECIMAL so both engines accumulate order-free and
 # rank identically on the unrounded-but-exact dist2.
 # ---------------------------------------------------------------------------
@@ -536,13 +554,16 @@ def q83_crossmodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q28_simhash_neardup_pairs(spark, sf_dir)
     emb = T(spark, sf_dir, "embeddings")
-    j = (
-        emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
-        .join(F.broadcast(pairs), "doc_a")
-        .join(
-            emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb")),
-            "doc_b",
-        )
+    # the pair-derived side stays broadcast in BOTH joins: the first
+    # broadcasts the raw pair table against the doc_a lookup, the
+    # second broadcasts that (still pair-sized) intermediate against
+    # the doc_b lookup — the embeddings table is always the streamed
+    # probe side and is never shuffled or broadcast
+    half = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va")).join(
+        F.broadcast(pairs), "doc_a"
+    )
+    j = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb")).join(
+        F.broadcast(half), "doc_b"
     )
     cos = F.round(
         F.expr(_DOT_SPARK.format(a="va", b="vb"))
