@@ -55,48 +55,13 @@ def _url_expr() -> F.Column:
     )
 
 
-def bench_frontier_schedule(
-    spark: SparkSession,
-    n_urls: int = 2_000_000,
-    cfg: CrawlConfig = DEFAULT,
-    partitions: int | None = None,
-    persist_cand: bool = True,
-    persist_stage1: bool = True,
-) -> dict:
-    """One timed scheduling round over n_urls candidates."""
-    sc = spark.sparkContext
-    parts = partitions or sc.defaultParallelism * 2
-    distinct_space = int(n_urls * 0.75)  # ~25% in-batch duplicate URLs
-
-    frontier = (
-        spark.range(n_urls, numPartitions=parts)
-        .select(
-            F.pmod(F.xxhash64(F.col("id")), F.lit(distinct_space)).alias("uid"),
-            F.col("id"),
-        )
-        .select(
-            _url_expr().alias("url"),
-            F.lit(None).cast("string").alias("base_url"),
-            (F.col("id") % 1000).cast("int").alias("seed_rank"),
-            (F.col("id") % 11).cast("int").alias("page_no"),
-            (F.col("id") % 3).cast("int").alias("post_no"),
-            F.lit(0).alias("attempt"),
-        )
-    )
-
-    # pre-seeded seen set: 50% of the distinct space
-    seen = (
-        spark.range(distinct_space // 2, numPartitions=parts)
-        .select(F.col("id").alias("uid"), F.col("id"))
-        .select(_url_expr().alias("canon_url"))
-        .select(F.xxhash64("canon_url").alias("url_hash"), "canon_url")
-        .persist()
-    )
-    n_seen = seen.count()
-
-    # seen-filter state (engine build paths, distributed). The build is
-    # deliberately outside the timed window for BOTH strategies — the
-    # metric is the per-round membership + scheduling cost.
+def _build_membership(spark: SparkSession, seen, cfg: CrawlConfig):
+    """Build seen-filter state (bloom or cuckoo) from `seen` with the
+    engine's distributed build paths and return the membership
+    splitter. Shared by BOTH benchmark jobs so the full round pays the
+    same real prefilter + anti-join the scheduling job does; the build
+    itself stays OUTSIDE the timed window — the metric is per-round
+    membership + scheduling cost, not one-time state construction."""
     import pandas as pd
 
     nbits, k, n_shards = cfg.bloom_bits_per_shard, cfg.bloom_k, cfg.n_bloom_shards
@@ -137,6 +102,52 @@ def bench_frontier_schedule(
 
         def membership(df):
             return _bloom_split(spark, df, shard_blobs, cfg)
+
+    return membership
+
+
+def bench_frontier_schedule(
+    spark: SparkSession,
+    n_urls: int = 2_000_000,
+    cfg: CrawlConfig = DEFAULT,
+    partitions: int | None = None,
+    persist_cand: bool = True,
+    persist_stage1: bool = True,
+) -> dict:
+    """One timed scheduling round over n_urls candidates."""
+    sc = spark.sparkContext
+    parts = partitions or sc.defaultParallelism * 2
+    distinct_space = int(n_urls * 0.75)  # ~25% in-batch duplicate URLs
+
+    frontier = (
+        spark.range(n_urls, numPartitions=parts)
+        .select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(distinct_space)).alias("uid"),
+            F.col("id"),
+        )
+        .select(
+            _url_expr().alias("url"),
+            F.lit(None).cast("string").alias("base_url"),
+            (F.col("id") % 1000).cast("int").alias("seed_rank"),
+            (F.col("id") % 11).cast("int").alias("page_no"),
+            (F.col("id") % 3).cast("int").alias("post_no"),
+            F.lit(0).alias("attempt"),
+        )
+    )
+
+    # pre-seeded seen set: 50% of the distinct space
+    seen = (
+        spark.range(distinct_space // 2, numPartitions=parts)
+        .select(F.col("id").alias("uid"), F.col("id"))
+        .select(_url_expr().alias("canon_url"))
+        .select(F.xxhash64("canon_url").alias("url_hash"), "canon_url")
+        .persist()
+    )
+    n_seen = seen.count()
+
+    # seen-filter state (engine build paths, distributed), outside the
+    # timed window — see _build_membership
+    membership = _build_membership(spark, seen, cfg)
 
     # politeness budgets are inherently small vs the frontier: that is
     # what keeps the per-host exact top-k (stage-2) bounded at
@@ -251,9 +262,16 @@ def bench_full_round(
                     psnrs.append(None)
             yield pd.DataFrame({"status": statuses, "psnr_db": psnrs})
 
+    # real seen-filter state from the preloaded seen set (previously the
+    # round job passed EMPTY bloom state, so maybe_seen was a constant
+    # False and the 37%-seen preload never exercised the prefilter or
+    # the anti-join — the round benchmark now pays the same membership
+    # cost per candidate that the scheduling benchmark does)
+    membership = _build_membership(spark, seen, cfg)
+
     t0 = time.time()
     cand = _host_path(_dedup_in_batch(_canonicalize(frontier)))
-    cand = _bloom_split(spark, cand, {}, cfg).persist()
+    cand = membership(cand).persist()
     _tmp = [cand]
     new = _dedup_against_seen(cand, seen)
     new = _robots_flag(new, robots_rules())

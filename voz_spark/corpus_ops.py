@@ -151,8 +151,23 @@ def q78_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
     ).where(F.length("term") > 2)
-    f = words.groupBy("source", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    df_t = words.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    # single corpus explode: ONE aggregation at (source, term) grain
+    # computes both tf and the per-source distinct-doc count; since a
+    # doc belongs to exactly one source, per-term df = SUM over sources
+    # of dfs. The persisted table is vocab×sources rows — bounded, not
+    # corpus-sized — so the double reference below never re-runs the
+    # corpus explode (Catalyst's per-branch column pruning would
+    # otherwise defeat exchange reuse and re-scan the corpus)
+    g = (
+        words.groupBy("source", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("dfs"),
+        )
+        .persist()
+    )
+    f = g.select("source", "term", "tf")
+    df_t = g.groupBy("term").agg(F.sum("dfs").cast("long").alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     s = (
         f.join(df_t, "term")
@@ -481,7 +496,9 @@ def q82_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
     ).where(F.col("word") != "")
     wf = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    tot = w.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # N_total == SUM(freq) by construction: derive it from the tiny
+    # frequency table instead of a third full corpus explode pass
+    tot = wf.agg(F.sum("freq").cast("long").alias("n_total"))
     rarity = F.round(F.col("n_total").cast("double") / F.col("freq"), 6).cast(
         "decimal(38,6)"
     )

@@ -462,9 +462,16 @@ def _validate_images(joined: DataFrame, cfg: CrawlConfig) -> DataFrame:
                 data, fmt = pdf["bytes"].iat[i], pdf["fmt"].iat[i]
                 w, h = pdf["w"].iat[i], pdf["h"].iat[i]
                 img_id, caption = pdf["image_id"].iat[i], pdf["caption"].iat[i]
-                idx = int(img_id[3:])
                 psnr_db[i] = None
                 caption_ok[i] = None
+                # kind classification labels every non-thread/page URL
+                # "image", so a URL without the 10-digit id yields
+                # img_id == "img" — a malformed row, never a crashed job
+                try:
+                    idx = int(img_id[3:])
+                except (TypeError, ValueError):
+                    status[i] = "bad_url"
+                    continue
                 if data is None:
                     status[i] = "missing"
                     continue

@@ -100,16 +100,35 @@ def _band_expr(k: int) -> str:
     return f"((phash >> {16 * k}) & 65535)"
 
 
+def _capped_pairs_sql(src: str = "p") -> str:
+    """Banded candidate-pair CTE block applying the SAME per-(band,
+    bucket) size cap the Spark path enforces (_neardup_pairs) — the
+    oracle mirrors the skew guard exactly, the q31 discipline. Yields
+    CTEs bx/okb/bxo/cand; cand has (id_a, ph_a, id_b, ph_b)."""
+    bands = "\n  UNION ALL ".join(
+        f"SELECT image_id, phash, {k} AS band_id, {_band_expr(k)} AS bucket FROM {src}"
+        for k in range(_BANDS)
+    )
+    return f"""
+bx AS ({bands}),
+okb AS (
+  SELECT band_id, bucket FROM bx GROUP BY band_id, bucket
+  HAVING COUNT(*) <= {_BUCKET_CAP}
+),
+bxo AS (SELECT bx.* FROM bx SEMI JOIN okb USING (band_id, bucket)),
+cand AS (
+  SELECT DISTINCT a.image_id AS id_a, a.phash AS ph_a,
+                  b.image_id AS id_b, b.phash AS ph_b
+  FROM bxo a JOIN bxo b USING (band_id, bucket)
+  WHERE a.image_id < b.image_id
+)"""
+
+
 _Q61_ORACLE = f"""
 WITH p AS (SELECT image_id, phash FROM read_parquet('{Q61_PHASH_PATH}/*.parquet')),
-pairs AS (
-  SELECT a.image_id AS id_a, b.image_id AS id_b,
-         bit_count(xor(a.phash, b.phash)) AS hamming
-  FROM p a JOIN p b ON a.image_id < b.image_id
-  WHERE {" OR ".join(f"{_band_expr(k).replace('phash', 'a.phash')} = {_band_expr(k).replace('phash', 'b.phash')}" for k in range(_BANDS))}
-)
-SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-FROM pairs WHERE hamming <= {_HAMMING_MAX}
+{_capped_pairs_sql()}
+SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
 ORDER BY hamming, id_a, id_b
 """
 
@@ -177,20 +196,14 @@ def q61_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q65_IMAGES_PATH = "/tmp/voz_spark_q65_images"
 
-_BAND_MATCH = " OR ".join(
-    f"{_band_expr(k).replace('phash', 'a.phash')} = {_band_expr(k).replace('phash', 'b.phash')}"
-    for k in range(_BANDS)
-)
-
 _Q65_ORACLE = f"""
 WITH RECURSIVE p AS (
   SELECT image_id, phash, w, h FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
 ),
+{_capped_pairs_sql()},
 pairs AS (
-  SELECT a.image_id AS id_a, b.image_id AS id_b
-  FROM p a JOIN p b ON a.image_id < b.image_id
-  WHERE ({_BAND_MATCH})
-    AND bit_count(xor(a.phash, b.phash)) <= {_HAMMING_MAX}
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
 ),
 sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
 nodes AS (SELECT DISTINCT u AS node FROM sym),
@@ -314,15 +327,15 @@ Q67_IMAGES_PATH = "/tmp/voz_spark_q67_images"
 _Q67_ORACLE = f"""
 WITH p AS (
   SELECT image_id, phash, caption FROM read_parquet('{Q67_IMAGES_PATH}/*.parquet')
-)
-SELECT a.image_id AS id_a, b.image_id AS id_b,
-       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
-       a.caption AS caption_a, b.caption AS caption_b
-FROM p a JOIN p b ON a.image_id < b.image_id
-WHERE ({_BAND_MATCH})
-  AND bit_count(xor(a.phash, b.phash)) <= {_HAMMING_MAX}
-  AND a.caption <> b.caption
-ORDER BY id_a, id_b
+),
+{_capped_pairs_sql()}
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(c.ph_a, c.ph_b)) AS INT) AS hamming,
+       pa.caption AS caption_a, pb.caption AS caption_b
+FROM cand c JOIN p pa ON pa.image_id = c.id_a JOIN p pb ON pb.image_id = c.id_b
+WHERE bit_count(xor(c.ph_a, c.ph_b)) <= {_HAMMING_MAX}
+  AND pa.caption <> pb.caption
+ORDER BY c.id_a, c.id_b
 """
 
 
