@@ -600,3 +600,94 @@ def q83_crossmodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cosine", "doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q84: bigram-LM fluency scoring — the context-CONDITIONAL half of the
+# n-gram-LM quality family (q82 is the context-free half): score each
+# document by the mean conditional likelihood P(w|prev) =
+# c(prev,w) / c(prev,·) of its adjacent token pairs under the corpus's
+# own bigram counts. Word-salad / shuffled / boilerplate-stitched text
+# has individually common words (q82 passes it) but rare TRANSITIONS —
+# exactly what CCNet-style LM perplexity filters catch; linear
+# likelihood instead of ln()-surprisal keeps the q82 exactness
+# guarantee (no libm divergence across engines).
+#
+# Scale shape: bigrams are built IN-ROW (transform over the token
+# array — no posexplode+window, so the corpus is never shuffled just
+# to pair neighbors); the bigram-count table shuffles once on the
+# (prev,w) key (md5-uniform words → no skew; at open-web scale it is
+# NOT broadcastable, so the score join stays a shuffle join there —
+# sandbox-size counts broadcast, mirroring q82); the context totals
+# c(prev,·) derive from the bigram table itself (vocabulary-bounded
+# aggregate, never a second corpus pass). Per-doc sums are
+# ROUND+DECIMAL so accumulation order never matters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q84_bigram_fluency",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(2, len(w)+1), i -> {'prev': w[i-1], 'wd': w[i]})) AS b
+  FROM ws WHERE len(w) >= 2
+),
+bgf AS (SELECT doc_id, b.prev AS prev, b.wd AS wd FROM bg),
+bf AS (SELECT prev, wd, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bgf GROUP BY prev, wd),
+cf AS (SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_ctx FROM bf GROUP BY prev),
+scored AS (
+  SELECT g.doc_id,
+         CAST(SUM(CAST(ROUND(CAST(b.c_bg AS DOUBLE) / c.c_ctx, 6) AS DECIMAL(38,6))) AS DOUBLE) AS cond_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM bgf g JOIN bf b USING (prev, wd) JOIN cf c USING (prev)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_bigrams, cond_sum / n_bigrams AS fluency
+FROM scored ORDER BY fluency, doc_id LIMIT 100
+""",
+)
+def q84_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-100 documents by mean bigram conditional likelihood
+    P(w|prev) under the corpus's own bigram counts (DECIMAL-exact) —
+    the context-sensitive LM fluency filter (CCNet-perplexity shape)."""
+    d = T(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").alias("w"),
+    ).where(F.size("w") >= 2)
+    # in-row neighbor pairing: one corpus scan, zero shuffles to form bigrams
+    bgf = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(w)), i -> struct(w[i-2] as prev, w[i-1] as wd))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.wd")
+    bf = bgf.groupBy("prev", "wd").agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+    # context totals from the bigram table (vocabulary-bounded), not a
+    # second corpus pass; attach them to bf so the corpus joins ONCE
+    cf = bf.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_ctx"))
+    lm = bf.join(cf, "prev")
+    cond = F.round(F.col("c_bg").cast("double") / F.col("c_ctx"), 6).cast(
+        "decimal(38,6)"
+    )
+    return (
+        bgf.join(F.broadcast(lm), ["prev", "wd"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(cond).cast("double").alias("cond_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("cond_sum") / F.col("n_bigrams")).alias("fluency"),
+        )
+        .orderBy("fluency", "doc_id")
+        .limit(100)
+    )

@@ -1241,6 +1241,132 @@ def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q85: audio featurization — the third modality of the image/audio/
+# video triple (q33/q35 cover the other two). PCM s16le decode is REAL
+# (np.frombuffer — raw PCM needs no codec library), so duration, RMS,
+# peak, zero-crossing rate, and dominant frequency (Goertzel over a
+# fixed candidate-bin set: deterministic, no FFT plan variance) are
+# all computed from actual decoded samples. Compressed audio (every
+# 7th row poses as mp3) takes the environment-gated stub path exactly
+# like q35's video: status='decode_unsupported', never a crashed job.
+#
+# Scale shape: generation and featurization are both mapInPandas over
+# Arrow batches (binary column + typed meta, the input_hint UDF
+# shape); zero shuffles — a 100 TB audio corpus streams partition-
+# local through this plan. Rows-only check (DuckDB cannot decode PCM);
+# semantics pinned by tests/test_media_ingest.py (pure-sine rows:
+# RMS == amp/sqrt(2), ZCR == 2f/sr, Goertzel picks the true tone).
+# ---------------------------------------------------------------------------
+
+_AUDIO_SR = 8000  # synth sample rate (Hz)
+_AUDIO_TONES = [220.0, 440.0, 880.0, 1760.0]  # Goertzel candidate bins
+
+
+def synth_audio_pcm(i: int, sr: int = _AUDIO_SR):
+    """Deterministic synthetic clip i: pure sine, s16le PCM bytes.
+    Tone/amp/length derive from i alone (no RNG state)."""
+    import numpy as np
+
+    freq = _AUDIO_TONES[i % len(_AUDIO_TONES)]
+    amp = 0.25 + 0.05 * (i % 5)  # 0.25..0.45 full-scale
+    n = sr // 2 + (i % 3) * sr // 4  # 0.5s / 0.75s / 1.0s
+    t = np.arange(n, dtype=np.float64) / sr
+    wave = amp * np.sin(2.0 * np.pi * freq * t)
+    return (wave * 32767.0).astype("<i2").tobytes(), freq, amp, n
+
+
+@register("q85_audio_features", oracle=None)
+def q85_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio rows (binary PCM + typed meta) → decoded features:
+    duration, RMS, peak, zero-crossing rate, dominant frequency."""
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                pcm, _, _, n = synth_audio_pcm(i)
+                fmt = "fake-mp3" if i % 7 == 0 else "pcm_s16le"
+                rows.append(
+                    {
+                        "audio_id": f"clip_{i:05d}",
+                        "bytes": pcm,
+                        "fmt": fmt,
+                        "sr": _AUDIO_SR,
+                        "n_ch": 1,
+                        "n_samples": n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    audio = spark.range(256).repartition(8).mapInPandas(
+        gen, "audio_id string, bytes binary, fmt string, sr int, n_ch int, n_samples int"
+    )
+
+    out_schema = (
+        "audio_id string, status string, duration_s double, rms double,"
+        " peak double, zcr double, dom_freq_hz double"
+    )
+
+    def decode_compressed_stub(fmt: str):
+        raise NotImplementedError(f"no {fmt} decoder in this environment")
+
+    def goertzel_power(x, sr, freq):
+        # O(n) per bin, exact same arithmetic on every platform
+        import numpy as np
+
+        w = 2.0 * np.pi * freq / sr
+        coeff = 2.0 * np.cos(w)
+        s0 = s1 = 0.0
+        for v in x:
+            s0, s1 = v + coeff * s0 - s1, s0
+        return s1 * s1 + s0 * s0 - coeff * s0 * s1
+
+    def features(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    if r["fmt"] != "pcm_s16le":
+                        decode_compressed_stub(r["fmt"])
+                    x = (
+                        np.frombuffer(bytes(r["bytes"]), dtype="<i2").astype(np.float64)
+                        / 32767.0
+                    )
+                    sr = int(r["sr"])
+                    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    # Goertzel on a bounded head window: per-row cost is
+                    # O(window x bins) regardless of clip length
+                    head = x[: min(len(x), 2048)]
+                    powers = [goertzel_power(head, sr, f) for f in _AUDIO_TONES]
+                    dom = _AUDIO_TONES[int(np.argmax(powers))]
+                    rows.append(
+                        (
+                            r["audio_id"],
+                            "ok",
+                            round(len(x) / sr, 6),
+                            float(round(float(np.sqrt(np.mean(x * x))), 6)),
+                            float(round(float(np.max(np.abs(x))), 6)),
+                            float(round(zc / max(len(x) - 1, 1), 6)),
+                            dom,
+                        )
+                    )
+                except NotImplementedError:
+                    rows.append((r["audio_id"], "decode_unsupported", None, None, None, None, None))
+                except Exception:
+                    rows.append((r["audio_id"], "decode_error", None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "status", "duration_s", "rms", "peak", "zcr", "dom_freq_hz",
+                ],
+            )
+
+    return audio.mapInPandas(features, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash sampling + dataset splitting. Training pipelines
 # need reproducible sampling that (a) never shuffles, (b) gives the
 # same answer under any partitioning / engine / re-run, and (c) keeps

@@ -154,3 +154,91 @@ def q63_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86: raw-file ingest via Spark's `binaryFile` source — the missing
+# first hop of every multimodal pipeline: media arrives as FILES (an
+# object-store prefix of .png/.vqz blobs), not as parquet rows. The
+# reference's analogue is the image download loop writing loose files
+# (src/image_processor.py:77-118); here the directory is read back as
+# a DataFrame in ONE distributed scan (`format("binaryFile")` gives
+# path/length/content), decoded in mapInPandas with the repo codecs,
+# and normalized into the images-table shape.
+#
+# Scale shape: binaryFile splits the listing across executors (each
+# task reads its own files — no driver loop over paths) and pushes the
+# glob down to the listing; decode is Arrow-batched partition-local
+# (zero shuffles until the final order for display). At 100 TB you
+# would raise spark.sql.files.maxPartitionBytes so each task batches
+# many small blobs. Rows-only check (the content column is binary);
+# decode fidelity vs the generator is pinned in
+# tests/test_media_ingest.py.
+# ---------------------------------------------------------------------------
+
+_BINFILE_N = 64
+
+
+def _binaryfile_fixture_dir() -> str:
+    """Write the deterministic media files once (idempotent): one
+    .png/.vqz file per synth image, named <image_id>.<fmt>."""
+    from voz_spark import synth
+
+    base = os.path.join(tempfile.gettempdir(), "voz-binfiles-v1")
+    done = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        for i in range(_BINFILE_N):
+            r = synth.image_row(i)
+            p = os.path.join(base, f"{r['image_id']}.{r['fmt']}")
+            with open(p, "wb") as fh:
+                fh.write(r["bytes"])
+        with open(done, "w") as fh:
+            fh.write(str(_BINFILE_N))
+    return base
+
+
+@register("q86_binaryfile_ingest", oracle=None)
+def q86_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory of raw .png/.vqz blobs → images-table rows: one
+    distributed binaryFile scan + Arrow-batched codec decode."""
+    import numpy as np
+    import pandas as pd
+
+    from voz_spark.codec import decode_image
+
+    base = _binaryfile_fixture_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.*")
+        .load(base)
+        .where(~F.col("path").endswith("_COMPLETE"))
+        .select("path", "length", "content")
+    )
+
+    out_schema = (
+        "image_id string, fmt string, file_len bigint, status string,"
+        " w int, h int, mean_px double"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                name = r["path"].rsplit("/", 1)[-1]
+                image_id, fmt = name.rsplit(".", 1)
+                try:
+                    px = decode_image(bytes(r["content"]), fmt).astype(np.float64)
+                    rows.append(
+                        (image_id, fmt, int(r["length"]), "ok",
+                         int(px.shape[1]), int(px.shape[0]), float(round(px.mean(), 6)))
+                    )
+                except Exception:
+                    rows.append((image_id, fmt, int(r["length"]), "decode_error",
+                                 None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "fmt", "file_len", "status", "w", "h", "mean_px"],
+            )
+
+    return files.mapInPandas(decode, out_schema).orderBy("image_id")
