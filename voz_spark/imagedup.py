@@ -63,6 +63,32 @@ def images_df(spark: SparkSession, n: int, rehost_every: int | None = None) -> D
     return spark.range(n).repartition(8).mapInPandas(gen, schemas.IMAGES)
 
 
+def _materialized(spark: SparkSession, path: str, tag: str, build) -> DataFrame:
+    """Write-once deterministic fixture: ``build()`` runs only if
+    ``path`` was not already materialized under the same ``tag``. The
+    fixture is a pure function of the tag (seeded synth, no RNG
+    state), so reuse is exact — and the MEASURED operator is the query
+    over the table, not the Python-side corpus generation (encode +
+    DCT pHash per image), which previously re-ran on every call.
+    Spark ignores underscore-prefixed files in a parquet directory and
+    the DuckDB oracles glob ``*.parquet``, so the marker is invisible
+    to both readers."""
+    import os
+
+    marker = os.path.join(path, "_VOZ_FIXTURE")
+    want = f"v1:{tag}"
+    try:
+        with open(marker) as fh:
+            have = fh.read()
+    except OSError:
+        have = None
+    if have != want:
+        build().coalesce(1).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(want)
+    return spark.read.parquet(path)
+
+
 @register("q60_image_phash", oracle=None)
 def q60_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode every image and re-derive its perceptual hash; compare
@@ -174,14 +200,12 @@ def q61_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle applies the same band semantics to the same parquet rows
     (brute-force there — fine at oracle scale), so the driver check is
     a full value-hash match, not rows-only."""
-    (
-        images_df(spark, _N_IMAGES)
-        .select("image_id", "phash")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(Q61_PHASH_PATH)
+    p = _materialized(
+        spark,
+        Q61_PHASH_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
     )
-    p = spark.read.parquet(Q61_PHASH_PATH)
     return _neardup_pairs(p).orderBy("hamming", "id_a", "id_b")
 
 
@@ -236,14 +260,12 @@ def q65_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from voz_spark.graph import connected_components
 
-    (
-        images_df(spark, _N_IMAGES)
-        .select("image_id", "phash", "w", "h")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(Q65_IMAGES_PATH)
+    p = _materialized(
+        spark,
+        Q65_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,w,h",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "w", "h"),
     )
-    p = spark.read.parquet(Q65_IMAGES_PATH)
     pairs = _neardup_pairs(p)
     cc = connected_components(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -295,14 +317,12 @@ def q66_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every idx % 9 == 4 image is also re-hosted under a second id: one
     hash aggregate on the content key — the uniform-key shuffle shape
     that holds at any scale (the md5 domain has no skew)."""
-    (
-        images_df(spark, _N_IMAGES, rehost_every=9)
-        .select("image_id", "bytes")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(Q66_BYTES_PATH)
+    b = _materialized(
+        spark,
+        Q66_BYTES_PATH,
+        f"n={_N_IMAGES};rehost=9;cols=id,bytes",
+        lambda: images_df(spark, _N_IMAGES, rehost_every=9).select("image_id", "bytes"),
     )
-    b = spark.read.parquet(Q66_BYTES_PATH)
     return (
         b.groupBy(F.md5(F.hex("bytes")).alias("content_md5"))
         .agg(
@@ -345,14 +365,12 @@ def q67_caption_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ — candidate label noise. Captions ride the existing pair
     join via two slim (image_id, caption) lookups; no new shuffle
     shape beyond q61's."""
-    (
-        images_df(spark, _N_IMAGES)
-        .select("image_id", "phash", "caption")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(Q67_IMAGES_PATH)
+    p = _materialized(
+        spark,
+        Q67_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,caption",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "caption"),
     )
-    p = spark.read.parquet(Q67_IMAGES_PATH)
     pairs = _neardup_pairs(p)
     caps = p.select("image_id", "caption")
     return (
@@ -414,16 +432,14 @@ def q69_image_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aspect-ratio, and bytes-per-pixel gates over (w, h, fmt,
     octet_length(bytes)) only — integer predicates, one scan, one
     count aggregate."""
-    (
-        images_df(spark, _N_IMAGES)
-        .select(
+    p = _materialized(
+        spark,
+        Q69_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,w,h,fmt,n_bytes",
+        lambda: images_df(spark, _N_IMAGES).select(
             "image_id", "w", "h", "fmt", F.octet_length("bytes").alias("n_bytes")
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(Q69_IMAGES_PATH)
+        ),
     )
-    p = spark.read.parquet(Q69_IMAGES_PATH)
     too_small = F.least("w", "h") < 32
     bad_aspect = F.greatest("w", "h") > 2 * F.least("w", "h")
     bad_density = (F.col("n_bytes") > 3 * F.col("w") * F.col("h")) | (
@@ -482,14 +498,12 @@ def q71_phash_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical distance + ranking on the same parquet rows."""
     from pyspark.sql import Window
 
-    (
-        images_df(spark, _N_IMAGES)
-        .select("image_id", "phash")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(Q71_IMAGES_PATH)
+    p = _materialized(
+        spark,
+        Q71_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
     )
-    p = spark.read.parquet(Q71_IMAGES_PATH)
     q = p.where(
         F.substring("image_id", 4, 100).cast("long") % _Q71_QUERY_EVERY == 0
     ).select(F.col("image_id").alias("query_id"), F.col("phash").alias("qhash"))
@@ -550,18 +564,19 @@ def q74_stock_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Captions shared by multiple images, flagged stock when they
     span >= 3 images AND >= 3 distinct visuals (phash): one shuffle on
     the normalized caption, both aggregates map-side combinable."""
-    base = images_df(spark, _N_IMAGES).select("image_id", "caption", "phash")
-    idx = F.substring("image_id", 4, 100).cast("long")
-    planted = base.withColumn(
-        "caption",
-        F.when(idx % 9 == 1, F.lit("  Anh minh hoa "))
-        .when(idx % 23 == 2, F.lit("xem chi tiet trong bai"))
-        .otherwise(F.col("caption")),
+    def _build():
+        base = images_df(spark, _N_IMAGES).select("image_id", "caption", "phash")
+        idx = F.substring("image_id", 4, 100).cast("long")
+        return base.withColumn(
+            "caption",
+            F.when(idx % 9 == 1, F.lit("  Anh minh hoa "))
+            .when(idx % 23 == 2, F.lit("xem chi tiet trong bai"))
+            .otherwise(F.col("caption")),
+        )
+
+    p = _materialized(
+        spark, Q74_IMAGES_PATH, f"n={_N_IMAGES};plant=9/23", _build
     )
-    (
-        planted.coalesce(1).write.mode("overwrite").parquet(Q74_IMAGES_PATH)
-    )
-    p = spark.read.parquet(Q74_IMAGES_PATH)
     return (
         p.groupBy(F.lower(F.trim("caption")).alias("caption_norm"))
         .agg(
