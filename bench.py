@@ -38,6 +38,7 @@ EXTRA = [
     "q62_bucketed_join",
     "q80_semantic_dedup",
     "q81_dup_span_fraction",
+    "q84_bigram_fluency",
 ]
 
 
