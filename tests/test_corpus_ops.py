@@ -93,3 +93,25 @@ def test_crossmodal_audit_matches_neardup_pairs(spark):
     assert audit.count() == n_pairs
     # cosine in [-1, 1]
     assert audit.where((F.col("cosine") < -1.0) | (F.col("cosine") > 1.0)).count() == 0
+
+
+def test_corpus_build_composes_gate_dedup_sample(spark, sf_dir):
+    """q87's manifest must be consistent with its component operators:
+    every shipped doc passed the q73 gates (n_tokens >= 20), carries a
+    valid split, appears once, and its (doc_id, lang, split) row is
+    exactly q58's decision for that doc."""
+    from voz_spark.corpus_ops import q87_corpus_build
+    from voz_spark.dataprep import q58_hash_split_sample
+
+    built = q87_corpus_build(spark, sf_dir).collect()
+    assert built, "corpus build shipped nothing"
+    ids = [r["doc_id"] for r in built]
+    assert len(ids) == len(set(ids))
+    q58 = {
+        r["doc_id"]: (r["lang"], r["split"])
+        for r in q58_hash_split_sample(spark, sf_dir).collect()
+    }
+    for r in built:
+        assert r["n_tokens"] >= 20  # g_short would have dropped it
+        assert r["split"] in ("train", "val", "test")
+        assert q58[r["doc_id"]] == (r["lang"], r["split"])

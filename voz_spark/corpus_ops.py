@@ -691,3 +691,144 @@ def q84_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("fluency", "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q87: the corpus BUILD — the end-to-end composition a shipping corpus
+# actually runs, in ONE lazy DAG: quality gates (q73's integer-exact
+# length/repetition/quality predicates) → exact content dedup (md5,
+# min-doc_id survivor) → language-stratified deterministic downsample
+# + decorrelated train/val/test split (q58's md5-slice rule). Each
+# stage exists as its own audited operator; this query proves they
+# COMPOSE without materialization barriers — Catalyst plans the whole
+# pipeline as one job.
+#
+# Scale shape: gate signals fold in-row on the scan (no explode
+# shuffle); the dedup window is the single corpus-sized Exchange
+# (md5-uniform key, no skew); sampling/split are pure projections that
+# Catalyst pushes after the dedup filter. One scan, one shuffle, then
+# column math — at 100 TB the build is parquet-bandwidth-bound plus
+# one exchange of the survivors.
+# ---------------------------------------------------------------------------
+
+
+def _q87_oracle() -> str:
+    from voz_spark.dataprep import _LANG_STOPS
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_word,
+         CAST(SUM(CASE WHEN word IN {_LANG_STOPS} THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM wc GROUP BY doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.source, d.text, s.n_words
+  FROM documents d JOIN sig s USING (doc_id)
+  WHERE NOT (
+       (s.n_words < 20)
+    OR (10 * (s.n_words - s.n_distinct) > 3 * s.n_words OR 5 * s.top_word > s.n_words)
+    OR (20 * s.stop_hits < s.n_words
+        OR 5 * length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) > d.n_chars)
+  )
+),
+dd AS (
+  SELECT doc_id, lang, source, n_words,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM kept
+),
+samp AS (
+  SELECT doc_id, lang, source, n_words,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hs,
+         substr(md5(CAST(doc_id AS VARCHAR)), 5, 4) AS hsplit
+  FROM dd WHERE rn = 1
+)
+SELECT doc_id, lang, source, CAST(n_words AS BIGINT) AS n_tokens,
+       CASE WHEN hsplit < 'cccc' THEN 'train'
+            WHEN hsplit < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM samp
+WHERE hs < CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN 'c000'
+                     WHEN 'es' THEN 'c000' ELSE 'ffff' END
+ORDER BY doc_id
+"""
+
+
+@register("q87_corpus_build", oracle=_q87_oracle())
+def q87_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build in one DAG: quality gates → exact
+    content dedup → stratified sample + train/val/test split. The
+    shipped-document manifest (doc_id, lang, source, n_tokens, split)."""
+    from pyspark.sql import Window
+
+    from voz_spark.dataprep import _LANG_STOPS, _MAX_RUN, _SPLIT_SLICE
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "n_chars",
+        F.split(F.trim("text"), r"\s+").alias("ws"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_punct"),
+    )
+    s = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "n_chars",
+        "n_punct",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
+        F.expr(_MAX_RUN.format(arr="ws")).alias("top_word"),
+        F.expr(
+            f"aggregate(transform(ws, x -> CASE WHEN x IN {_LANG_STOPS} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a,b) -> a + b)"
+        ).alias("stop_hits"),
+    )
+    g_short = F.col("n_words") < 20
+    g_rep = (10 * (F.col("n_words") - F.col("n_distinct")) > 3 * F.col("n_words")) | (
+        5 * F.col("top_word") > F.col("n_words")
+    )
+    g_qual = (20 * F.col("stop_hits") < F.col("n_words")) | (
+        5 * F.col("n_punct") > F.col("n_chars")
+    )
+    kept = s.where(~(g_short | g_rep | g_qual))
+    dd = (
+        kept.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    hexes = F.md5(F.col("doc_id").cast("string"))
+    hs = F.substring(hexes, 1, 4)
+    hsplit = F.substring(hexes, *_SPLIT_SLICE)
+    th = (
+        F.when(F.col("lang") == "en", "8000")
+        .when(F.col("lang").isin("zh", "es"), "c000")
+        .otherwise("ffff")
+    )
+    return (
+        dd.where(hs < th)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_words").cast("long").alias("n_tokens"),
+            F.when(hsplit < "cccc", "train")
+            .when(hsplit < "e666", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
