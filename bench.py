@@ -78,10 +78,11 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
 
-    # best of 2: this box sees large co-tenant wall-clock swings
-    # (BENCH/BASELINE.md notes); the second run is also codegen-warm
+    # best of 3 for the headline metric: this box sees large co-tenant
+    # wall-clock swings (BENCH/BASELINE.md notes; one observed window
+    # halved a single run) — the later runs are also codegen-warm
     frontier = None
-    for _ in range(2):
+    for _ in range(3):
         r = bench_frontier_schedule(spark, n_urls=n_frontier)
         if frontier is None or r["urls_per_sec"] > frontier["urls_per_sec"]:
             frontier = r
