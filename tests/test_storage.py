@@ -69,3 +69,20 @@ def test_partition_pruning_scans_only_window(spark, sf_dir):
     n_selected = pruned.select(F.countDistinct("event_date")).first()[0]
     assert n_selected == 5
     assert n_days_total > n_selected
+
+
+def test_incremental_agg_delta_is_nontrivial(spark, sf_dir):
+    """q88's merge is only evidence if both sides contribute: the base
+    and delta partitions must each be non-empty and disjoint, and the
+    merged view must equal the full recompute (the oracle asserts the
+    latter bit-exactly; here we pin the split itself)."""
+    import pyspark.sql.functions as F
+
+    from voz_spark.session import load_table as T
+    from voz_spark.storage import _DELTA_MOD
+
+    d = T(spark, sf_dir, "documents")
+    n_delta = d.where(F.pmod("doc_id", F.lit(_DELTA_MOD)) == 3).count()
+    n_base = d.where(F.pmod("doc_id", F.lit(_DELTA_MOD)) != 3).count()
+    assert n_delta > 0 and n_base > 0
+    assert n_delta + n_base == d.count()

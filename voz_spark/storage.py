@@ -242,3 +242,74 @@ def q86_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return files.mapInPandas(decode, out_schema).orderBy("image_id")
+
+
+# ---------------------------------------------------------------------------
+# q88: incremental aggregate maintenance — the don't-rescan-the-corpus
+# lever: a per-(source, lang) stats table maintained as a materialized
+# partial-aggregate, updated by MERGING yesterday's partials with the
+# delta batch's partials instead of recomputing over the full corpus.
+# Works for any commutative-mergeable aggregate (count/sum/min/max
+# here; sketches like q59's KMV merge the same way). The reference's
+# analogue is its cache-driven incrementality (only new threads are
+# crawled, src/thread_crawler.py:46-59) — applied to analytics.
+#
+# Scale shape: the full corpus is scanned ONCE ever (the base
+# partials); each update scans only the delta and merges two
+# |sources×langs|-row tables — at 100 TB the daily update costs
+# O(delta) + a tiny merge, not O(corpus). The DuckDB oracle is the
+# FULL recompute over all documents, so the driver check proves the
+# merge algebra is exact, not approximately right.
+# ---------------------------------------------------------------------------
+
+_DELTA_MOD = 11  # doc_id % 11 == 3 plays the role of "today's arrivals"
+
+
+@register(
+    "q88_incremental_agg",
+    oracle="""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+)
+def q88_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus stats maintained incrementally: base
+    partials (the standing materialized view) merged with the delta
+    batch's partials — the result must equal the full recompute (the
+    oracle), proving the merge algebra exact."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+
+    is_delta = F.pmod("doc_id", F.lit(_DELTA_MOD)) == 3
+    base = partials(d.where(~is_delta))  # the standing view (scanned once ever)
+    delta = partials(d.where(is_delta))  # today's arrivals only
+    merged = base.unionByName(delta)
+    return (
+        merged.groupBy("source", "lang")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("min_chars").cast("long").alias("min_chars"),
+            F.max("max_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source", "lang")
+    )
