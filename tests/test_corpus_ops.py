@@ -115,3 +115,66 @@ def test_corpus_build_composes_gate_dedup_sample(spark, sf_dir):
         assert r["n_tokens"] >= 20  # g_short would have dropped it
         assert r["split"] in ("train", "val", "test")
         assert q58[r["doc_id"]] == (r["lang"], r["split"])
+
+
+def test_q90_rank_formulation_matches_window_reference(spark, sf_dir):
+    """q90 computes first-relevant rank WITHOUT a corpus window (best
+    relevant + count-strictly-ahead). Pin it against the independent
+    window formulation (row_number over the same total order) computed
+    here in Spark, plus hand checks on the aggregates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from voz_spark.corpus_ops import _Q90_PROBES, q90_retrieval_eval
+    from voz_spark.dataprep import _DOT_SPARK
+    from voz_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _Q90_PROBES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("nlabel"),
+    )
+    scored = (
+        q.crossJoin(e)
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            "nlabel",
+            F.round(
+                F.expr(_DOT_SPARK.format(a="qe", b="ne"))
+                / F.sqrt(
+                    F.expr(_DOT_SPARK.format(a="qe", b="qe"))
+                    * F.expr(_DOT_SPARK.format(a="ne", b="ne"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    ref = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("qid", "qlabel")
+        .agg(F.min("rnk").alias("first_rank"))
+        .collect()
+    )
+    # aggregate the window reference per label and compare with q90
+    agg: dict[int, list[int]] = {}
+    for r in ref:
+        agg.setdefault(r.qlabel, []).append(r.first_rank)
+    out = {r.label: r for r in q90_retrieval_eval(spark, sf_dir).collect()}
+    assert set(out) == set(agg)
+    for label, ranks in agg.items():
+        r = out[label]
+        assert r.n_queries == len(ranks)
+        assert r.hits_at_1 == sum(1 for k in ranks if k == 1)
+        assert r.hits_at_5 == sum(1 for k in ranks if k <= 5)
+        assert abs(r.mrr - sum(round(1.0 / k, 9) for k in ranks) / len(ranks)) < 1e-12

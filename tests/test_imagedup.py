@@ -126,3 +126,39 @@ def test_q67_mismatch_is_subset_of_neardups(spark, sf_dir):
     for r in mm:
         assert (r.id_a, r.id_b) in nd
         assert r.caption_a != r.caption_b
+
+
+def test_q89_batches_are_deterministic_and_full(spark, sf_dir):
+    """Aspect-bucket batch assembly invariants: every image lands in
+    exactly one batch; batches never exceed B and never mix buckets;
+    within a (bucket, shard) batch ids are dense from 0 and only the
+    LAST batch may be short; the bucket is the nearest ladder entry to
+    the integer milli-ratio (ties to the narrower bucket)."""
+    from voz_spark.imagedup import (
+        _N_IMAGES,
+        _Q89_BATCH,
+        _Q89_BUCKETS,
+        q89_aspect_bucket_batches,
+    )
+
+    rows = q89_aspect_bucket_batches(spark, sf_dir).collect()
+    assert sum(r.n_images for r in rows) == _N_IMAGES
+    by_group: dict[tuple, list] = {}
+    for r in rows:
+        assert 1 <= r.n_images <= _Q89_BATCH
+        assert r.bucket_milli in _Q89_BUCKETS
+        assert r.min_ratio_milli <= r.max_ratio_milli
+        by_group.setdefault((r.bucket_milli, r.shard), []).append(r)
+    for grp in by_group.values():
+        grp.sort(key=lambda r: r.batch_id)
+        assert [r.batch_id for r in grp] == list(range(len(grp)))
+        for r in grp[:-1]:  # every batch but the last is full
+            assert r.n_images == _Q89_BATCH
+    # nearest-bucket rule on the batch ratio envelope: every ratio in
+    # [min,max] must be at least as close to its bucket as to any other
+    for r in rows:
+        for x in (r.min_ratio_milli, r.max_ratio_milli):
+            d_own = abs(x - r.bucket_milli)
+            for b in _Q89_BUCKETS:
+                d_b = abs(x - b)
+                assert d_own < d_b or (d_own == d_b and r.bucket_milli <= b)

@@ -832,3 +832,154 @@ def q87_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q90: retrieval-quality evaluation (recall@k + MRR) — the eval loop a
+# multimodal training pipeline runs after building its embedding index
+# (CLIP-style: does nearest-neighbor search return the right items?).
+# Queries are a bounded probe set; a neighbor is RELEVANT when it
+# shares the query's label; per label we report recall@1, recall@5 and
+# the mean reciprocal rank of the first relevant neighbor.
+#
+# Exactness: cosine is q29's in-row left fold rounded to 6dp; the rank
+# of the first relevant neighbor is computed WITHOUT a corpus-sized
+# window — it equals 1 + |{neighbors strictly ahead of the best
+# relevant one under the total order (cosine DESC, nid ASC)}|, a pure
+# hash aggregate. Reciprocal ranks go through ROUND + DECIMAL so the
+# per-label sum is order-independent; the final mean is one IEEE
+# division of identical exact operands (the q82 discipline). The
+# DuckDB oracle uses the window formulation of the same total order —
+# provably the same first_rank.
+#
+# Scale shape: the probe set broadcasts (it is small by construction);
+# the corpus is scanned twice (best-relevant pass, count-ahead pass) —
+# each pass is broadcast-join + map-side-combined aggregate on ≤|probe|
+# keys, so NOTHING corpus-sized ever shuffles. A window formulation
+# would sort |corpus| rows per query; this one never does.
+# ---------------------------------------------------------------------------
+
+_Q90_PROBES = 50
+
+
+def _q90_oracle() -> str:
+    from voz_spark.dataprep import _DOT_DUCK
+
+    dot = _DOT_DUCK.format(a="qe", b="ne")
+    qq = _DOT_DUCK.format(a="qe", b="qe")
+    nn = _DOT_DUCK.format(a="ne", b="ne")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < {_Q90_PROBES}
+),
+e AS (SELECT vec_id AS nid, embedding AS ne, label AS nlabel FROM embeddings),
+scored AS (
+  SELECT qid, qlabel, nid, nlabel,
+         ROUND({dot} / sqrt({qq} * {nn}), 6) AS cosine
+  FROM q, e WHERE qid <> nid
+),
+ranked AS (
+  SELECT qid, qlabel, nlabel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+),
+firstrel AS (
+  SELECT qid, qlabel, MIN(rnk) AS first_rank
+  FROM ranked WHERE nlabel = qlabel GROUP BY qid, qlabel
+)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN first_rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+       CAST(SUM(CASE WHEN first_rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5,
+       CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / first_rank, 9) AS DECIMAL(38,9))) AS DOUBLE)
+         / COUNT(*) AS mrr
+FROM firstrel GROUP BY qlabel ORDER BY qlabel
+"""
+
+
+@register("q90_retrieval_eval", oracle=_q90_oracle())
+def q90_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label recall@1/@5 and MRR of label-relevant nearest-neighbor
+    retrieval over the embedding table, probe set = vec_id < 50. The
+    first-relevant rank is two broadcast-side hash aggregates (best
+    relevant neighbor, then count-strictly-ahead) — no corpus window."""
+    from voz_spark.dataprep import _DOT_SPARK
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _Q90_PROBES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("nlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            "nlabel",
+            F.round(
+                F.expr(_DOT_SPARK.format(a="qe", b="ne"))
+                / F.sqrt(
+                    F.expr(_DOT_SPARK.format(a="qe", b="qe"))
+                    * F.expr(_DOT_SPARK.format(a="ne", b="ne"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    # best relevant neighbor per probe under (cosine DESC, nid ASC):
+    # max of (cosine, -nid) — ≤ |probe| rows, broadcasts back
+    best = (
+        scored.where(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine").alias("c"), (-F.col("nid")).alias("m"))
+            ).alias("b")
+        )
+        .select("qid", F.col("b.c").alias("bc"), F.col("b.m").alias("bm"))
+    )
+    ahead = (F.col("cosine") > F.col("bc")) | (
+        (F.col("cosine") == F.col("bc")) & ((-F.col("nid")) > F.col("bm"))
+    )
+    per_q = (
+        scored.join(F.broadcast(best), "qid")
+        .groupBy("qid", "qlabel")
+        .agg(
+            (1 + F.sum(F.when(ahead, 1).otherwise(0))).cast("long").alias("first_rank")
+        )
+    )
+    return (
+        per_q.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("first_rank") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_at_1"),
+            F.sum(F.when(F.col("first_rank") <= 5, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_at_5"),
+            F.sum(
+                F.round(F.lit(1.0) / F.col("first_rank"), 9).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("rr_sum"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "hits_at_1",
+            "hits_at_5",
+            (F.col("rr_sum") / F.col("n_queries")).alias("mrr"),
+        )
+        .orderBy("label")
+    )

@@ -595,3 +595,114 @@ def q74_stock_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("caption_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# q89: aspect-ratio bucketed training-batch assembly — the image twin
+# of q72's sequence packing. Image training (SDXL-style multi-aspect
+# batching) cannot mix shapes inside a batch: every image is snapped
+# to the nearest canonical aspect bucket, then batches of B are cut
+# within each bucket. The reference stores raw files and leaves
+# batching to a later offline tool (src/image_processor.py keeps only
+# the files); at 10^10 images batch assembly must itself be a
+# distributed, deterministic plan.
+#
+# Exactness: ratio and bucket selection are pure INTEGER arithmetic
+# (milli-ratio via floor division; nearest bucket via 2*r-vs-midpoint
+# comparisons, tie -> the narrower bucket), so both engines agree
+# bit-for-bit with no float thresholds. Batch cutting is the q72 rule:
+# deterministic order (image_id) inside (bucket, shard), batch_id =
+# floor(rank/B).
+#
+# Scale shape: one scan + one shuffle on (bucket, shard). The shard
+# key (first md5 hex char of image_id -> 16 shards) exists ONLY so the
+# per-bucket window never collapses a 10^10-image bucket onto one
+# partition: batches are cut per (bucket, shard) independently —
+# training doesn't care about a global order, exactly like q72's
+# per-shard packing. At crawl scale raise the shard fan-out; the
+# md5 domain is uniform so the shuffle has no skew.
+# ---------------------------------------------------------------------------
+
+_Q89_BATCH = 8
+_Q89_BUCKETS = [333, 500, 750, 1000, 1333, 1778, 2000, 3000]
+# nearest-bucket CASE over milli-ratio r: boundaries are midpoints of
+# adjacent buckets, compared as 2*r <= (b_i + b_{i+1}) so equidistant
+# ties go to the narrower bucket — identical text in both engines.
+_Q89_BUCKET_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN 2 * r <= {_Q89_BUCKETS[i] + _Q89_BUCKETS[i + 1]} THEN {_Q89_BUCKETS[i]}"
+        for i in range(len(_Q89_BUCKETS) - 1)
+    )
+    + f" ELSE {_Q89_BUCKETS[-1]} END"
+)
+
+_Q89_ORACLE = f"""
+WITH p AS (
+  SELECT image_id, CAST((w * 1000) // h AS BIGINT) AS r
+  FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+b AS (
+  SELECT image_id, r,
+         CAST({_Q89_BUCKET_CASE} AS BIGINT) AS bucket_milli,
+         substr(md5(image_id), 1, 1) AS shard
+  FROM p
+),
+placed AS (
+  SELECT bucket_milli, shard, image_id, r,
+         ROW_NUMBER() OVER (PARTITION BY bucket_milli, shard ORDER BY image_id) - 1 AS rn
+  FROM b
+)
+SELECT bucket_milli, shard,
+       CAST(rn // {_Q89_BATCH} AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(r) AS BIGINT) AS min_ratio_milli,
+       CAST(MAX(r) AS BIGINT) AS max_ratio_milli,
+       MIN(image_id) AS first_id,
+       MAX(image_id) AS last_id
+FROM placed
+GROUP BY bucket_milli, shard, batch_id
+ORDER BY bucket_milli, shard, batch_id
+"""
+
+
+@register("q89_aspect_bucket_batches", oracle=_Q89_ORACLE)
+def q89_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap every image to the nearest canonical aspect bucket
+    (integer milli-ratio, midpoint rule) and cut deterministic
+    training batches of {B} inside each (bucket, md5-shard); emit the
+    per-batch manifest. One shuffle on the (bucket, shard) key."""
+    from pyspark.sql import Window
+
+    p = _materialized(
+        spark,
+        Q65_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,w,h",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "w", "h"),
+    )
+    b = p.selectExpr(
+        "image_id",
+        "CAST((w * 1000) div h AS BIGINT) AS r",
+    ).selectExpr(
+        "image_id",
+        "r",
+        f"CAST({_Q89_BUCKET_CASE} AS BIGINT) AS bucket_milli",
+        "substr(md5(image_id), 1, 1) AS shard",
+    )
+    win = Window.partitionBy("bucket_milli", "shard").orderBy("image_id")
+    placed = b.withColumn("rn", F.row_number().over(win) - 1)
+    return (
+        placed.groupBy(
+            "bucket_milli",
+            "shard",
+            F.expr(f"CAST(rn div {_Q89_BATCH} AS BIGINT)").alias("batch_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("r").cast("long").alias("min_ratio_milli"),
+            F.max("r").cast("long").alias("max_ratio_milli"),
+            F.min("image_id").alias("first_id"),
+            F.max("image_id").alias("last_id"),
+        )
+        .orderBy("bucket_milli", "shard", "batch_id")
+    )
