@@ -162,3 +162,38 @@ def test_q89_batches_are_deterministic_and_full(spark, sf_dir):
             for b in _Q89_BUCKETS:
                 d_b = abs(x - b)
                 assert d_own < d_b or (d_own == d_b and r.bucket_milli <= b)
+
+
+def test_q91_caption_canon_rule(spark, sf_dir):
+    """The canonical caption must be the (max length, then lexicographic
+    max) element of each byte-identical group — recomputed here from the
+    fixture rows directly — and the mirror world must exercise BOTH
+    directions of the rule (truncated mirror loses, extended mirror wins)."""
+    from voz_spark.imagedup import Q91_BYTES_PATH, q91_caption_canon
+
+    out = {r.content_md5: r for r in q91_caption_canon(spark, sf_dir).collect()}
+    assert out, "no duplicate groups found"
+
+    fixture = spark.read.parquet(Q91_BYTES_PATH).selectExpr(
+        "md5(hex(bytes)) AS content_md5", "caption"
+    )
+    groups: dict[str, list[str]] = {}
+    for r in fixture.collect():
+        groups.setdefault(r.content_md5, []).append(r.caption)
+
+    mirror_wins = orig_wins = 0
+    for md5, row in out.items():
+        caps = groups[md5]
+        assert row.n_copies == len(caps)
+        assert row.n_caption_variants == len(set(caps))
+        expected = max(caps, key=lambda c: (len(c), c))
+        assert row.canonical_caption == expected
+        if "gương" in expected:
+            mirror_wins += 1
+        else:
+            orig_wins += 1
+    assert mirror_wins > 0 and orig_wins > 0
+    # groups with a single caption variant never appear with n_copies < 2
+    for md5, caps in groups.items():
+        if len(caps) >= 2:
+            assert md5 in out

@@ -706,3 +706,93 @@ def q89_aspect_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_milli", "shard", "batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q91: canonical caption selection. After exact dedup (q66) collapses
+# byte-identical mirrors, the surviving training row still needs ONE
+# caption — and mirrors routinely carry different alt-text (truncated
+# thumbnails, extended gallery descriptions). The reference keeps
+# whichever copy it fetched first (URL-keyed cache,
+# src/image_processor.py:44-56) so the caption kept is download-order
+# luck. Here the pick is a deterministic quality rule: longest caption
+# wins, ties broken by lexicographic max — a total order, so both
+# engines agree bit-for-bit.
+#
+# Scale shape: ONE hash aggregate on the uniform content-md5 key.
+# Spark computes the argmax as max(struct(len, caption)) — partial
+# aggregation applies, no window, no second corpus shuffle. The oracle
+# spells the SAME rule as max-length-then-max-caption (two aggregates
+# + a slim re-join), which is semantically identical to the struct max.
+# ---------------------------------------------------------------------------
+
+Q91_BYTES_PATH = "/tmp/voz_spark_q91_bytes"
+
+_Q91_ORACLE = f"""
+WITH t AS (
+  SELECT md5(hex(bytes)) AS content_md5, caption
+  FROM read_parquet('{Q91_BYTES_PATH}/*.parquet')
+),
+per AS (
+  SELECT content_md5,
+         COUNT(*) AS n_copies,
+         COUNT(DISTINCT caption) AS n_caption_variants,
+         MAX(LENGTH(caption)) AS max_len
+  FROM t GROUP BY 1
+),
+best AS (
+  SELECT t.content_md5, MAX(t.caption) AS canonical_caption
+  FROM t JOIN per ON t.content_md5 = per.content_md5
+              AND LENGTH(t.caption) = per.max_len
+  GROUP BY 1
+)
+SELECT per.content_md5, per.n_copies, per.n_caption_variants,
+       best.canonical_caption
+FROM per JOIN best USING (content_md5)
+WHERE per.n_copies >= 2
+ORDER BY content_md5
+"""
+
+
+@register("q91_caption_canon", oracle=_Q91_ORACLE)
+def q91_caption_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the canonical caption per byte-identical image group:
+    longest caption, ties to the lexicographic max. The mirror world
+    alters every re-hosted copy's caption deterministically — half the
+    mirrors truncate (original wins), half extend (mirror wins) — so
+    both directions of the rule are exercised."""
+    b = _materialized(
+        spark,
+        Q91_BYTES_PATH,
+        f"n={_N_IMAGES};rehost=9;capvar=v1;cols=id,bytes,caption",
+        lambda: images_df(spark, _N_IMAGES, rehost_every=9).selectExpr(
+            "image_id",
+            "bytes",
+            "CASE WHEN image_id LIKE '%~r' THEN ("
+            "  CASE WHEN length(caption) % 2 = 0"
+            "       THEN substr(caption, 1, 14)"
+            "       ELSE concat(caption, ' — bản mô tả đầy đủ của gương')"
+            "  END) ELSE caption END AS caption",
+        ),
+    )
+    return (
+        b.groupBy(F.md5(F.hex("bytes")).alias("content_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("caption").alias("n_caption_variants"),
+            F.max(
+                F.struct(
+                    F.length("caption").alias("ql"),
+                    F.col("caption").alias("c"),
+                )
+            ).alias("best"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "content_md5",
+            "n_copies",
+            "n_caption_variants",
+            F.col("best.c").alias("canonical_caption"),
+        )
+        .orderBy("content_md5")
+    )
