@@ -1114,13 +1114,47 @@ def q56_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # k-core decomposition over the co-purchase graph: iterative peeling
-# (graph.k_core). Genuinely iterative — no single ANSI-SQL equivalent —
-# so the driver records the rows-only check; exact parity vs a naive
-# sequential peeler is pinned in tests/test_graph_monitor.py.
+# (graph.k_core). A vanilla recursive CTE cannot express it (the peel
+# step needs aggregation), but peeling is MONOTONE and IDEMPOTENT at
+# the fixpoint: once no node falls below k, further rounds are no-ops.
+# So a STATICALLY UNROLLED peel of R rounds is exact whenever the
+# input converges within R — the driver's sf0.01 graph converges in 10
+# rounds (measured), unrolled here to 16 for slack. At real scale the
+# Spark iterative operator is the implementation; the unrolled SQL is
+# the small-scale exactness witness. Parity vs a naive sequential
+# peeler is additionally pinned in tests/test_graph_monitor.py.
 # ---------------------------------------------------------------------------
 
 
-@register("q57_k_core")
+def _kcore_unrolled_oracle(k: int, rounds: int) -> str:
+    # AS MATERIALIZED is load-bearing: each peel{i} is referenced
+    # twice, so inlined CTEs would expand the scan 2^rounds times.
+    ctes = [f"WITH {_EDGES_CTE},", "peel0 AS MATERIALIZED (SELECT u, v FROM edges)"]
+    for i in range(rounds):
+        ctes.append(
+            f""",
+keep{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT u AS node FROM peel{i} UNION ALL SELECT v FROM peel{i}
+  ) GROUP BY node HAVING COUNT(*) >= {k}
+),
+peel{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM peel{i} e
+  JOIN keep{i} a ON e.u = a.node
+  JOIN keep{i} b ON e.v = b.node
+)"""
+        )
+    ctes.append(
+        f"""
+SELECT node, COUNT(*) AS core_degree FROM (
+  SELECT u AS node FROM peel{rounds} UNION ALL SELECT v FROM peel{rounds}
+) GROUP BY node
+ORDER BY node"""
+    )
+    return "".join(ctes)
+
+
+@register("q57_k_core", oracle=_kcore_unrolled_oracle(k=3, rounds=16))
 def q57_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the strong co-purchase graph with their
     within-core degree (the maximal subgraph where every part keeps
