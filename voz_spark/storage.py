@@ -313,3 +313,98 @@ def q88_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q92: Z-order (Morton) layout — the multi-dimensional twin of q63.
+# Partitioning prunes on ONE column; a 100 TB table queried by
+# rectangles over TWO columns (part × supplier, width × height, lat ×
+# lon) needs interleaved-bit clustering: sorting by the Morton code
+# places rows close in BOTH dimensions into the same files, so
+# min/max row-group stats prune box queries in either or both axes
+# (the Delta/Iceberg `OPTIMIZE ZORDER BY` pattern; Spark's own
+# sortWithinPartitions is the write-side mechanism).
+#
+# The z-value is pure integer bit-interleaving, so BOTH engines
+# compute it bit-exactly from the same statically generated 32-term
+# sum (one syntax per engine, same terms — the unrolled-SQL idiom the
+# k-core oracle uses). The query reports, per z-range bucket (the
+# file-sized unit a z-sorted writer would emit), the bucket's
+# bounding box over both key columns plus whether a fixed rectangle
+# query would have to read it — making the pruning win MEASURABLE:
+# buckets with touched=false are skipped entirely by min/max stats,
+# and the tests pin that the touched fraction is small while a
+# one-column sort would touch ~everything on the other axis.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 8  # bucket = z div 2^8: ~file-sized z-ranges
+# rectangle probe: a selective box on BOTH axes
+_Z_PK_LO, _Z_PK_HI = 80, 120
+_Z_SK_LO, _Z_SK_HI = 3, 6
+
+
+def _morton_terms(x: str, y: str, spark_syntax: bool) -> str:
+    """The 32-term interleave sum Σ bit_i(x)·4^i·1 + bit_i(y)·4^i·2,
+    identical term-by-term in both engines' integer arithmetic."""
+    terms = []
+    for i in range(_Z_BITS):
+        if spark_syntax:
+            terms.append(f"shiftleft(cast(shiftright({x}, {i}) & 1 as bigint), {2 * i})")
+            terms.append(f"shiftleft(cast(shiftright({y}, {i}) & 1 as bigint), {2 * i + 1})")
+        else:
+            terms.append(f"(CAST(({x} >> {i}) & 1 AS BIGINT) << {2 * i})")
+            terms.append(f"(CAST(({y} >> {i}) & 1 AS BIGINT) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Q92_ORACLE = f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey,
+         {_morton_terms("l_partkey", "l_suppkey", spark_syntax=False)} AS zval
+  FROM lineitem
+)
+SELECT CAST(zval >> {_Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+       MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey,
+       (MIN(l_partkey) <= {_Z_PK_HI} AND MAX(l_partkey) >= {_Z_PK_LO}
+        AND MIN(l_suppkey) <= {_Z_SK_HI} AND MAX(l_suppkey) >= {_Z_SK_LO}) AS touched
+FROM z GROUP BY 1
+ORDER BY z_bucket
+"""
+
+
+@register("q92_zorder_layout", oracle=_Q92_ORACLE)
+def q92_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code clustering report over lineitem's (l_partkey,
+    l_suppkey): per z-range bucket, row count, the bucket's bounding
+    box on both keys, and whether the fixed rectangle probe
+    [{_Z_PK_LO}..{_Z_PK_HI}]×[{_Z_SK_LO}..{_Z_SK_HI}] intersects it
+    (touched=false ⇒ a z-sorted file with these min/max stats is
+    pruned without being opened). The z-value is one codegen'd integer
+    expression — no UDF, no shuffle beyond the single bucket
+    aggregate."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = li.withColumn(
+        "zval", F.expr(_morton_terms("l_partkey", "l_suppkey", spark_syntax=True))
+    )
+    return (
+        z.groupBy(
+            F.shiftright("zval", _Z_BUCKET_SHIFT).cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+            F.min("l_suppkey").alias("min_suppkey"),
+            F.max("l_suppkey").alias("max_suppkey"),
+            (
+                (F.min("l_partkey") <= _Z_PK_HI)
+                & (F.max("l_partkey") >= _Z_PK_LO)
+                & (F.min("l_suppkey") <= _Z_SK_HI)
+                & (F.max("l_suppkey") >= _Z_SK_LO)
+            ).alias("touched"),
+        )
+        .orderBy("z_bucket")
+    )
