@@ -1,0 +1,108 @@
+"""Catalog maintenance gates: snapshot expiry, orphan vacuum, and
+small-file compaction (the Iceberg expireSnapshots / removeOrphanFiles
+/ rewriteDataFiles trio — SURVEY §2.A A11's long-run storage story).
+
+Pinned invariants:
+- expiry never touches the latest version and removes exactly the
+  manifests outside the keep window; expired versions stop resolving;
+- vacuum deletes ONLY files no retained manifest references, and the
+  age guard protects an in-flight writer's uncommitted output;
+- compaction changes layout, never data: same rows before/after, one
+  new snapshot, old version still time-travels until expired.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from voz_spark.tables import SnapshotCatalog
+
+
+def _df(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") * 2).cast("long").alias("val"),
+    )
+
+
+def _schema(spark):
+    return _df(spark, 0, 1).schema
+
+
+def test_expire_snapshots_keeps_window_and_latest(spark):
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="voz-cat-"))
+    for i in range(5):
+        cat.commit(appends={"t": cat.write_files(_df(spark, i * 10, i * 10 + 10), "t")})
+    assert cat.latest_version() == 5
+    expired = cat.expire_snapshots(keep_last=2)
+    assert expired == [1, 2, 3]
+    assert cat._all_versions() == [4, 5]
+    # latest still reads the full appended history
+    assert cat.read(spark, "t", _schema(spark)).count() == 50
+    # an expired version no longer resolves
+    with pytest.raises(FileNotFoundError):
+        cat.manifest(2)
+    # idempotent / window already satisfied
+    assert cat.expire_snapshots(keep_last=2) == []
+    with pytest.raises(ValueError):
+        cat.expire_snapshots(keep_last=0)
+
+
+def test_vacuum_deletes_only_unreferenced_old_files(spark):
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="voz-cat-"))
+    committed = cat.write_files(_df(spark, 0, 10), "t")
+    cat.commit(appends={"t": committed})
+    # a round that died between write_files and commit: orphaned files
+    orphaned = cat.write_files(_df(spark, 10, 20), "t")
+    # a replace leaves the replaced files unreferenced too
+    replacement = cat.write_files(_df(spark, 0, 30), "t")
+    cat.commit(replaces={"t": replacement})
+    cat.expire_snapshots(keep_last=1)  # v1 (referencing `committed`) expires
+
+    # age guard: everything here is seconds old, so a 1h grace window
+    # sees no orphans at all
+    assert cat.orphan_files(min_age_s=3600.0) == []
+    # with the guard off, exactly the crashed write + the expired
+    # version's files are orphans
+    victims = cat.vacuum(min_age_s=0.0)
+    assert sorted(victims) == sorted(committed + orphaned)
+    for p in replacement:
+        assert os.path.exists(p)
+    assert cat.read(spark, "t", _schema(spark)).count() == 30
+
+
+def test_compact_preserves_rows_and_time_travel(spark):
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="voz-cat-"))
+    for i in range(4):  # 4 appends -> many small files
+        cat.commit(appends={"t": cat.write_files(_df(spark, i * 5, i * 5 + 5), "t")})
+    before_files = cat.manifest()["tables"]["t"]
+    assert len(before_files) > 1
+    before_rows = sorted(
+        (r.id, r.val) for r in cat.read(spark, "t", _schema(spark)).collect()
+    )
+
+    v = cat.compact(spark, "t", _schema(spark), target_files=1)
+    assert v == 5
+    after_files = cat.manifest()["tables"]["t"]
+    assert len(after_files) == 1
+    after_rows = sorted(
+        (r.id, r.val) for r in cat.read(spark, "t", _schema(spark)).collect()
+    )
+    assert after_rows == before_rows
+    # snapshot isolation: the pre-compaction version still reads the
+    # old layout until expired
+    old_rows = sorted(
+        (r.id, r.val) for r in cat.read(spark, "t", _schema(spark), version=4).collect()
+    )
+    assert old_rows == before_rows
+    # after expiry + vacuum the old small files are gone, data intact
+    cat.expire_snapshots(keep_last=1)
+    victims = cat.vacuum(min_age_s=0.0)
+    assert sorted(victims) == sorted(before_files)
+    assert sorted(
+        (r.id, r.val) for r in cat.read(spark, "t", _schema(spark)).collect()
+    ) == before_rows

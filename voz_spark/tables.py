@@ -115,3 +115,92 @@ class SnapshotCatalog:
         if not files:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*files)
+
+    # -- maintenance (Iceberg expireSnapshots / removeOrphanFiles /
+    # rewriteDataFiles; at 100 TB these run as scheduled jobs — without
+    # them the catalog's time-travel guarantee turns into unbounded
+    # storage growth and every crashed round leaks its data files) -----------
+
+    def expire_snapshots(self, keep_last: int) -> list[int]:
+        """Drop all but the newest `keep_last` manifest versions (the
+        latest is always retained). Expired versions stop being
+        time-travel targets; their data files become vacuum-eligible
+        unless a retained manifest still references them (Iceberg
+        expireSnapshots semantics). Returns the expired version ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        latest = self.latest_version()
+        expired = [v for v in self._all_versions() if v <= latest - keep_last]
+        for v in expired:
+            os.remove(os.path.join(self.root, "manifests", f"v{v:012d}.json"))
+        return expired
+
+    def _all_versions(self) -> list[int]:
+        out = []
+        for fn in os.listdir(os.path.join(self.root, "manifests")):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
+
+    def referenced_files(self) -> set[str]:
+        """Every data file referenced by any RETAINED manifest."""
+        refs: set[str] = set()
+        for v in self._all_versions():
+            for files in self.manifest(v)["tables"].values():
+                refs.update(files)
+        return refs
+
+    def orphan_files(self, min_age_s: float = 3600.0) -> list[str]:
+        """Data files no retained manifest references: leftovers of
+        expired snapshots and of rounds that died between write_files
+        and commit. `min_age_s` keeps files younger than the grace
+        window (an in-flight writer's not-yet-committed output) safe —
+        the same age guard Iceberg's removeOrphanFiles applies."""
+        import time
+
+        refs = self.referenced_files()
+        now = time.time()
+        orphans = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if p in refs:
+                    continue
+                try:
+                    if now - os.path.getmtime(p) < min_age_s:
+                        continue
+                except OSError:
+                    continue
+                orphans.append(p)
+        return sorted(orphans)
+
+    def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
+        """Delete orphan data files (see orphan_files). Returns the
+        deleted paths."""
+        victims = self.orphan_files(min_age_s)
+        for p in victims:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return victims
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: StructType,
+        target_files: int = 1,
+    ) -> int:
+        """Rewrite `table`'s current file set into `target_files`
+        files and commit the swap as a new snapshot (Iceberg
+        rewriteDataFiles): readers of prior versions keep seeing the
+        old files until those versions expire — compaction is a layout
+        change, never a data change. The small-files problem this
+        solves is the dominant metadata cost of a long crawl: every
+        round appends a few files per table, and after 10^4 rounds an
+        uncompacted scan plans 10^4 tiny splits."""
+        df = self.read(spark, table, schema).coalesce(max(1, target_files))
+        files = self.write_files(df, table)
+        return self.commit(replaces={table: files})
