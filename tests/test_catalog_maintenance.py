@@ -106,3 +106,51 @@ def test_compact_preserves_rows_and_time_travel(spark):
     assert sorted(
         (r.id, r.val) for r in cat.read(spark, "t", _schema(spark)).collect()
     ) == before_rows
+
+
+def test_maintenance_between_rounds_preserves_exact_resume(spark):
+    """The full composition: kill after 2 rounds, run the maintenance
+    trio on the committed catalog (compact `seen` + expire to the
+    latest snapshot + vacuum with the age guard off), then resume.
+    Final seen-set, schedule order, and results must still be
+    byte-identical to an uninterrupted run — maintenance is a storage
+    concern and must never leak into crawl semantics (in particular,
+    compaction must carry the manifest meta forward or resume would
+    restart from round 0 / rebuild the seen filter)."""
+    from voz_spark import schemas
+    from voz_spark.rounds import CrawlEngine
+
+    n_seeds, n_images = 8, 300
+
+    wd_a = tempfile.mkdtemp(prefix="crawl-plain-")
+    full = CrawlEngine(spark, wd_a, n_seeds=n_seeds, n_images=n_images)
+    full.run()
+
+    wd_b = tempfile.mkdtemp(prefix="crawl-maint-")
+    first = CrawlEngine(spark, wd_b, n_seeds=n_seeds, n_images=n_images)
+    first.run(max_rounds=2)
+    round_before = first.last_round()
+    del first
+
+    maint = CrawlEngine(spark, wd_b, n_seeds=n_seeds, n_images=n_images)
+    n_files_before = len(maint.cat.manifest()["tables"]["seen"])
+    maint.cat.compact(spark, "seen", schemas.SEEN, target_files=1)
+    assert maint.last_round() == round_before  # meta carried forward
+    maint.cat.expire_snapshots(keep_last=1)
+    maint.cat.vacuum(min_age_s=0.0)
+    assert len(maint.cat.manifest()["tables"]["seen"]) <= n_files_before
+    del maint
+
+    resumed = CrawlEngine(spark, wd_b, n_seeds=n_seeds, n_images=n_images)
+    assert resumed.last_round() == round_before
+    resumed.run()
+
+    def state(eng):
+        seen = sorted(r.canon_url for r in eng.seen().collect())
+        results = sorted(
+            (r.round_id, r.canon_url, r.status, r.n_children)
+            for r in eng.results().collect()
+        )
+        return seen, eng.schedule_order(), results
+
+    assert state(full) == state(resumed)

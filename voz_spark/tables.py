@@ -200,7 +200,11 @@ class SnapshotCatalog:
         change, never a data change. The small-files problem this
         solves is the dominant metadata cost of a long crawl: every
         round appends a few files per table, and after 10^4 rounds an
-        uncompacted scan plans 10^4 tiny splits."""
+        uncompacted scan plans 10^4 tiny splits.
+
+        The current manifest's meta is carried forward verbatim: a
+        layout rewrite must not disturb engine state (round_id, seen-
+        filter parameters) the way a round commit re-asserts it."""
         df = self.read(spark, table, schema).coalesce(max(1, target_files))
         files = self.write_files(df, table)
-        return self.commit(replaces={table: files})
+        return self.commit(replaces={table: files}, meta=self.manifest()["meta"])
