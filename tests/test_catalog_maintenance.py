@@ -154,3 +154,40 @@ def test_maintenance_between_rounds_preserves_exact_resume(spark):
         return seen, eng.schedule_order(), results
 
     assert state(full) == state(resumed)
+
+
+def test_zorder_compaction_tightens_file_boxes(spark):
+    """compact(cluster_by=(x, y)) must (a) preserve rows exactly and
+    (b) emit files whose (x, y) bounding boxes each cover a small
+    fraction of the key domain — the min/max statistics a rectangle
+    query prunes on. A random/round-robin layout gives every file
+    ~the whole domain; the z-order rewrite gives each file a tile."""
+    import duckdb
+
+    from voz_spark.session import load_table as T
+    from voz_spark.tables import SnapshotCatalog
+
+    li = T(spark, "/root/testdata/sf0.001", "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="voz-zc-"))
+    cat.commit(appends={"t": cat.write_files(li, "t")})
+    before = sorted((r.pk, r.sk) for r in cat.read(spark, "t", li.schema).collect())
+
+    cat.compact(spark, "t", li.schema, target_files=4, cluster_by=("pk", "sk"))
+    files = cat.manifest()["tables"]["t"]
+    assert len(files) == 4
+    after = sorted((r.pk, r.sk) for r in cat.read(spark, "t", li.schema).collect())
+    assert after == before
+
+    pk_lo = min(p for p, _ in before)
+    pk_hi = max(p for p, _ in before)
+    sk_lo = min(s for _, s in before)
+    sk_hi = max(s for _, s in before)
+    domain = (pk_hi - pk_lo + 1) * (sk_hi - sk_lo + 1)
+    for f in files:
+        lo_p, hi_p, lo_s, hi_s = duckdb.sql(
+            f"SELECT MIN(pk), MAX(pk), MIN(sk), MAX(sk) FROM read_parquet('{f}')"
+        ).fetchone()
+        area = (hi_p - lo_p + 1) * (hi_s - lo_s + 1)
+        assert area <= 0.5 * domain  # each file is a tile, not the domain

@@ -192,6 +192,7 @@ class SnapshotCatalog:
         table: str,
         schema: StructType,
         target_files: int = 1,
+        cluster_by: tuple[str, str] | None = None,
     ) -> int:
         """Rewrite `table`'s current file set into `target_files`
         files and commit the swap as a new snapshot (Iceberg
@@ -202,9 +203,30 @@ class SnapshotCatalog:
         round appends a few files per table, and after 10^4 rounds an
         uncompacted scan plans 10^4 tiny splits.
 
+        `cluster_by=(x, y)`: z-order the rewrite (OPTIMIZE ZORDER BY)
+        — rows are range-partitioned and sorted by the Morton
+        interleave of the two integer columns, so every output file
+        covers a tight bounding box in BOTH dimensions and rectangle
+        queries prune files by their min/max column statistics (the
+        q92 layout, applied at the write side).
+
         The current manifest's meta is carried forward verbatim: a
         layout rewrite must not disturb engine state (round_id, seen-
         filter parameters) the way a round commit re-asserts it."""
-        df = self.read(spark, table, schema).coalesce(max(1, target_files))
+        from pyspark.sql import functions as F
+
+        df = self.read(spark, table, schema)
+        if cluster_by is not None:
+            from voz_spark.storage import _morton_terms
+
+            x, y = cluster_by
+            df = (
+                df.withColumn("_z", F.expr(_morton_terms(x, y, spark_syntax=True)))
+                .repartitionByRange(max(1, target_files), "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            df = df.coalesce(max(1, target_files))
         files = self.write_files(df, table)
         return self.commit(replaces={table: files}, meta=self.manifest()["meta"])
