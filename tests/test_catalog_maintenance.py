@@ -191,3 +191,44 @@ def test_zorder_compaction_tightens_file_boxes(spark):
         ).fetchone()
         area = (hi_p - lo_p + 1) * (hi_s - lo_s + 1)
         assert area <= 0.5 * domain  # each file is a tile, not the domain
+
+
+def test_schema_evolution_add_column(spark):
+    """Iceberg add-column semantics over the snapshot catalog: files
+    written before a column existed read back with nulls under the
+    evolved schema (forward), and an old reader's schema simply prunes
+    the new column from newer files (backward) — no rewrite of
+    historical data when a crawl adds a field mid-run."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from voz_spark.tables import SnapshotCatalog
+
+    v1 = StructType([StructField("id", LongType()), StructField("a", StringType())])
+    v2 = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("a", StringType()),
+            StructField("b", LongType()),
+        ]
+    )
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="voz-evo-"))
+    old = spark.range(3).select(F.col("id"), F.lit("x").alias("a"))
+    cat.commit(appends={"t": cat.write_files(old, "t")})
+    new = spark.range(3, 6).select(
+        F.col("id"), F.lit("y").alias("a"), (F.col("id") * 7).alias("b")
+    )
+    cat.commit(appends={"t": cat.write_files(new, "t")})
+
+    # forward: evolved reader sees nulls for pre-evolution files
+    rows = sorted(tuple(r) for r in cat.read(spark, "t", v2).collect())
+    assert rows == [
+        (0, "x", None), (1, "x", None), (2, "x", None),
+        (3, "y", 21), (4, "y", 28), (5, "y", 35),
+    ]
+    # backward: an old reader prunes the new column from newer files
+    rows_v1 = sorted(tuple(r) for r in cat.read(spark, "t", v1).collect())
+    assert rows_v1 == [(0, "x"), (1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "y")]
+    # maintenance under evolution: compaction normalizes everything to
+    # the evolved schema without losing a row
+    cat.compact(spark, "t", v2, target_files=1)
+    assert sorted(tuple(r) for r in cat.read(spark, "t", v2).collect()) == rows
