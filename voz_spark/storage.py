@@ -408,3 +408,90 @@ def q92_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93: MERGE INTO (upsert) — the recrawl write path. When the frontier
+# re-fetches a URL (CrawlEngine.reopen), the new document must REPLACE
+# the old row and newly discovered URLs must INSERT, atomically — the
+# Iceberg/Delta `MERGE INTO target USING delta ON key` shape. The
+# reference overwrites its JSON files wholesale per run
+# (src/main.py:252-262); at 100 TB the merge must be one shuffle, not
+# a rewrite of the corpus.
+#
+# Scale shape: union(base, delta) → ONE hash aggregate on doc_id with
+# the argmax-as-max(struct(version, md5)) idiom (partial aggregation
+# applies, so the shuffle carries one candidate row per (doc, version)
+# — at most 2 here). No window over the corpus, no join: MERGE
+# reduces to the same single uniform-key aggregate as exact dedup.
+# ---------------------------------------------------------------------------
+
+_Q93_UPDATE_MOD = 7   # pmod(doc_id, 7) == 3 -> recrawled with new content
+_Q93_INSERT_MOD = 11  # pmod(doc_id, 11) == 5 -> discovers doc_id + 100000
+_Q93_MARK = " [recrawled v2]"
+
+_Q93_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, 1 AS version, md5(text) AS content_md5 FROM documents
+),
+delta AS (
+  SELECT doc_id, 2 AS version, md5(text || '{_Q93_MARK}') AS content_md5
+  FROM documents WHERE doc_id % {_Q93_UPDATE_MOD} = 3
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 2 AS version, md5(text) AS content_md5
+  FROM documents WHERE doc_id % {_Q93_INSERT_MOD} = 5
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_versions, MAX(version) AS live_version
+  FROM u GROUP BY 1
+),
+best AS (
+  SELECT u.doc_id, MAX(u.content_md5) AS content_md5
+  FROM u JOIN per ON u.doc_id = per.doc_id AND u.version = per.live_version
+  GROUP BY 1
+)
+SELECT per.doc_id, per.n_versions, per.live_version, best.content_md5
+FROM per JOIN best USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("q93_upsert_merge", oracle=_Q93_ORACLE)
+def q93_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE of a recrawl delta (updates for every
+    doc_id % {mod} == 3, inserts of newly discovered doc_id + 100000)
+    into the document corpus: one union + one hash aggregate on the
+    uniform doc_id key; the survivor is max(struct(version, md5)) —
+    a total order, so both engines pick the same row."""
+    d = T(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.lit(1).alias("version"), F.md5("text").alias("content_md5")
+    )
+    updates = d.where(F.pmod("doc_id", F.lit(_Q93_UPDATE_MOD)) == 3).select(
+        "doc_id",
+        F.lit(2).alias("version"),
+        F.md5(F.concat(F.col("text"), F.lit(_Q93_MARK))).alias("content_md5"),
+    )
+    inserts = d.where(F.pmod("doc_id", F.lit(_Q93_INSERT_MOD)) == 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit(2).alias("version"),
+        F.md5("text").alias("content_md5"),
+    )
+    u = base.unionByName(updates).unionByName(inserts)
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max(
+                F.struct(F.col("version").alias("v"), F.col("content_md5").alias("m"))
+            ).alias("best"),
+        )
+        .select(
+            "doc_id",
+            "n_versions",
+            F.col("best.v").alias("live_version"),
+            F.col("best.m").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
