@@ -121,3 +121,97 @@ def q44_voz_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     posts = preprocess(gen_posts_df(spark, 20))
     return component_sentiment(component_suggestions(posts)).orderBy("component_type")
+
+
+# ---------------------------------------------------------------------------
+# q94: sitemap ingestion — the discovery source real crawls ingest
+# FIRST (robots.txt points at sitemap.xml; the spec caps one sitemap
+# at 50k URLs, so a large site is many sitemap docs). The reference
+# discovers URLs only by walking rendered listing pages
+# (src/main.py:153-200); a sitemap source finds the same threads
+# without fetching a single listing page. Parsing is Spark-native XML
+# (`xpath` — JVM-side, no Python): per sitemap doc, the loc/lastmod/
+# priority node lists are extracted positionally, zipped, and
+# exploded; fan-out per row is bounded by the spec's 50k cap. The
+# DuckDB oracle extracts the same node lists with regexp_extract_all
+# and lockstep UNNEST — both engines read the SAME materialized
+# (host, xml) parquet. Priority is compared in exact DECIMAL millis
+# (no float thresholds).
+# ---------------------------------------------------------------------------
+
+Q94_SITEMAP_PATH = "/tmp/voz_spark_q94_sitemaps"
+_Q94_HOSTS = 6
+_Q94_URLS_PER_HOST = 40
+_Q94_MIN_PRI_MILLI = 500
+
+_Q94_ORACLE = f"""
+WITH e AS (
+  SELECT host,
+         UNNEST(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS url,
+         UNNEST(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)) AS lastmod,
+         UNNEST(regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1)) AS priority
+  FROM read_parquet('{Q94_SITEMAP_PATH}/*.parquet')
+)
+SELECT host, url, lastmod,
+       CAST(CAST(priority AS DECIMAL(4,3)) * 1000 AS BIGINT) AS priority_milli
+FROM e
+WHERE CAST(CAST(priority AS DECIMAL(4,3)) * 1000 AS BIGINT) >= {_Q94_MIN_PRI_MILLI}
+ORDER BY host, url
+"""
+
+
+def _sitemap_rows() -> list[dict]:
+    """Deterministic sitemap corpus: one XML doc per host, 40 URLs
+    each, with varying lastmod and priority."""
+    rows = []
+    for h in range(_Q94_HOSTS):
+        host = f"h{h}.voz.test"
+        entries = []
+        for i in range(_Q94_URLS_PER_HOST):
+            url = f"https://{host}/t/{i:04d}"
+            lastmod = f"2024-01-{(i % 27) + 1:02d}"
+            pri = f"0.{(i * 7 + h * 13) % 10}"
+            entries.append(
+                f"<url><loc>{url}</loc><lastmod>{lastmod}</lastmod>"
+                f"<priority>{pri}</priority></url>"
+            )
+        xml = '<?xml version="1.0"?><urlset>' + "".join(entries) + "</urlset>"
+        rows.append({"host": host, "xml": xml})
+    return rows
+
+
+@register("q94_sitemap_ingest", oracle=_Q94_ORACLE)
+def q94_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse every host's sitemap.xml into frontier candidates and
+    keep the high-priority entries (priority ≥ 0.5, compared in exact
+    DECIMAL millis). xpath extraction + arrays_zip + one explode —
+    all JVM-side; the only shuffle is the display sort."""
+    import pandas as pd
+
+    from voz_spark.imagedup import _materialized
+
+    s = _materialized(
+        spark,
+        Q94_SITEMAP_PATH,
+        f"hosts={_Q94_HOSTS};urls={_Q94_URLS_PER_HOST};v1",
+        lambda: spark.createDataFrame(pd.DataFrame(_sitemap_rows())),
+    )
+    parsed = s.select(
+        "host",
+        F.expr("xpath(xml, '/urlset/url/loc/text()')").alias("locs"),
+        F.expr("xpath(xml, '/urlset/url/lastmod/text()')").alias("mods"),
+        F.expr("xpath(xml, '/urlset/url/priority/text()')").alias("pris"),
+    )
+    return (
+        parsed.select("host", F.explode(F.arrays_zip("locs", "mods", "pris")).alias("u"))
+        .select(
+            "host",
+            F.col("u.locs").alias("url"),
+            F.col("u.mods").alias("lastmod"),
+            F.expr("CAST(CAST(u.pris AS DECIMAL(4,3)) * 1000 AS BIGINT)").alias(
+                "priority_milli"
+            ),
+        )
+        .where(F.col("priority_milli") >= _Q94_MIN_PRI_MILLI)
+        .orderBy("host", "url")
+    )
