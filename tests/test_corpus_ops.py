@@ -178,3 +178,45 @@ def test_q90_rank_formulation_matches_window_reference(spark, sf_dir):
         assert r.hits_at_1 == sum(1 for k in ranks if k == 1)
         assert r.hits_at_5 == sum(1 for k in ranks if k <= 5)
         assert abs(r.mrr - sum(round(1.0 / k, 9) for k in ranks) / len(ranks)) < 1e-12
+
+
+def test_cdc_chunks_resynchronize_after_edit(spark):
+    """The property content-defined chunking exists for (and fixed
+    windows lack): prepending one character to a document shifts every
+    fixed-offset window, but CDC boundaries re-synchronize at the
+    first content-determined cut — so all chunks after it hash
+    identically. Chunk both variants with the production boundary rule
+    and require most chunk content to survive the edit."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from voz_spark.dataprep import _CDC_BOUND, _CDC_W
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest looking for "
+            "more interesting things to chase all day long") * 3
+
+    def chunks(text: str) -> list[str]:
+        df = spark.createDataFrame(pd.DataFrame({"text": [text]}))
+        row = df.select(
+            F.expr(
+                f"filter(sequence({_CDC_W}, length(text)), "
+                f"i -> substr(md5(substr(text, i - {_CDC_W - 1}, {_CDC_W})), 1, 2) <= '{_CDC_BOUND}')"
+            ).alias("bounds"),
+            "text",
+        ).collect()[0]
+        bounds, t = list(row.bounds), row.text
+        starts = [1] + [b + 1 for b in bounds]
+        ends = bounds + [len(t)]
+        return [t[s - 1 : e] for s, e in zip(starts, ends) if e >= s]
+
+    a = chunks(base)
+    b = chunks("X" + base)
+    assert "".join(a) == base and "".join(b) == "X" + base  # lossless split
+    assert len(a) > 5  # the rule actually cuts
+    # every chunk after the first re-synchronized boundary is
+    # byte-identical: only the head chunk (which absorbed the edit)
+    # may differ between the two variants
+    assert a[1:] == b[1:]
+    assert len(set(a) & set(b)) >= len(set(a)) - 1

@@ -2047,3 +2047,106 @@ def q76_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q95: content-defined chunking (CDC) dedup — the rsync/LBFS
+# primitive. Fixed-size shingles (q24-q26) and whole-doc hashes (q20)
+# both miss the common corpus case of long documents sharing large
+# blocks at DIFFERENT offsets (boilerplate headers, quoted replies,
+# license text): one inserted character shifts every fixed window.
+# CDC cuts chunk boundaries where a rolling content window hits a
+# hash criterion, so boundaries re-synchronize after an edit and the
+# shared blocks hash identically wherever they sit.
+#
+# Determinism/parity: the window hash is md5 (the only cross-engine
+# hash) of the trailing 8-char window; a position is a boundary when
+# the first two hex chars are <= '07' (probability 8/256 -> ~32-char
+# expected chunks) — pure string comparison, no floats. Both engines
+# derive boundary lists positionally (Spark: filter over sequence;
+# DuckDB: list comprehension over range), zip starts/ends in
+# lockstep, and re-aggregate chunks by md5.
+#
+# Scale shape: chunking is per-row JVM expression work (O(len*8)
+# md5s per doc — at 100 TB you'd swap the inner loop for an
+# Arrow-batched true rolling hash, same boundary rule); the ONLY
+# shuffle is the final chunk-hash aggregate on a uniform md5 key.
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8
+_CDC_BOUND = "07"  # md5 hex prefix threshold: 8/256 positions cut
+
+_Q95_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE LENGTH(text) >= {_CDC_W}
+),
+b AS (
+  SELECT doc_id, text,
+         [i FOR i IN range({_CDC_W}, LENGTH(text) + 1)
+            IF substr(md5(substr(text, i - {_CDC_W - 1}, {_CDC_W})), 1, 2) <= '{_CDC_BOUND}'] AS bounds
+  FROM d
+),
+z AS (
+  SELECT doc_id, text,
+         list_prepend(1, [x + 1 FOR x IN bounds]) AS starts,
+         list_append(bounds, LENGTH(text)) AS ends
+  FROM b
+),
+e AS (
+  SELECT doc_id, text, UNNEST(starts) AS s, UNNEST(ends) AS en FROM z
+),
+c AS (
+  SELECT doc_id, substr(text, s, en - s + 1) AS chunk
+  FROM e WHERE en >= s
+)
+SELECT md5(chunk) AS chunk_md5,
+       CAST(MIN(LENGTH(chunk)) AS BIGINT) AS chunk_len,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM c
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_md5
+"""
+
+
+@register("q95_cdc_chunk_dedup", oracle=_Q95_ORACLE)
+def q95_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks shared across documents: boundary where
+    md5 of the trailing 8-char window starts <= '07', chunks re-keyed
+    by md5 and aggregated on that uniform key. Returns every chunk
+    appearing in >= 2 distinct documents."""
+    d = T(spark, sf_dir, "documents").where(F.length("text") >= _CDC_W)
+    b = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"filter(sequence({_CDC_W}, length(text)), "
+            f"i -> substr(md5(substr(text, i - {_CDC_W - 1}, {_CDC_W})), 1, 2) <= '{_CDC_BOUND}')"
+        ).alias("bounds"),
+    )
+    z = b.select(
+        "doc_id",
+        "text",
+        F.expr("concat(array(1), transform(bounds, x -> x + 1))").alias("starts"),
+        F.expr("concat(bounds, array(length(text)))").alias("ends"),
+    )
+    c = (
+        z.select("doc_id", "text", F.explode(F.arrays_zip("starts", "ends")).alias("p"))
+        .where(F.col("p.ends") >= F.col("p.starts"))
+        .select(
+            "doc_id",
+            F.expr("substr(text, p.starts, p.ends - p.starts + 1)").alias("chunk"),
+        )
+    )
+    return (
+        c.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(
+            F.min(F.length("chunk")).cast("long").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select("chunk_md5", "chunk_len", "n_occurrences", "n_docs")
+        .orderBy("chunk_md5")
+    )
