@@ -1,0 +1,565 @@
+"""Crawl-maintenance operators (sixth round-2 wave): the web-graph
+hygiene jobs a production crawl runs BETWEEN fetch rounds.
+
+The reference walks listing pages and refetches everything wholesale
+each run (src/main.py:153-200, src/image_processor.py:100-160); it has
+no redirect resolution, no mirror detection, no trap defense, and no
+change-rate model — every one of these exists to keep a 100 TB crawl
+from wasting its fetch budget. All five run over deterministic
+materialized fixtures (the `_materialized` write-once pattern from
+imagedup.py) so both engines read the SAME parquet, and every derived
+number is integer/string arithmetic — no float thresholds anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voz_spark.imagedup import _materialized
+from voz_spark.registry import register
+
+
+def _pdf(rows: list[dict]):
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# q96: redirect-chain resolution by pointer doubling. A crawl's URL
+# set is riddled with 301/302 chains (http→https, www→apex, moved
+# threads); scheduling the intermediate hops wastes fetches and
+# splits per-URL state across aliases. The frontier needs each source
+# resolved to its FINAL target — and chains can be cyclic (A→B→A),
+# which must be detected, not followed forever.
+#
+# Scale shape: the naive walk is one self-join per hop (O(H) shuffles
+# for chains of length H). Pointer doubling squares the reach each
+# round — m_k resolves up to 2^k hops — so R = ceil(log2(H)) joins
+# suffice: 3 shuffles for chains up to 8 where the naive plan needs 8.
+# Every join key is a canonical URL (uniform); the redirect map is
+# functional (one outgoing edge per source), so each round is a 1:≤1
+# left join with no fan-out. Cycle detection is a final semi-join:
+# after R rounds any acyclic source has landed on a terminal node
+# (no outgoing edge); a resolved target that still redirects can only
+# mean a cycle.
+#
+# Cross-engine parity: the DuckDB oracle unrolls the SAME R rounds as
+# chained AS MATERIALIZED CTEs (the k-core idiom — materialization is
+# mandatory or the doubly-referenced CTE expands 2^R scans). Cyclic
+# sources get sentinel values ('(cycle)', -1) rather than NULLs so
+# neither engine materializes a nullable-int column.
+# ---------------------------------------------------------------------------
+
+Q96_REDIRECT_PATH = "/tmp/voz_spark_q96_redirects"
+_Q96_CHAINS = 60
+_Q96_MAX_LEN = 7  # longest acyclic chain -> R = ceil(log2(7+1)) = 3 rounds
+_Q96_ROUNDS = 3
+_Q96_CYCLES = 6
+
+
+def _redirect_rows() -> list[dict]:
+    """Deterministic redirect map: 60 chains of length 1..7 ending at
+    a terminal URL, plus 6 cycles (sizes 2/3/4) each with one tail
+    node feeding into it. The map is functional: every src appears
+    exactly once."""
+    rows = []
+    for c in range(_Q96_CHAINS):
+        length = (c % _Q96_MAX_LEN) + 1
+        for k in range(length):
+            rows.append(
+                {
+                    "src_url": f"https://r.test/c{c}/n{k}",
+                    "dst_url": f"https://r.test/c{c}/n{k + 1}",
+                }
+            )
+    for c in range(_Q96_CYCLES):
+        size = 2 + (c % 3)
+        for k in range(size):
+            rows.append(
+                {
+                    "src_url": f"https://r.test/cy{c}/n{k}",
+                    "dst_url": f"https://r.test/cy{c}/n{(k + 1) % size}",
+                }
+            )
+        rows.append(
+            {"src_url": f"https://r.test/cy{c}/tail", "dst_url": f"https://r.test/cy{c}/n0"}
+        )
+    return rows
+
+
+def _q96_oracle() -> str:
+    steps = ["m0 AS MATERIALIZED (SELECT src_url AS src, dst_url AS dst, 1 AS hops "
+             f"FROM read_parquet('{Q96_REDIRECT_PATH}/*.parquet'))"]
+    for r in range(1, _Q96_ROUNDS + 1):
+        steps.append(
+            f"m{r} AS MATERIALIZED (SELECT a.src, COALESCE(b.dst, a.dst) AS dst, "
+            f"a.hops + COALESCE(b.hops, 0) AS hops "
+            f"FROM m{r - 1} a LEFT JOIN m{r - 1} b ON a.dst = b.src)"
+        )
+    last = f"m{_Q96_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(steps) + ",\n"
+        "heads AS (SELECT DISTINCT src FROM m0)\n"
+        f"SELECT {last}.src AS src_url,\n"
+        f"       CASE WHEN h.src IS NULL THEN {last}.dst ELSE '(cycle)' END AS final_url,\n"
+        f"       CAST(CASE WHEN h.src IS NULL THEN {last}.hops ELSE -1 END AS BIGINT) AS hops,\n"
+        "       (h.src IS NOT NULL) AS is_cycle\n"
+        f"FROM {last} LEFT JOIN heads h ON {last}.dst = h.src\n"
+        "ORDER BY src_url"
+    )
+
+
+@register("q96_redirect_resolution", oracle=_q96_oracle())
+def q96_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every redirect source to its final URL in
+    ceil(log2(H)) pointer-doubling joins; cyclic sources are flagged
+    (sentinels '(cycle)'/-1) via a terminal-node semi-join. Parity vs
+    a naive Python walk is pinned by tests/test_crawlops.py."""
+    edges = _materialized(
+        spark,
+        Q96_REDIRECT_PATH,
+        f"chains={_Q96_CHAINS};maxlen={_Q96_MAX_LEN};cycles={_Q96_CYCLES};v1",
+        lambda: spark.createDataFrame(_pdf(_redirect_rows())),
+    )
+    m = edges.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst"), F.lit(1).alias("hops")
+    )
+    for _ in range(_Q96_ROUNDS):
+        b = m.select(
+            F.col("src").alias("b_src"), F.col("dst").alias("b_dst"), F.col("hops").alias("b_hops")
+        )
+        m = m.join(b, m.dst == b.b_src, "left").select(
+            "src",
+            F.coalesce("b_dst", "dst").alias("dst"),
+            (F.col("hops") + F.coalesce("b_hops", F.lit(0))).alias("hops"),
+        )
+    heads = edges.select(F.col("src_url").alias("h_src")).distinct()
+    return (
+        m.join(heads, m.dst == heads.h_src, "left")
+        .select(
+            F.col("src").alias("src_url"),
+            F.when(F.col("h_src").isNull(), F.col("dst")).otherwise("(cycle)").alias("final_url"),
+            F.when(F.col("h_src").isNull(), F.col("hops"))
+            .otherwise(-1)
+            .cast("long")
+            .alias("hops"),
+            F.col("h_src").isNotNull().alias("is_cycle"),
+        )
+        .orderBy("src_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97: mirror-host detection — host pairs whose page-content sets
+# overlap heavily (CDNs, regional mirrors, scraped clones). Crawling
+# both sides of a mirror doubles fetch cost for zero new content; the
+# frontier should collapse the pair to one representative.
+#
+# Scale shape: the pair generator is a self-join on content_id, and
+# the classic failure is boilerplate — one content hash shared by d
+# hosts yields d² join rows (the q26 lesson from round 1). The
+# document-frequency cap runs FIRST: content appearing on more than
+# DF_CAP hosts is dropped before the join (a privacy-policy page
+# shared by every host identifies no mirror), and singletons (df=1)
+# are dropped too since they cannot pair. The surviving join key has
+# bounded fan-out ≤ DF_CAP by construction, so the pair stage is
+# O(shared · DF_CAP), never quadratic in host count. Resemblance is
+# Broder-style over the df-capped universe; similarity is integer
+# millis (shared*1000 div union) — no float thresholds.
+# ---------------------------------------------------------------------------
+
+Q97_PAGES_PATH = "/tmp/voz_spark_q97_host_pages"
+_Q97_DF_CAP = 4
+_Q97_MIN_SHARED = 20
+_Q97_PATHS = 120
+
+
+def _host_page_rows() -> list[dict]:
+    """10 hosts × 120 paths. (h0,h1) mirror 110/120 paths, (h2,h3)
+    mirror 60/120; h4..h9 are unique. Every host additionally serves
+    a boilerplate page shared by ALL hosts — the df-cap must exclude
+    it or every host pair would appear related."""
+    rows = []
+    for h in range(10):
+        host = f"h{h}.voz.test"
+        for i in range(_Q97_PATHS):
+            if h in (0, 1) and i < 110:
+                cid = f"m01-{i}"
+            elif h in (2, 3) and i < 60:
+                cid = f"m23-{i}"
+            else:
+                cid = f"h{h}-{i}"
+            rows.append({"host": host, "path": f"/p/{i:03d}", "content_id": cid})
+        rows.append({"host": host, "path": "/about", "content_id": "boiler"})
+    return rows
+
+
+_Q97_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT host, content_id
+  FROM read_parquet('{Q97_PAGES_PATH}/*.parquet')
+),
+sizes AS (
+  SELECT host, COUNT(*) AS n_pages FROM d GROUP BY host
+),
+rare AS (
+  SELECT content_id FROM d GROUP BY content_id
+  HAVING COUNT(*) BETWEEN 2 AND {_Q97_DF_CAP}
+),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+  FROM d a JOIN d b ON a.content_id = b.content_id AND a.host < b.host
+  WHERE a.content_id IN (SELECT content_id FROM rare)
+  GROUP BY 1, 2
+)
+SELECT p.host_a, p.host_b, p.shared,
+       sa.n_pages AS size_a, sb.n_pages AS size_b,
+       p.shared * 1000 // (sa.n_pages + sb.n_pages - p.shared) AS jaccard_milli
+FROM pairs p
+JOIN sizes sa ON sa.host = p.host_a
+JOIN sizes sb ON sb.host = p.host_b
+WHERE p.shared >= {_Q97_MIN_SHARED}
+ORDER BY host_a, host_b
+"""
+
+
+@register("q97_mirror_hosts", oracle=_Q97_ORACLE)
+def q97_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host pairs sharing >= MIN_SHARED df-capped content ids, scored
+    by integer-milli Jaccard over the full page sets. Boilerplate
+    (df > DF_CAP) and singleton content are pruned BEFORE the pair
+    join, bounding its fan-out."""
+    pages = _materialized(
+        spark,
+        Q97_PAGES_PATH,
+        f"hosts=10;paths={_Q97_PATHS};v1",
+        lambda: spark.createDataFrame(_pdf(_host_page_rows())),
+    )
+    d = pages.select("host", "content_id").distinct()
+    sizes = d.groupBy("host").agg(F.count(F.lit(1)).alias("n_pages"))
+    rare = (
+        d.groupBy("content_id")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _Q97_DF_CAP))
+        .select("content_id")
+    )
+    dr = d.join(F.broadcast(rare), "content_id")
+    a = dr.select(F.col("host").alias("host_a"), "content_id")
+    b = dr.select(F.col("host").alias("host_b"), "content_id")
+    pairs = (
+        a.join(b, "content_id")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= _Q97_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n_pages").alias("size_a"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n_pages").alias("size_b"))
+    return (
+        pairs.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "size_a",
+            "size_b",
+            F.expr("shared * 1000 div (size_a + size_b - shared)").alias("jaccard_milli"),
+        )
+        .orderBy("host_a", "host_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98: anchor-text aggregation — the classic web-graph signal: what
+# OTHER pages call a URL is a better description than the URL itself
+# (it drives both ranking and crawl prioritization). Per target URL,
+# the top-3 anchors by link count plus how many distinct hosts use
+# them (one host repeating an anchor 1000× is weaker evidence than
+# 1000 hosts saying it once).
+#
+# Scale shape: one hash aggregate on (dst_url, anchor) — partial
+# map-side, the key is uniform — then a top-3 window partitioned by
+# dst_url. The window key is the target URL itself (cardinality ~the
+# corpus, no hot key), the same per-key-rank shape q78 uses; total
+# order (n_links DESC, anchor) makes rank deterministic. Host
+# extraction is one JVM regexp — no UDF.
+# ---------------------------------------------------------------------------
+
+Q98_LINKS_PATH = "/tmp/voz_spark_q98_links"
+_Q98_DSTS = 40
+_Q98_HOST_RE = "https://([^/]+)/"
+
+
+def _link_rows() -> list[dict]:
+    """Deterministic link graph: 40 targets; target d receives
+    30 + (d % 50) links from rotating source hosts with a skewed
+    5-anchor vocabulary."""
+    rows = []
+    for d in range(_Q98_DSTS):
+        vocab = ["click here", "read more", f"thread {d}", f"guide {d}", "homepage"]
+        for j in range(30 + (d % 50)):
+            rows.append(
+                {
+                    "src_url": f"https://s{j % 17}.voz.test/page/{j}",
+                    "dst_url": f"https://t.voz.test/t/{d:03d}",
+                    "anchor": vocab[(j * j + d) % 5],
+                }
+            )
+    return rows
+
+
+_Q98_ORACLE = f"""
+WITH g AS (
+  SELECT dst_url, anchor,
+         COUNT(*) AS n_links,
+         COUNT(DISTINCT regexp_extract(src_url, '{_Q98_HOST_RE}', 1)) AS n_hosts
+  FROM read_parquet('{Q98_LINKS_PATH}/*.parquet')
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dst_url ORDER BY n_links DESC, anchor) AS rank
+  FROM g
+)
+SELECT dst_url, anchor, n_links, n_hosts, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+ORDER BY dst_url, rank
+"""
+
+
+@register("q98_anchor_text", oracle=_Q98_ORACLE)
+def q98_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anchor texts per target URL with link and distinct-host
+    counts; one (dst, anchor) hash aggregate + a per-target rank
+    window under a total order."""
+    from pyspark.sql import Window
+
+    links = _materialized(
+        spark,
+        Q98_LINKS_PATH,
+        f"dsts={_Q98_DSTS};v1",
+        lambda: spark.createDataFrame(_pdf(_link_rows())),
+    )
+    g = (
+        links.select(
+            "dst_url",
+            "anchor",
+            F.regexp_extract("src_url", _Q98_HOST_RE, 1).alias("src_host"),
+        )
+        .groupBy("dst_url", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src_host").alias("n_hosts"),
+        )
+    )
+    w = Window.partitionBy("dst_url").orderBy(F.desc("n_links"), "anchor")
+    return (
+        g.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("dst_url", "anchor", "n_links", "n_hosts", "rank")
+        .orderBy("dst_url", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99: crawler-trap detection — calendar pages, session-id rewrites,
+# and faceted-search explosions generate unbounded URL sets from a
+# handful of page templates; an undefended frontier drowns in them
+# (the reference's fixed listing walk simply cannot see them). The
+# detector collapses each path to its template (long hex runs → 'H'
+# first, then digit runs → 'N') and flags hosts whose distinct-URL to
+# distinct-template ratio explodes.
+#
+# Scale shape: template derivation is two JVM regexp_replace calls
+# in-row; then two hash aggregates — (host, template) counts, then
+# per-host rollup — both on uniform keys with map-side partials. The
+# trap criterion is floor division (n_urls div n_templates >= K), the
+# cross-engine-exact integer idiom.
+# ---------------------------------------------------------------------------
+
+Q99_CRAWLLOG_PATH = "/tmp/voz_spark_q99_crawl_log"
+_Q99_TRAP_RATIO = 20
+
+
+def _crawl_log_rows() -> list[dict]:
+    """Two trap hosts (a calendar explosion and a session-id
+    rewriter) and six healthy hosts with diverse shallow templates."""
+    rows = []
+    for m in range(1, 13):
+        for day in range(1, 29):
+            rows.append({"host": "cal.trap.test", "path": f"/cal/2024/{m}/{day}"})
+    for i in range(300):
+        sid = hashlib.md5(f"sid{i}".encode()).hexdigest()
+        rows.append({"host": "sid.trap.test", "path": f"/forum/thread-{i % 10}?sid={sid}"})
+    for h in range(6):
+        for i in range(40):
+            kind = ("t", "u", "tag", "faq", "help")[i % 5]
+            rows.append({"host": f"h{h}.voz.test", "path": f"/{kind}/{kind}page{i}"})
+    return rows
+
+
+_Q99_ORACLE = f"""
+WITH t AS (
+  SELECT host, path,
+         regexp_replace(regexp_replace(path, '[0-9a-f]{{16,}}', 'H', 'g'),
+                        '[0-9]+', 'N', 'g') AS template
+  FROM read_parquet('{Q99_CRAWLLOG_PATH}/*.parquet')
+),
+per_t AS (
+  SELECT host, template, COUNT(DISTINCT path) AS n_urls
+  FROM t GROUP BY 1, 2
+)
+SELECT host,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       COUNT(*) AS n_templates,
+       CAST(MAX(n_urls) AS BIGINT) AS max_template_urls,
+       (CAST(SUM(n_urls) AS BIGINT) // COUNT(*) >= {_Q99_TRAP_RATIO}) AS is_trap
+FROM per_t
+GROUP BY host
+ORDER BY host
+"""
+
+
+@register("q99_trap_detection", oracle=_Q99_ORACLE)
+def q99_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL-template explosion stats: a host is a trap when
+    distinct URLs exceed TRAP_RATIO × distinct templates (floor
+    division). Template = path with hex runs → 'H', digit runs →
+    'N' — identical regexes in both engines."""
+    logd = _materialized(
+        spark,
+        Q99_CRAWLLOG_PATH,
+        f"ratio={_Q99_TRAP_RATIO};v1",
+        lambda: spark.createDataFrame(_pdf(_crawl_log_rows())),
+    )
+    t = logd.select(
+        "host",
+        "path",
+        F.regexp_replace(
+            F.regexp_replace("path", "[0-9a-f]{16,}", "H"), "[0-9]+", "N"
+        ).alias("template"),
+    )
+    per_t = t.groupBy("host", "template").agg(F.countDistinct("path").alias("n_urls"))
+    return (
+        per_t.groupBy("host")
+        .agg(
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_templates"),
+            F.max("n_urls").cast("long").alias("max_template_urls"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_templates",
+            "max_template_urls",
+            F.expr(f"n_urls div n_templates >= {_Q99_TRAP_RATIO}").alias("is_trap"),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100: change-rate recrawl tiering — the freshness model (Cho &
+# Garcia-Molina's recrawl scheduling problem): estimate each URL's
+# change rate from its snapshot history and assign a recrawl tier, so
+# the fetch budget concentrates on pages that actually change. The
+# reference refetches every thread every run regardless of history.
+#
+# Scale shape: one lag window partitioned by URL (the key is the URL
+# itself — uniform, no hot key; in production the history is bounded
+# to the trailing K snapshots per URL so window state is O(K)), then
+# one per-URL hash aggregate. change_rate is integer millis
+# (changes*1000 div intervals) and the tier CASE compares millis —
+# no float thresholds.
+# ---------------------------------------------------------------------------
+
+Q100_SNAPSHOTS_PATH = "/tmp/voz_spark_q100_snapshots"
+_Q100_URLS = 200
+_Q100_SNAPS = 9
+
+
+def _snapshot_rows() -> list[dict]:
+    """200 URLs × 9 snapshots in four deterministic change classes:
+    never / every 4th / every 2nd / every snapshot."""
+    rows = []
+    for u in range(_Q100_URLS):
+        period = (0, 4, 2, 1)[u % 4]
+        for s in range(_Q100_SNAPS):
+            version = 0 if period == 0 else s // period
+            rows.append(
+                {
+                    "url": f"https://t.voz.test/t/{u:04d}",
+                    "fetch_seq": s,
+                    "content_id": f"u{u}-v{version}",
+                }
+            )
+    return rows
+
+
+_Q100_ORACLE = f"""
+WITH s AS (
+  SELECT url, fetch_seq, content_id,
+         LAG(content_id) OVER (PARTITION BY url ORDER BY fetch_seq) AS prev
+  FROM read_parquet('{Q100_SNAPSHOTS_PATH}/*.parquet')
+),
+r AS (
+  SELECT url,
+         COUNT(*) AS n_snapshots,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND content_id <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_changes
+  FROM s GROUP BY url
+)
+SELECT url, n_snapshots, n_changes,
+       n_changes * 1000 // (n_snapshots - 1) AS rate_milli,
+       CASE WHEN n_changes * 1000 // (n_snapshots - 1) >= 900 THEN 'hot'
+            WHEN n_changes * 1000 // (n_snapshots - 1) >= 400 THEN 'warm'
+            WHEN n_changes * 1000 // (n_snapshots - 1) >= 100 THEN 'cool'
+            ELSE 'cold' END AS tier
+FROM r
+ORDER BY url
+"""
+
+
+@register("q100_recrawl_tiers", oracle=_Q100_ORACLE)
+def q100_recrawl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL observed change rate (integer millis over snapshot
+    intervals) and recrawl tier: hot ≥ 0.9, warm ≥ 0.4, cool ≥ 0.1,
+    else cold. One per-URL lag window + one hash aggregate."""
+    from pyspark.sql import Window
+
+    snaps = _materialized(
+        spark,
+        Q100_SNAPSHOTS_PATH,
+        f"urls={_Q100_URLS};snaps={_Q100_SNAPS};v1",
+        lambda: spark.createDataFrame(_pdf(_snapshot_rows())),
+    )
+    w = Window.partitionBy("url").orderBy("fetch_seq")
+    s = snaps.withColumn("prev", F.lag("content_id").over(w))
+    r = s.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_snapshots"),
+        F.sum(
+            F.when(F.col("prev").isNotNull() & (F.col("content_id") != F.col("prev")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changes"),
+    )
+    rate = F.expr("n_changes * 1000 div (n_snapshots - 1)")
+    return (
+        r.select(
+            "url",
+            "n_snapshots",
+            "n_changes",
+            rate.alias("rate_milli"),
+            F.when(rate >= 900, "hot")
+            .when(rate >= 400, "warm")
+            .when(rate >= 100, "cool")
+            .otherwise("cold")
+            .alias("tier"),
+        )
+        .orderBy("url")
+    )
