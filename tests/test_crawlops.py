@@ -125,3 +125,43 @@ def test_q99_fixture_has_no_trap_false_positives_in_template_rule():
         re.sub(r"[0-9]+", "N", re.sub(r"[0-9a-f]{16,}", "H", p)) for p in healthy
     }
     assert len(templates) >= 5
+
+
+def test_q101_integer_pagerank_matches_bruteforce(spark, sf_dir):
+    """The distributed power iteration must equal a plain-Python
+    fixed-point iteration with the same integer arithmetic."""
+    from collections import defaultdict
+
+    from voz_spark.crawlops import _Q101_ROUNDS, _linkgraph_rows, q101_opic_importance
+
+    edges = [(r["src"], r["dst"]) for r in _linkgraph_rows()]
+    outdeg: dict[int, int] = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(_Q101_ROUNDS):
+        s: dict[int, int] = defaultdict(int)
+        for u, v in edges:
+            s[v] += rank[u] // outdeg[u]
+        rank = {v: 150_000 + (850 * s.get(v, 0)) // 1000 for v in nodes}
+    got = {r.node_id: r.rank_micro for r in q101_opic_importance(spark, sf_dir).collect()}
+    assert got == rank
+    # dangling nodes leak cash, so totals contract toward the base;
+    # importance still differentiates: top node beats the base rank
+    assert max(got.values()) > 150_000 > 0
+    assert min(got.values()) >= 150_000
+
+
+def test_q102_allocation_sums_to_budget_and_excludes_traps(spark, sf_dir):
+    from voz_spark.crawlops import _Q102_BUDGET, q102_budget_apportionment
+
+    rows = q102_budget_apportionment(spark, sf_dir).collect()
+    hosts = {r.host for r in rows}
+    assert "cal.trap.test" not in hosts and "sid.trap.test" not in hosts
+    assert hosts == {f"h{h}.voz.test" for h in range(6)}
+    assert sum(r.allocated for r in rows) == _Q102_BUDGET  # exact, always
+    for r in rows:
+        assert r.allocated in (r.quota, r.quota + 1)
+        # proportionality: 6 equal-weight hosts (40 urls + /about each)
+        assert r.quota == _Q102_BUDGET * r.n_urls // sum(x.n_urls for x in rows)

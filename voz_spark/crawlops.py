@@ -563,3 +563,222 @@ def q100_recrawl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101: OPIC-style page-importance for crawl prioritization (Abiteboul
+# et al.'s Online Page Importance Computation / PageRank power
+# iteration): each round a page distributes its importance equally
+# over its out-links; the frontier fetches high-importance pages
+# first. The reference crawls in pure listing order (src/main.py:
+# 153-200) — no importance model at all.
+#
+# Cross-engine exactness: importance is INTEGER MICRO-UNITS, never a
+# float. Each contribution is rank div outdeg (floor division — the
+# cross-engine-exact idiom), each damping step is
+# 150000 + (850 * sum) div 1000. Floor-division PageRank is the
+# standard fixed-point formulation; the tiny systematic undercount vs
+# IEEE is irrelevant for ORDERING and buys bit-identical results on
+# any engine and any summation order (integer addition commutes; IEEE
+# addition does not).
+#
+# Scale shape: R unrolled rounds, each ONE join (edges ⋈ ranks on the
+# uniform src key; the edges side carries its outdeg, precomputed
+# once) + ONE hash aggregate on dst with map-side partials. Dangling
+# nodes simply leak their cash (standard OPIC behavior); zero-indegree
+# nodes keep the base 150000. The DuckDB oracle unrolls the SAME R
+# rounds as AS MATERIALIZED CTEs (the k-core idiom).
+# ---------------------------------------------------------------------------
+
+Q101_LINKGRAPH_PATH = "/tmp/voz_spark_q101_linkgraph"
+_Q101_N = 400
+_Q101_ROUNDS = 4
+
+
+def _linkgraph_rows() -> list[dict]:
+    """Deterministic 400-node link graph: node v links to (2v+1)%N,
+    (3v+2)%N, (7v+3)%N (self-loops and duplicate targets dropped);
+    every 17th node is dangling (no out-links)."""
+    rows = []
+    n = _Q101_N
+    for v in range(n):
+        if v % 17 == 0:
+            continue
+        for d in sorted({(2 * v + 1) % n, (3 * v + 2) % n, (7 * v + 3) % n} - {v}):
+            rows.append({"src": v, "dst": d})
+    return rows
+
+
+def _q101_oracle() -> str:
+    pre = (
+        f"e AS MATERIALIZED (SELECT src, dst FROM read_parquet('{Q101_LINKGRAPH_PATH}/*.parquet')),\n"
+        "od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),\n"
+        "ed AS MATERIALIZED (SELECT e.src, e.dst, od.outdeg FROM e JOIN od ON e.src = od.src),\n"
+        "nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),\n"
+        "r0 AS MATERIALIZED (SELECT v, CAST(1000000 AS BIGINT) AS rank FROM nodes)"
+    )
+    steps = [pre]
+    for k in range(1, _Q101_ROUNDS + 1):
+        steps.append(
+            f"r{k} AS MATERIALIZED (SELECT n.v, "
+            f"CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT ed.dst AS v, CAST(SUM(r{k - 1}.rank // ed.outdeg) AS BIGINT) AS s "
+            f"FROM ed JOIN r{k - 1} ON ed.src = r{k - 1}.v GROUP BY ed.dst) c ON n.v = c.v)"
+        )
+    return (
+        "WITH " + ",\n".join(steps) + "\n"
+        f"SELECT v AS node_id, rank AS rank_micro FROM r{_Q101_ROUNDS}\n"
+        "ORDER BY rank_micro DESC, node_id"
+    )
+
+
+@register("q101_opic_importance", oracle=_q101_oracle())
+def q101_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-micro-unit PageRank/OPIC after R=4 power iterations:
+    rank' = 150000 + 850·(Σ rank div outdeg) div 1000. One uniform-key
+    join + one map-side-partial aggregate per round; parity vs a
+    brute-force Python iteration is pinned by tests/test_crawlops.py."""
+    edges = _materialized(
+        spark,
+        Q101_LINKGRAPH_PATH,
+        f"n={_Q101_N};v1",
+        lambda: spark.createDataFrame(_pdf(_linkgraph_rows())),
+    )
+    od = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(od, "src")
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    r = nodes.withColumn("rank", F.lit(1000000).cast("long"))
+    for _ in range(_Q101_ROUNDS):
+        contribs = (
+            ed.join(r, ed.src == r.v)
+            .groupBy(ed.dst.alias("cv"))
+            .agg(F.sum(F.expr("rank div outdeg")).alias("s"))
+        )
+        r = nodes.join(contribs, nodes.v == contribs.cv, "left").select(
+            "v",
+            F.expr("CAST(150000 + (850 * COALESCE(s, 0)) div 1000 AS BIGINT)").alias("rank"),
+        )
+    return (
+        r.select(F.col("v").alias("node_id"), F.col("rank").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "node_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102: per-host crawl-budget apportionment — divide a round's global
+# fetch budget over healthy hosts proportionally to their pending URL
+# counts using the LARGEST-REMAINDER method (Hamilton apportionment):
+# quota = B·w div W, then the leftover L = B − Σquota goes one unit
+# each to the L largest remainders. Fully integer, so the allocation
+# is exact and engine-identical, and it always sums to exactly B —
+# floor-only allocation underspends, float-rounding over- or
+# under-spends. Trap hosts (q99's verdict, recomputed here from the
+# same crawl log) get ZERO budget: apportionment is the enforcement
+# point for trap defense.
+#
+# Scale shape: two uniform hash aggregates (per-host counts; the
+# 1-row totals), the totals broadcast back (scalar O(1) driver
+# collect for the leftover count L — same bounded-domain precedent as
+# the pivot-value collects), and the leftover winners come from
+# TakeOrdered top-L on (remainder DESC, host) — NO global window over
+# the host table, which at web scale has 10^7+ rows.
+# ---------------------------------------------------------------------------
+
+_Q102_BUDGET = 1000
+_Q102_TRAP_RATIO = 20
+
+
+def _q102_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT host, path,
+         regexp_replace(regexp_replace(path, '[0-9a-f]{{16,}}', 'H', 'g'),
+                        '[0-9]+', 'N', 'g') AS template
+  FROM read_parquet('{Q99_CRAWLLOG_PATH}/*.parquet')
+),
+h AS (
+  SELECT host, COUNT(DISTINCT path) AS n_urls, COUNT(DISTINCT template) AS n_templates
+  FROM t GROUP BY host
+),
+healthy AS (
+  SELECT host, n_urls FROM h WHERE n_urls // n_templates < {_Q102_TRAP_RATIO}
+),
+tot AS (SELECT CAST(SUM(n_urls) AS BIGINT) AS w FROM healthy),
+q AS (
+  SELECT host, n_urls,
+         {_Q102_BUDGET} * n_urls // tot.w AS quota,
+         {_Q102_BUDGET} * n_urls % tot.w AS remainder
+  FROM healthy, tot
+),
+l AS (SELECT {_Q102_BUDGET} - CAST(SUM(quota) AS BIGINT) AS leftover FROM q),
+r AS (
+  SELECT q.*, ROW_NUMBER() OVER (ORDER BY remainder DESC, host) AS rn FROM q
+)
+SELECT r.host, r.n_urls, CAST(r.quota AS BIGINT) AS quota,
+       CAST(r.remainder AS BIGINT) AS remainder,
+       CAST(r.quota + CASE WHEN r.rn <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS allocated
+FROM r, l
+ORDER BY host
+"""
+
+
+@register("q102_budget_apportionment", oracle=_q102_oracle())
+def q102_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 1000-fetch round budget
+    over non-trap hosts, weighted by pending URL count. Σ allocated
+    == budget exactly (pinned in tests); leftover winners via
+    TakeOrdered top-L, no global window."""
+    logd = _materialized(
+        spark,
+        Q99_CRAWLLOG_PATH,
+        f"ratio={_Q99_TRAP_RATIO};v1",
+        lambda: spark.createDataFrame(_pdf(_crawl_log_rows())),
+    )
+    t = logd.select(
+        "host",
+        "path",
+        F.regexp_replace(
+            F.regexp_replace("path", "[0-9a-f]{16,}", "H"), "[0-9]+", "N"
+        ).alias("template"),
+    )
+    h = t.groupBy("host").agg(
+        F.countDistinct("path").alias("n_urls"),
+        F.countDistinct("template").alias("n_templates"),
+    )
+    healthy = h.where(F.expr(f"n_urls div n_templates < {_Q102_TRAP_RATIO}")).select(
+        "host", "n_urls"
+    )
+    tot = healthy.agg(F.sum("n_urls").cast("long").alias("w"))
+    q = healthy.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_urls",
+        F.expr(f"{_Q102_BUDGET} * n_urls div w").alias("quota"),
+        F.expr(f"{_Q102_BUDGET} * n_urls % w").alias("remainder"),
+    )
+    # leftover count: O(1) scalar (one row) — the bounded driver-side
+    # collect precedent; L < |hosts| by construction
+    leftover = int(
+        _Q102_BUDGET - q.agg(F.sum("quota").cast("long").alias("s")).collect()[0].s
+    )
+    winners = (
+        q.orderBy(F.desc("remainder"), "host").limit(leftover).select("host")
+        if leftover > 0
+        else q.limit(0).select("host")
+    )
+    w = winners.withColumn("extra", F.lit(1))
+    return (
+        q.join(F.broadcast(w), "host", "left")
+        .select(
+            "host",
+            "n_urls",
+            "quota",
+            "remainder",
+            (F.col("quota") + F.coalesce("extra", F.lit(0))).cast("long").alias("allocated"),
+        )
+        .orderBy("host")
+    )
