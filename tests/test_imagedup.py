@@ -197,3 +197,52 @@ def test_q91_caption_canon_rule(spark, sf_dir):
     for md5, caps in groups.items():
         if len(caps) >= 2:
             assert md5 in out
+
+
+def test_q103_watermark_tile_found_exactly(spark, sf_dir):
+    """Exactly one corner tile is shared (the planted stamp, on every
+    idx % 3 == 0 image); all natural corners are unique."""
+    from voz_spark.imagedup import _Q103_N, q103_watermark_tiles
+
+    rows = q103_watermark_tiles(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.is_watermark
+    assert r.n_images == len(range(0, _Q103_N, 3))
+
+
+def test_q104_survivor_is_highest_resolution(spark, sf_dir):
+    from voz_spark.imagedup import _multires_rows, q104_best_resolution_dedup
+
+    pdf = _multires_rows()
+    rows = q104_best_resolution_dedup(spark, sf_dir).collect()
+    assert rows, "downscaled variants must form groups"
+    by_phash = {}
+    for rec in pdf.to_dict("records"):
+        by_phash.setdefault(rec["phash"], []).append(rec)
+    for r in rows:
+        grp = by_phash[r.phash]
+        assert r.n_copies == len(grp) >= 2
+        best = max(grp, key=lambda g: (g["w"] * g["h"], g["image_id"]))
+        assert r.survivor_id == best["image_id"]
+        assert r.survivor_pixels == best["w"] * best["h"]
+        assert r.bytes_total == sum(len(g["bytes"]) for g in grp)
+        assert r.bytes_reclaimed == r.bytes_total - len(best["bytes"])
+        # the whole point: the kept copy is the original, not the thumb
+        assert not r.survivor_id.endswith("~s")
+    # every planted multires pair is found (plus any natural phash
+    # collisions between planted near-dup renders)
+    planted = {rec["phash"] for rec in pdf.to_dict("records") if rec["image_id"].endswith("~s")}
+    assert planted <= {r.phash for r in rows}
+
+
+def test_q105_cuts_at_scene_boundaries_only(spark, sf_dir):
+    from voz_spark.imagedup import _Q105_VIDEOS, q105_scene_cuts
+
+    rows = q105_scene_cuts(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.video_id, []).append(r.frame_no)
+    assert set(got) == {f"v{v:02d}" for v in range(_Q105_VIDEOS)}
+    for v, frames in got.items():
+        assert sorted(frames) == [8, 16], (v, frames)

@@ -796,3 +796,283 @@ def q91_caption_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("content_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103: watermark/overlay detection — stock sites and scrapers stamp
+# the same logo block onto thousands of otherwise-distinct pictures;
+# for training data the stamp is both a legal signal and a visual
+# artifact to filter. Detection: decode, hash a fixed corner tile,
+# and find tiles shared across many DISTINCT images (the inverse of
+# dedup: same corner, different pictures). The reference stores
+# image bytes blind (src/image_processor.py:100-160) — no content
+# inspection at all.
+#
+# Scale shape: decode + tile hash run in ONE Arrow-batched
+# mapInPandas pass (pixels never leave the task — only the 32-char
+# tile/image hashes are emitted), then one hash aggregate on the
+# uniform tile-md5 key. Rows-only (DuckDB cannot decode); the
+# planted-watermark recall/precision gate is tests/test_imagedup.py.
+# Lossy formats would swap the exact tile md5 for a tile pHash —
+# the fixture is PNG so the stamp survives bit-exactly.
+# ---------------------------------------------------------------------------
+
+Q103_IMAGES_PATH = "/tmp/voz_spark_q103_wm"
+_Q103_N = 240
+_Q103_TILE = 12
+_Q103_MIN_IMAGES = 5
+
+
+def _watermark_rows() -> pd.DataFrame:
+    import numpy as np
+
+    from voz_spark import synth
+    from voz_spark.codec import png_encode
+
+    stamp = ((np.indices((_Q103_TILE, _Q103_TILE)).sum(axis=0) % 2) * 255).astype("uint8")
+    rows = []
+    for i in range(_Q103_N):
+        px = synth.image_pixels(i).copy()
+        if i % 3 == 0:
+            px[-_Q103_TILE:, -_Q103_TILE:, :] = stamp[..., None]
+        rows.append({"image_id": synth.image_id(i), "bytes": png_encode(px)})
+    return pd.DataFrame(rows)
+
+
+@register("q103_watermark_tiles", oracle=None)
+def q103_watermark_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corner tiles shared by >= 2 distinct images; is_watermark when
+    >= MIN_IMAGES distinct images carry the tile. One decode pass
+    emitting (tile_md5, image_md5) pairs, one aggregate."""
+    import hashlib
+
+    from voz_spark.codec import png_decode
+
+    imgs = _materialized(
+        spark,
+        Q103_IMAGES_PATH,
+        f"n={_Q103_N};tile={_Q103_TILE};v1",
+        lambda: spark.createDataFrame(_watermark_rows()),
+    )
+
+    def tiles(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                px = png_decode(bytes(r["bytes"]))
+                tile = px[-_Q103_TILE:, -_Q103_TILE:, :]
+                out.append(
+                    (
+                        r["image_id"],
+                        hashlib.md5(tile.tobytes()).hexdigest(),
+                        hashlib.md5(px.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["image_id", "tile_md5", "image_md5"])
+
+    t = imgs.mapInPandas(tiles, "image_id string, tile_md5 string, image_md5 string")
+    return (
+        t.groupBy("tile_md5")
+        .agg(F.countDistinct("image_md5").alias("n_images"))
+        .where(F.col("n_images") >= 2)
+        .select(
+            "tile_md5", "n_images", (F.col("n_images") >= _Q103_MIN_IMAGES).alias("is_watermark")
+        )
+        .orderBy(F.desc("n_images"), "tile_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104: keep-best-resolution dedup with storage accounting — when the
+# same picture exists at several resolutions (mirrors serving
+# thumbnails + originals), the corpus should keep the HIGHEST-pixel
+# copy and reclaim the rest. Groups form on the stored pHash (the
+# input-table contract: pHash is computed once at ingest from the
+# original, and DCT pHash is resize-invariant by design); the
+# survivor is argmax over the (pixels, image_id) total order — a
+# deterministic quality rule, not download-order luck (the q91
+# principle applied to resolution).
+#
+# Scale shape: ONE hash aggregate on the uniform 64-bit phash key;
+# the argmax is max-over-struct so partial aggregation applies
+# map-side — no window, no join in the Spark plan. The DuckDB oracle
+# uses the two-agg max-then-re-join formulation (the cross-engine
+# argmax idiom) — identical result under the same total order.
+# ---------------------------------------------------------------------------
+
+Q104_IMAGES_PATH = "/tmp/voz_spark_q104_multires"
+_Q104_N = 360
+
+_Q104_ORACLE = f"""
+WITH p AS (
+  SELECT image_id, phash, w * h AS pixels, octet_length(bytes) AS blen
+  FROM read_parquet('{Q104_IMAGES_PATH}/*.parquet')
+),
+g AS (
+  SELECT phash, COUNT(*) AS n_copies,
+         CAST(SUM(blen) AS BIGINT) AS bytes_total,
+         MAX(pixels) AS mxp
+  FROM p GROUP BY phash HAVING COUNT(*) >= 2
+),
+s AS (
+  SELECT p.phash, MAX(p.image_id) AS survivor_id
+  FROM p JOIN g ON p.phash = g.phash AND p.pixels = g.mxp
+  GROUP BY p.phash
+)
+SELECT g.phash, g.n_copies, s.survivor_id,
+       CAST(g.mxp AS BIGINT) AS survivor_pixels,
+       g.bytes_total,
+       g.bytes_total - CAST(k.blen AS BIGINT) AS bytes_reclaimed
+FROM g
+JOIN s ON s.phash = g.phash
+JOIN p k ON k.phash = g.phash AND k.image_id = s.survivor_id
+ORDER BY g.phash
+"""
+
+
+def _multires_rows() -> pd.DataFrame:
+    from voz_spark import synth
+    from voz_spark.codec import png_encode
+
+    rows = []
+    for i in range(_Q104_N):
+        r = synth.image_row(i)
+        rows.append({k: r[k] for k in ("image_id", "bytes", "w", "h", "phash")})
+        if i % 5 == 2:
+            px = synth.image_pixels(i)[::2, ::2, :]
+            rows.append(
+                {
+                    "image_id": r["image_id"] + "~s",
+                    "bytes": png_encode(px),
+                    "w": px.shape[1],
+                    "h": px.shape[0],
+                    "phash": r["phash"],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+@register("q104_best_resolution_dedup", oracle=_Q104_ORACLE)
+def q104_best_resolution_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per duplicate-image group (same ingest pHash): keep the
+    highest-resolution copy (argmax over (pixels, image_id)) and
+    account the bytes reclaimed by dropping the rest."""
+    imgs = _materialized(
+        spark,
+        Q104_IMAGES_PATH,
+        f"n={_Q104_N};downscale=5;v1",
+        lambda: spark.createDataFrame(_multires_rows()),
+    )
+    p = imgs.select(
+        "image_id",
+        "phash",
+        (F.col("w") * F.col("h")).alias("pixels"),
+        F.expr("octet_length(bytes)").alias("blen"),
+    )
+    mx = F.max(F.struct("pixels", "image_id", "blen")).alias("mx")
+    return (
+        p.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("blen").cast("long").alias("bytes_total"),
+            mx,
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "phash",
+            "n_copies",
+            F.col("mx.image_id").alias("survivor_id"),
+            F.col("mx.pixels").cast("long").alias("survivor_pixels"),
+            "bytes_total",
+            (F.col("bytes_total") - F.col("mx.blen")).cast("long").alias("bytes_reclaimed"),
+        )
+        .orderBy("phash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105: scene-cut detection over frame-sampled video — the keyframe
+# selector a multimodal pipeline runs before captioning/dedup (one
+# frame per scene, not per second). A cut is a jump in the per-frame
+# block-luma signature between consecutive frames of the same video.
+#
+# Scale shape — the design point is WHAT SHUFFLES: frames decode in
+# one Arrow-batched mapInPandas pass that emits only a 16-int block
+# signature per frame (64 bytes); the consecutive-frame comparison is
+# a lag window partitioned by video_id (uniform key, bounded frames
+# per video), so the shuffle carries signatures, never pixels. The
+# distance is integer (sum |Δ block-mean|) — no float thresholds.
+# Rows-only (DuckDB cannot decode); the planted scene structure
+# (cuts at frames 8 and 16 in every video) is the pytest gate.
+# ---------------------------------------------------------------------------
+
+Q105_FRAMES_PATH = "/tmp/voz_spark_q105_frames"
+_Q105_VIDEOS = 8
+_Q105_FRAMES = 24
+_Q105_SCENE_LEN = 8
+_Q105_CUT_MIN = 96  # within-scene ramp moves each block mean by ~2/frame
+
+
+def _frame_rows() -> pd.DataFrame:
+    import numpy as np
+
+    from voz_spark.codec import png_encode
+    from voz_spark.synth import _image_field
+
+    rows = []
+    for v in range(_Q105_VIDEOS):
+        for f in range(_Q105_FRAMES):
+            scene = f // _Q105_SCENE_LEN
+            field = _image_field(v * 101 + scene * 7 + 1, 32, 32)
+            px = np.clip(field + 2.0 * (f % _Q105_SCENE_LEN), 0, 255).astype("uint8")
+            rows.append({"video_id": f"v{v:02d}", "frame_no": f, "bytes": png_encode(px)})
+    return pd.DataFrame(rows)
+
+
+@register("q105_scene_cuts", oracle=None)
+def q105_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames whose 16-block luma signature jumps >= CUT_MIN from the
+    previous frame of the same video: the scene boundaries. Decode
+    emits 64-byte signatures; the lag window never sees pixels."""
+    from pyspark.sql import Window
+
+    from voz_spark.codec import png_decode
+
+    frames = _materialized(
+        spark,
+        Q105_FRAMES_PATH,
+        f"v={_Q105_VIDEOS};f={_Q105_FRAMES};scene={_Q105_SCENE_LEN};v1",
+        lambda: spark.createDataFrame(_frame_rows()),
+    )
+
+    def signature(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                px = png_decode(bytes(r["bytes"])).astype("int64")
+                luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+                sig = [
+                    int(luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].sum() // 64)
+                    for by in range(4)
+                    for bx in range(4)
+                ]
+                out.append((r["video_id"], int(r["frame_no"]), sig))
+            yield pd.DataFrame(out, columns=["video_id", "frame_no", "sig"])
+
+    sigs = frames.mapInPandas(
+        signature, "video_id string, frame_no int, sig array<bigint>"
+    )
+    w = Window.partitionBy("video_id").orderBy("frame_no")
+    return (
+        sigs.withColumn("prev", F.lag("sig").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "video_id",
+            "frame_no",
+            F.expr(
+                "aggregate(zip_with(sig, prev, (a, b) -> abs(a - b)), 0L, (acc, x) -> acc + x)"
+            ).alias("dist"),
+        )
+        .where(F.col("dist") >= _Q105_CUT_MIN)
+        .orderBy("video_id", "frame_no")
+    )
