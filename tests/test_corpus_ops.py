@@ -220,3 +220,26 @@ def test_cdc_chunks_resynchronize_after_edit(spark):
     # may differ between the two variants
     assert a[1:] == b[1:]
     assert len(set(a) & set(b)) >= len(set(a)) - 1
+
+
+def test_q106_boilerplate_removed_body_preserved(spark, sf_dir):
+    """Paragraph dedup must remove exactly the planted boilerplate
+    (df ~ 75-100 docs each) and rebuild the body in original order."""
+    import hashlib
+
+    from voz_spark.corpus_ops import _Q106_BOILER, _paradoc_rows, q106_paragraph_dedup
+
+    src = {int(r["doc_id"]): r["text"] for r in _paradoc_rows().to_dict("records")}
+    rows = {r.doc_id: r for r in q106_paragraph_dedup(spark, sf_dir).collect()}
+    assert set(rows) == set(src)
+    boiler = set(_Q106_BOILER)
+    for d, text in src.items():
+        paras = text.split("\n\n")
+        kept = [p for p in paras if p not in boiler]
+        r = rows[d]
+        assert r.n_paras == len(paras)
+        assert r.n_kept == len(kept)
+        assert r.n_removed == len(paras) - len(kept)
+        assert r.n_removed in (2, 3)  # header+footer (+mid banner every 3rd doc)
+        want = hashlib.md5("\n\n".join(kept).encode()).hexdigest()
+        assert r.clean_md5 == want, d

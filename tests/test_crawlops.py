@@ -165,3 +165,25 @@ def test_q102_allocation_sums_to_budget_and_excludes_traps(spark, sf_dir):
         assert r.allocated in (r.quota, r.quota + 1)
         # proportionality: 6 equal-weight hosts (40 urls + /about each)
         assert r.quota == _Q102_BUDGET * r.n_urls // sum(x.n_urls for x in rows)
+
+
+def test_q107_psl_longest_match_semantics(spark, sf_dir):
+    from voz_spark.crawlops import q107_registrable_domain
+
+    got = {r.host: (r.public_suffix, r.registrable_domain)
+           for r in q107_registrable_domain(spark, sf_dir).collect()}
+    assert got["www.shop.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert got["a.example.co.uk"] == ("co.uk", "example.co.uk")
+    assert got["example.co.uk"] == ("co.uk", "example.co.uk")
+    assert got["b.example.org.uk"] == ("org.uk", "example.org.uk")
+    assert got["www.example.com"] == ("com", "example.com")
+    assert got["deep.a.b.example.net"] == ("net", "example.net")
+    # github.io is itself a public suffix: user sites are DISTINCT
+    assert got["user1.github.io"] == ("github.io", "user1.github.io")
+    assert got["user2.github.io"] == ("github.io", "user2.github.io")
+    assert got["www.user1.github.io"] == ("github.io", "user1.github.io")
+    assert got["news.example.com.vn"] == ("com.vn", "example.com.vn")
+    assert got["plain.vn"] == ("vn", "plain.vn")
+    # unknown TLD falls back to the last label
+    assert got["internal.corpnet"] == ("corpnet", "internal.corpnet")
+    assert got["a.b.internal.corpnet"] == ("corpnet", "internal.corpnet")

@@ -983,3 +983,136 @@ def q90_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q106: paragraph-level dedup with document reconstruction — the
+# RefinedWeb/CCNet line-dedup stage: cookie banners, navigation
+# blocks, and signatures repeat across thousands of pages; whole-doc
+# dedup (q20) keeps them and span-level stats (q81) only measure
+# them. This op REMOVES paragraphs whose cross-document frequency
+# exceeds a threshold and reassembles each document in original
+# paragraph order.
+#
+# Scale shape: the high-df paragraph set is TINY by construction
+# (boilerplate is the thing that repeats; the long tail is unique),
+# so after one uniform-key df aggregate the removal is a BROADCAST
+# anti-join of the corpus against the blocklist — the corpus itself
+# is never re-shuffled for membership. Reconstruction is one
+# per-doc aggregate: collect (pos, para), array_sort, join — order
+# restored without a window. Both engines rebuild the text
+# identically (Spark array_sort struct order ≡ DuckDB string_agg
+# ORDER BY pos) and compare via md5, the cross-engine hash.
+# ---------------------------------------------------------------------------
+
+Q106_PARADOCS_PATH = "/tmp/voz_spark_q106_paradocs"
+_Q106_DOCS = 300
+_Q106_DF_MAX = 10  # a paragraph in more docs than this is boilerplate
+
+_Q106_BOILER = [
+    "subscribe to our newsletter for daily updates",
+    "copyright 2024 voz forum all rights reserved",
+    "accept cookies to continue browsing this site",
+    "download our mobile app for the full experience",
+]
+
+
+def _paradoc_rows():
+    import pandas as pd
+
+    rows = []
+    for d in range(_Q106_DOCS):
+        paras = []
+        n_body = 4 + d % 5
+        for i in range(n_body):
+            paras.append(f"body paragraph {d:03d}-{i} with its own unique words {d * 31 + i}")
+        # deterministic boilerplate insertions: header, footer, and for
+        # every third doc an extra mid-document banner
+        paras.insert(0, _Q106_BOILER[d % 4])
+        if d % 3 == 0:
+            paras.insert(2, _Q106_BOILER[(d + 1) % 4])
+        paras.append(_Q106_BOILER[(d + 2) % 4])
+        rows.append({"doc_id": d, "text": "\n\n".join(paras)})
+    return pd.DataFrame(rows)
+
+
+_Q106_SEP = "chr(10) || chr(10)"
+
+_Q106_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, {_Q106_SEP}) AS paras
+  FROM read_parquet('{Q106_PARADOCS_PATH}/*.parquet')
+),
+e AS (
+  SELECT doc_id,
+         UNNEST(paras) AS para,
+         UNNEST(range(1, len(paras) + 1)) AS pos
+  FROM d
+),
+f AS (
+  SELECT para FROM e GROUP BY para
+  HAVING COUNT(DISTINCT doc_id) > {_Q106_DF_MAX}
+),
+kept AS (
+  SELECT e.* FROM e ANTI JOIN f USING (para)
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM e GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id,
+         COUNT(*) AS n_kept,
+         md5(string_agg(para, {_Q106_SEP} ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       t.n_paras - CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_md5, md5('')) AS clean_md5
+FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("q106_paragraph_dedup", oracle=_Q106_ORACLE)
+def q106_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove paragraphs appearing in more than DF_MAX documents and
+    rebuild each document in original paragraph order; returns per-doc
+    kept/removed counts and the md5 of the cleaned text."""
+    from voz_spark.imagedup import _materialized
+
+    docs = _materialized(
+        spark,
+        Q106_PARADOCS_PATH,
+        f"docs={_Q106_DOCS};v1",
+        lambda: spark.createDataFrame(_paradoc_rows()),
+    )
+    e = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n\n")).alias("pos0", "para")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    blocklist = (
+        e.groupBy("para")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > _Q106_DF_MAX)
+        .select("para")
+    )
+    kept = e.join(F.broadcast(blocklist), "para", "left_anti")
+    tot = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n\n",
+                F.expr("transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        tot.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -782,3 +782,156 @@ def q102_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q107: registrable-domain (eTLD+1) extraction — politeness, budgets,
+# and trap/mirror statistics must key on the REGISTRABLE domain, not
+# the hostname: a.example.co.uk and b.example.co.uk are one site (and
+# one rate-limit target), while user1.github.io and user2.github.io
+# are different sites. That requires public-suffix-list semantics:
+# the match is the LONGEST suffix present in the PSL, and an unknown
+# TLD falls back to the bare last label.
+#
+# Scale shape: the PSL is ~10^4 rows — broadcast by construction —
+# and a hostname has ≤ ~6 labels, so candidate generation is a
+# bounded in-row explode (suffixes built with transform over
+# sequence, all JVM-side). Longest-match is an argmax per host; the
+# nested candidates of one host have strictly increasing lengths, so
+# max(struct(length, suffix)) is a total order. One bounded explode +
+# one broadcast join + one hash aggregate on the uniform host key.
+# ---------------------------------------------------------------------------
+
+Q107_HOSTS_PATH = "/tmp/voz_spark_q107_hosts"
+Q107_PSL_PATH = "/tmp/voz_spark_q107_psl"
+
+_Q107_PSL = [
+    "com", "net", "org", "io", "uk", "co.uk", "org.uk", "test",
+    "github.io", "vn", "com.vn", "edu.vn",
+]
+
+
+def _q107_host_rows() -> list[dict]:
+    hosts = [
+        "www.shop.example.co.uk",
+        "a.example.co.uk",
+        "example.co.uk",
+        "b.example.org.uk",
+        "www.example.com",
+        "example.com",
+        "deep.a.b.example.net",
+        "user1.github.io",
+        "user2.github.io",
+        "www.user1.github.io",
+        "forum.voz.test",
+        "img1.voz.test",
+        "news.example.com.vn",
+        "example.edu.vn",
+        "plain.vn",
+        "internal.corpnet",  # unknown TLD -> fallback: last label
+        "a.b.internal.corpnet",
+    ]
+    return [{"host": h} for h in hosts]
+
+
+_Q107_ORACLE = f"""
+WITH h AS (
+  SELECT host, string_split(host, '.') AS labels
+  FROM read_parquet('{Q107_HOSTS_PATH}/*.parquet')
+),
+cand AS (
+  SELECT host, labels,
+         UNNEST([array_to_string(labels[i:], '.') FOR i IN range(1, len(labels) + 1)]) AS sfx
+  FROM h
+),
+m AS (
+  SELECT c.host, MAX(LENGTH(c.sfx)) AS sfx_len
+  FROM cand c JOIN read_parquet('{Q107_PSL_PATH}/*.parquet') p ON c.sfx = p.suffix
+  WHERE LENGTH(c.host) > LENGTH(c.sfx)  -- the host itself must not BE the suffix
+  GROUP BY c.host
+),
+best AS (
+  SELECT c.host, c.sfx AS public_suffix
+  FROM cand c JOIN m ON c.host = m.host AND LENGTH(c.sfx) = m.sfx_len
+  JOIN read_parquet('{Q107_PSL_PATH}/*.parquet') p ON c.sfx = p.suffix
+)
+SELECT h2.host,
+       COALESCE(b.public_suffix, regexp_extract(h2.host, '([^.]+)$', 1)) AS public_suffix,
+       CASE WHEN b.public_suffix IS NULL
+            THEN regexp_extract(h2.host, '([^.]+)[.][^.]+$', 1) || '.'
+                 || regexp_extract(h2.host, '([^.]+)$', 1)
+            ELSE regexp_extract(substr(h2.host, 1, LENGTH(h2.host) - LENGTH(b.public_suffix) - 1),
+                                '([^.]+)$', 1) || '.' || b.public_suffix
+       END AS registrable_domain
+FROM (SELECT host FROM read_parquet('{Q107_HOSTS_PATH}/*.parquet')) h2
+LEFT JOIN best b ON h2.host = b.host
+ORDER BY h2.host
+"""
+
+
+@register("q107_registrable_domain", oracle=_Q107_ORACLE)
+def q107_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-list longest-match: host → (public_suffix,
+    registrable_domain); unknown TLDs fall back to the last label.
+    Bounded in-row suffix explode + broadcast PSL join + per-host
+    argmax on the total order (length, suffix)."""
+    hosts = _materialized(
+        spark,
+        Q107_HOSTS_PATH,
+        "hosts=v1",
+        lambda: spark.createDataFrame(_pdf(_q107_host_rows())),
+    )
+    psl = _materialized(
+        spark,
+        Q107_PSL_PATH,
+        f"psl={len(_Q107_PSL)};v1",
+        lambda: spark.createDataFrame(_pdf([{"suffix": s} for s in _Q107_PSL])),
+    )
+    cand = hosts.select(
+        "host",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(host, '[.]'))), "
+                "i -> array_join(slice(split(host, '[.]'), i, size(split(host, '[.]'))), '.'))"
+            )
+        ).alias("sfx"),
+    )
+    best = (
+        cand.join(F.broadcast(psl), cand.sfx == psl.suffix)
+        .where(F.length("host") > F.length("sfx"))
+        .groupBy("host")
+        .agg(F.max(F.struct(F.length("sfx").alias("l"), F.col("sfx").alias("s"))).alias("mx"))
+        .select("host", F.col("mx.s").alias("public_suffix"))
+    )
+    return (
+        hosts.join(best, "host", "left")
+        .select(
+            "host",
+            F.coalesce(
+                "public_suffix", F.regexp_extract("host", r"([^.]+)$", 1)
+            ).alias("public_suffix"),
+            F.when(
+                F.col("public_suffix").isNull(),
+                F.concat(
+                    F.regexp_extract("host", r"([^.]+)[.][^.]+$", 1),
+                    F.lit("."),
+                    F.regexp_extract("host", r"([^.]+)$", 1),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.regexp_extract(
+                        F.expr(
+                            "substr(host, 1, length(host) - length(public_suffix) - 1)"
+                        ),
+                        r"([^.]+)$",
+                        1,
+                    ),
+                    F.lit("."),
+                    F.col("public_suffix"),
+                )
+            )
+            .alias("registrable_domain"),
+        )
+        .orderBy("host")
+    )
