@@ -187,3 +187,49 @@ def test_q107_psl_longest_match_semantics(spark, sf_dir):
     # unknown TLD falls back to the last label
     assert got["internal.corpnet"] == ("corpnet", "internal.corpnet")
     assert got["a.b.internal.corpnet"] == ("corpnet", "internal.corpnet")
+
+
+def test_q108_extraction_matches_python_reparse(spark, sf_dir):
+    """The regex extraction must agree with an independent Python
+    re-parse of the same fixture HTML."""
+    import hashlib
+    import re
+
+    from voz_spark.crawlops import _html_rows, q108_html_extract
+
+    src = {r["url"]: r["html"] for r in _html_rows()}
+    rows = {r.url: r for r in q108_html_extract(spark, sf_dir).collect()}
+    assert set(rows) == set(src)
+    for url, html in src.items():
+        r = rows[url]
+        assert r.title == re.search(r"<title>([^<]*)</title>", html).group(1)
+        assert r.n_links == len(re.findall(r'href="([^"]*)"', html))
+        assert r.n_images == len(re.findall(r'<img src="([^"]*)"', html))
+        text = re.sub(r"[ ]+", " ", re.sub(r"<[^>]+>", " ", html)).strip()
+        assert r.n_words == len(text.split(" "))
+        assert r.text_md5 == hashlib.md5(text.encode()).hexdigest()
+    # thread pages really extract content: some page has links+images
+    assert any(r.n_images >= 2 for r in rows.values())
+
+
+def test_q109_templates_cluster_by_page_kind(spark, sf_dir):
+    """Within the fixture, template identity is determined by the
+    page-structure knobs (kind, post count, quote block) — never by
+    host or text content; every cluster spans multiple hosts."""
+    import hashlib
+    import re
+
+    from voz_spark.crawlops import _html_rows, q109_dom_templates
+
+    fp = {}
+    for r in _html_rows():
+        key = hashlib.md5(
+            ",".join(re.findall(r"<([a-z]+)[^>]*>", r["html"])).encode()
+        ).hexdigest()
+        host = re.match(r"https://([^/]+)/", r["url"]).group(1)
+        fp.setdefault(key, []).append(host)
+    want = {k: (len(v), len(set(v))) for k, v in fp.items() if len(v) >= 2}
+    got = {r.template_md5: (r.n_pages, r.n_hosts) for r in q109_dom_templates(spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) >= 3  # several structural clusters exist
+    assert any(n_hosts >= 2 for _, n_hosts in got.values())

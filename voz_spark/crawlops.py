@@ -935,3 +935,160 @@ def q107_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108/q109: HTML content extraction + DOM-template fingerprinting.
+# The reference's entire parse stage is BeautifulSoup over rendered
+# thread pages (src/thread_crawler.py, src/main.py:153-200): title,
+# post text, links, image refs. q108 re-expresses that extraction
+# declaratively — IDENTICAL regex programs in Spark and DuckDB (title
+# tag, href/src attributes, strip-tags + whitespace-collapse for
+# text) so the oracle is exact, not approximate. q109 hashes each
+# page's TAG SEQUENCE into a DOM-template fingerprint: pages sharing
+# a template cluster together — the DOM-level complement of q99's
+# URL-template trap detector (soft-404 and boilerplate-layout
+# detection key on exactly this signal).
+#
+# Scale shape: both are single-scan, in-row regexp programs
+# (regexp_extract_all / regexp_replace — JVM codegen, no UDF, no
+# explode for the counts since size() folds in-row) followed by ONE
+# uniform-key hash aggregate (q109) or none at all (q108: the only
+# exchange is the display sort). Pages never shuffle their HTML: q109
+# aggregates 32-char fingerprints.
+# ---------------------------------------------------------------------------
+
+Q108_HTML_PATH = "/tmp/voz_spark_q108_html"
+_Q108_N = 120
+
+
+def _html_rows() -> list[dict]:
+    """Deterministic thread-page corpus: 3 page templates (thread,
+    listing, profile) across 6 hosts; thread pages carry posts with
+    links and images, every 4th page gains an extra quote block."""
+    rows = []
+    for i in range(_Q108_N):
+        host = f"h{i % 6}.voz.test"
+        kind = ("thread", "listing", "profile")[i % 3]
+        posts = []
+        if kind == "thread":
+            for p in range(2 + i % 3):
+                posts.append(
+                    f'<div class="post"><p>Post {p} of page {i} says building pc '
+                    f'needs budget {10 + (i * 7 + p) % 40} million</p>'
+                    f'<a href="https://{host}/t/{i:03d}?p={p}">link{p}</a>'
+                    f'<img src="https://img.voz.test/i/{i}_{p}.png"/></div>'
+                )
+            if i % 4 == 0:
+                posts.append('<blockquote><p>quoted earlier reply</p></blockquote>')
+        elif kind == "listing":
+            for t in range(4):
+                posts.append(f'<li><a href="https://{host}/t/{i * 10 + t:04d}">thread {t}</a></li>')
+        else:
+            posts.append(f'<div class="bio"><p>member since 202{i % 4}</p></div>')
+        html = (
+            f'<html><head><title>voz {kind} page {i:03d}</title></head>'
+            f'<body><nav><a href="https://{host}/">home</a></nav>'
+            + "".join(posts)
+            + "</body></html>"
+        )
+        rows.append({"url": f"https://{host}/{kind}/{i:03d}", "html": html})
+    return rows
+
+
+_Q108_ORACLE = f"""
+WITH x AS (
+  SELECT url,
+         regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS n_links,
+         len(regexp_extract_all(html, '<img src="([^"]*)"', 1)) AS n_images,
+         trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                             '[ ]+', ' ', 'g')) AS text
+  FROM read_parquet('{Q108_HTML_PATH}/*.parquet')
+)
+SELECT url, title,
+       CAST(n_links AS BIGINT) AS n_links,
+       CAST(n_images AS BIGINT) AS n_images,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       md5(text) AS text_md5
+FROM x
+ORDER BY url
+"""
+
+
+@register("q108_html_extract", oracle=_Q108_ORACLE)
+def q108_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title / link count / image count / tag-stripped text per page —
+    the reference's BeautifulSoup stage as one in-row regexp program;
+    text compared by md5, counts fold in-row via size()."""
+    pages = _materialized(
+        spark,
+        Q108_HTML_PATH,
+        f"n={_Q108_N};v1",
+        lambda: spark.createDataFrame(_pdf(_html_rows())),
+    )
+    text = F.trim(
+        F.regexp_replace(F.regexp_replace("html", "<[^>]+>", " "), "[ ]+", " ")
+    )
+    return (
+        pages.select(
+            "url",
+            F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+            F.size(F.regexp_extract_all("html", F.lit(r'href="([^"]*)"'), 1))
+            .cast("long")
+            .alias("n_links"),
+            F.size(F.regexp_extract_all("html", F.lit(r'<img src="([^"]*)"'), 1))
+            .cast("long")
+            .alias("n_images"),
+            F.size(F.split(text, " ")).cast("long").alias("n_words"),
+            F.md5(text).alias("text_md5"),
+        )
+        .orderBy("url")
+    )
+
+
+_Q109_ORACLE = f"""
+WITH t AS (
+  SELECT url,
+         regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+         md5(array_to_string(regexp_extract_all(html, '<([a-z]+)[^>]*>', 1), ',')) AS template_md5
+  FROM read_parquet('{Q108_HTML_PATH}/*.parquet')
+)
+SELECT template_md5,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT host) AS n_hosts
+FROM t
+GROUP BY template_md5
+HAVING COUNT(*) >= 2
+ORDER BY n_pages DESC, template_md5
+"""
+
+
+@register("q109_dom_templates", oracle=_Q109_ORACLE)
+def q109_dom_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-template clusters: pages grouped by the md5 of their
+    opening-tag sequence. One in-row fingerprint + one hash aggregate
+    on the uniform 32-char key — the HTML never shuffles."""
+    pages = _materialized(
+        spark,
+        Q108_HTML_PATH,
+        f"n={_Q108_N};v1",
+        lambda: spark.createDataFrame(_pdf(_html_rows())),
+    )
+    t = pages.select(
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+        F.md5(
+            F.array_join(
+                F.expr("regexp_extract_all(html, '<([a-z]+)[^>]*>', 1)"), ","
+            )
+        ).alias("template_md5"),
+    )
+    return (
+        t.groupBy("template_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .where(F.col("n_pages") >= 2)
+        .orderBy(F.desc("n_pages"), "template_md5")
+    )
