@@ -233,3 +233,48 @@ def test_q109_templates_cluster_by_page_kind(spark, sf_dir):
     assert got == want
     assert len(got) >= 3  # several structural clusters exist
     assert any(n_hosts >= 2 for _, n_hosts in got.values())
+
+
+def test_q110_block_semantics(spark, sf_dir):
+    from voz_spark.crawlops import q110_robots_parse
+
+    rows = q110_robots_parse(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r.host, r.user_agent), []).append((r.rule_type, r.value))
+    # multi-UA block: h0 has vozbot AND altbot sharing the same rules
+    assert by[("h0.voz.test", "vozbot")] == by[("h0.voz.test", "altbot")]
+    assert ("disallow", "/vozbot-only/") in by[("h0.voz.test", "vozbot")]
+    # h1 (h%3==1): no vozbot block at all
+    assert ("h1.voz.test", "vozbot") not in by
+    # sitemap is host-global (empty UA), exactly one per host
+    for h in range(8):
+        assert by[(f"h{h}.voz.test", "")] == [
+            ("sitemap", f"https://h{h}.voz.test/sitemap.xml")
+        ]
+    # crawl-delay stays attached to the * block
+    assert ("crawl-delay", "2") in by[("h1.voz.test", "*")]
+    # the leading comment never leaks into the rules
+    assert all("#" not in v for rules in by.values() for _, v in rules)
+
+
+def test_q111_google_precedence_semantics(spark, sf_dir):
+    from voz_spark.crawlops import q111_robots_effective
+
+    got = {(r.host, r.path): (r.allowed, r.matched_rule)
+           for r in q111_robots_effective(spark, sf_dir).collect()}
+    # h0 has a vozbot group -> it OVERRIDES * entirely: /private/x is
+    # allowed (vozbot rules: disallow /vozbot-only/, allow /)
+    assert got[("h0.voz.test", "/private/x")] == (True, "/")
+    assert got[("h0.voz.test", "/vozbot-only/z")] == (False, "/vozbot-only/")
+    # h1 has no vozbot group -> * applies: longest match wins
+    assert got[("h1.voz.test", "/private/x")] == (False, "/private/")
+    assert got[("h1.voz.test", "/private/pub/y")] == (True, "/private/pub/")
+    # no matching rule -> default allowed
+    assert got[("h1.voz.test", "/ok/page")] == (True, "")
+    # equal-length allow vs disallow -> allow wins (h4 has no vozbot
+    # group, so its * block's /dup/ pair applies)
+    assert got[("h4.voz.test", "/dup/x")] == (True, "/dup/")
+    # h2 (h%3==2): '*' disallows everything, but vozbot group exists
+    # and allows / — vozbot overrides
+    assert got[("h2.voz.test", "/ok/page")] == (True, "/")

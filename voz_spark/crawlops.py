@@ -1092,3 +1092,283 @@ def q109_dom_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_pages") >= 2)
         .orderBy(F.desc("n_pages"), "template_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# q110/q111: the robots.txt stack — raw file parsing and effective-
+# permission evaluation. The frontier's B9 stage consumes a compiled
+# (host, path_prefix, allowed) TABLE (frontier.py:276-308); these two
+# close the loop from raw fetched robots.txt text to that table and
+# to per-URL verdicts. The reference never parses robots at all
+# (src/browser.py:40-44 — it evades).
+#
+# q110 parse semantics (the spec's tricky bits, both engines):
+# - a BLOCK starts at a User-agent line whose PREVIOUS meaningful
+#   line is not a User-agent line ("User-agent: a\nUser-agent: b\n
+#   Disallow: /x" applies /x to BOTH a and b) — gaps-and-islands via
+#   lag + running sum, one window partitioning reused for both;
+# - comments (#) and blank lines are dropped before grouping;
+# - Sitemap is host-global (user_agent ''), not block-scoped;
+# - directives before any User-agent line are invalid and dropped.
+#
+# q111 evaluation semantics (Google's documented rules): use the most
+# specific matching agent group (vozbot if present, else *); among
+# matching Allow/Disallow rules the LONGEST path wins; at equal
+# length Allow beats Disallow; no matching rule → allowed.
+#
+# Scale shape: q110 is split+posexplode (bounded per-file fan-out) +
+# two windows sharing one hashpartitioning(host) exchange + a 1:few
+# block join. q111 broadcasts the rule table (robots rules are tiny
+# relative to candidate URLs — the same asymmetry B9 exploits) and
+# resolves the winner with ONE hash aggregate: argmax over the
+# (match_len, is_allow, rule_path) total order — no window over the
+# candidate table.
+# ---------------------------------------------------------------------------
+
+Q110_ROBOTS_PATH = "/tmp/voz_spark_q110_robots"
+Q111_CAND_PATH = "/tmp/voz_spark_q111_cands"
+
+
+def _robots_rows() -> list[dict]:
+    rows = []
+    for h in range(8):
+        host = f"h{h}.voz.test"
+        lines = [f"# robots for {host}", "User-agent: *"]
+        if h % 3 == 2:
+            lines.append("Disallow: /")
+        else:
+            lines += ["Disallow: /private/", "Allow: /private/pub/"]
+        if h == 4:  # a host WITHOUT a vozbot group, so * applies
+            lines += ["Allow: /dup/", "Disallow: /dup/"]
+        lines.append(f"Crawl-delay: {1 + h % 3}")
+        lines.append("")
+        if h % 3 != 1:
+            lines.append("User-agent: vozbot")
+            if h % 2 == 0:
+                lines.append("User-agent: altbot")
+            lines += ["Disallow: /vozbot-only/", "Allow: /"]
+            lines.append("")
+        lines.append(f"Sitemap: https://{host}/sitemap.xml")
+        rows.append({"host": host, "robots_txt": "\n".join(lines)})
+    return rows
+
+
+def _cand_rows() -> list[dict]:
+    paths = ["/", "/ok/page", "/private/x", "/private/pub/y", "/vozbot-only/z", "/dup/x"]
+    return [{"host": f"h{h}.voz.test", "path": p} for h in range(8) for p in paths]
+
+
+_Q110_PARSE_DUCK = f"""
+raw AS (
+  SELECT host, string_split(robots_txt, chr(10)) AS ls
+  FROM read_parquet('{Q110_ROBOTS_PATH}/*.parquet')
+),
+ln AS (
+  SELECT host, UNNEST(range(1, len(ls) + 1)) AS line_no, trim(UNNEST(ls)) AS line
+  FROM raw
+),
+ml AS (
+  SELECT host, line_no,
+         lower(trim(substr(line, 1, strpos(line, ':') - 1))) AS rule_type,
+         trim(substr(line, strpos(line, ':') + 1)) AS value
+  FROM ln
+  WHERE line <> '' AND substr(line, 1, 1) <> '#' AND strpos(line, ':') > 0
+),
+b AS (
+  SELECT *,
+         CASE WHEN rule_type = 'user-agent' AND COALESCE(
+                LAG(rule_type) OVER (PARTITION BY host ORDER BY line_no), ''
+              ) <> 'user-agent' THEN 1 ELSE 0 END AS block_start
+  FROM ml
+),
+g AS (
+  SELECT *, SUM(block_start) OVER (
+           PARTITION BY host ORDER BY line_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
+  FROM b
+),
+uas AS (
+  SELECT host, block_id, value AS user_agent FROM g WHERE rule_type = 'user-agent'
+),
+dirs AS (
+  SELECT host, block_id, line_no, rule_type, value FROM g
+  WHERE rule_type IN ('disallow', 'allow', 'crawl-delay') AND block_id >= 1
+)
+"""
+
+_Q110_ORACLE = f"""
+WITH {_Q110_PARSE_DUCK},
+flat AS (
+  SELECT d.host, u.user_agent, d.line_no, d.rule_type, d.value
+  FROM dirs d JOIN uas u ON d.host = u.host AND d.block_id = u.block_id
+  UNION ALL
+  SELECT host, '' AS user_agent, line_no, rule_type, value
+  FROM g WHERE rule_type = 'sitemap'
+)
+SELECT host, user_agent, CAST(line_no AS BIGINT) AS seq, rule_type, value
+FROM flat
+ORDER BY host, user_agent, seq
+"""
+
+
+def _parsed_robots(spark: SparkSession) -> DataFrame:
+    """Shared q110 parse pipeline: returns the g/uas/dirs equivalent
+    as three named columns stages folded into one DataFrame of
+    meaningful lines with block ids."""
+    from pyspark.sql import Window
+
+    robots = _materialized(
+        spark,
+        Q110_ROBOTS_PATH,
+        "robots=v2",
+        lambda: spark.createDataFrame(_pdf(_robots_rows())),
+    )
+    ln = robots.select(
+        "host", F.posexplode(F.split("robots_txt", "\n")).alias("pos0", "raw")
+    ).select("host", (F.col("pos0") + 1).alias("line_no"), F.trim("raw").alias("line"))
+    ml = ln.where(
+        (F.col("line") != "")
+        & (F.substring("line", 1, 1) != "#")
+        & (F.expr("instr(line, ':')") > 0)
+    ).select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.expr("substr(line, 1, instr(line, ':') - 1)"))).alias("rule_type"),
+        F.trim(F.expr("substr(line, instr(line, ':') + 1)")).alias("value"),
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    b = ml.withColumn(
+        "block_start",
+        (
+            (F.col("rule_type") == "user-agent")
+            & (F.coalesce(F.lag("rule_type").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    )
+    return b.withColumn(
+        "block_id",
+        F.sum("block_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+@register("q110_robots_parse", oracle=_Q110_ORACLE)
+def q110_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw robots.txt → flat rule rows (host, user_agent, seq,
+    rule_type, value): multi-UA blocks fan out to every agent in the
+    block, Sitemap lines are host-global, pre-block directives drop."""
+    g = _parsed_robots(spark)
+    uas = g.where(F.col("rule_type") == "user-agent").select(
+        "host", "block_id", F.col("value").alias("user_agent")
+    )
+    dirs = g.where(
+        F.col("rule_type").isin("disallow", "allow", "crawl-delay")
+        & (F.col("block_id") >= 1)
+    ).select("host", "block_id", "line_no", "rule_type", "value")
+    flat = dirs.join(uas, ["host", "block_id"]).select(
+        "host", "user_agent", "line_no", "rule_type", "value"
+    )
+    sitemaps = g.where(F.col("rule_type") == "sitemap").select(
+        "host", F.lit("").alias("user_agent"), "line_no", "rule_type", "value"
+    )
+    return (
+        flat.unionByName(sitemaps)
+        .select("host", "user_agent", F.col("line_no").cast("long").alias("seq"), "rule_type", "value")
+        .orderBy("host", "user_agent", "seq")
+    )
+
+
+_Q111_UA = "vozbot"
+
+_Q111_ORACLE = f"""
+WITH {_Q110_PARSE_DUCK},
+rules AS (
+  SELECT d.host, u.user_agent, d.rule_type, d.value AS rule_path
+  FROM dirs d JOIN uas u ON d.host = u.host AND d.block_id = u.block_id
+  WHERE d.rule_type IN ('allow', 'disallow') AND u.user_agent IN ('*', '{_Q111_UA}')
+),
+pick AS (
+  SELECT host, MAX(CASE WHEN user_agent = '{_Q111_UA}' THEN 2 ELSE 1 END) AS ua_rank
+  FROM rules GROUP BY host
+),
+eff AS (
+  SELECT r.* FROM rules r JOIN pick p ON r.host = p.host
+  AND (CASE WHEN r.user_agent = '{_Q111_UA}' THEN 2 ELSE 1 END) = p.ua_rank
+),
+c AS (SELECT host, path FROM read_parquet('{Q111_CAND_PATH}/*.parquet')),
+m AS (
+  SELECT c.host, c.path, e.rule_type, e.rule_path,
+         LENGTH(e.rule_path) AS mlen,
+         CASE WHEN e.rule_type = 'allow' THEN 1 ELSE 0 END AS is_allow
+  FROM c JOIN eff e ON c.host = e.host
+  WHERE substr(c.path, 1, LENGTH(e.rule_path)) = e.rule_path
+),
+win AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY host, path
+           ORDER BY mlen DESC, is_allow DESC, rule_path DESC) AS rn
+  FROM m
+)
+SELECT c.host, c.path,
+       COALESCE(w.is_allow = 1, TRUE) AS allowed,
+       COALESCE(w.rule_path, '') AS matched_rule,
+       CAST(COALESCE(w.mlen, 0) AS BIGINT) AS matched_len
+FROM c LEFT JOIN (SELECT * FROM win WHERE rn = 1) w
+  ON c.host = w.host AND c.path = w.path
+ORDER BY c.host, c.path
+"""
+
+
+@register("q111_robots_effective", oracle=_Q111_ORACLE)
+def q111_robots_effective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(host, path) crawl verdict for our agent under Google
+    semantics: most specific agent group, longest matching rule wins,
+    Allow beats Disallow on ties, default allowed. Rules broadcast;
+    the winner is one argmax aggregate — no candidate-table window."""
+    g = _parsed_robots(spark)
+    uas = g.where(F.col("rule_type") == "user-agent").select(
+        "host", "block_id", F.col("value").alias("user_agent")
+    )
+    rules = (
+        g.where(F.col("rule_type").isin("allow", "disallow"))
+        .join(uas, ["host", "block_id"])
+        .where(F.col("user_agent").isin("*", _Q111_UA))
+        .select(
+            "host",
+            "user_agent",
+            "rule_type",
+            F.col("value").alias("rule_path"),
+            F.when(F.col("user_agent") == _Q111_UA, 2).otherwise(1).alias("ua_rank"),
+        )
+    )
+    pick = rules.groupBy("host").agg(F.max("ua_rank").alias("mx_rank"))
+    eff = rules.join(F.broadcast(pick), "host").where(F.col("ua_rank") == F.col("mx_rank"))
+    cands = _materialized(
+        spark,
+        Q111_CAND_PATH,
+        "cands=v1",
+        lambda: spark.createDataFrame(_pdf(_cand_rows())),
+    )
+    m = (
+        cands.join(F.broadcast(eff), "host")
+        .where(F.expr("substr(path, 1, length(rule_path)) = rule_path"))
+        .groupBy("host", "path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("rule_path").alias("mlen"),
+                    F.when(F.col("rule_type") == "allow", 1).otherwise(0).alias("is_allow"),
+                    F.col("rule_path").alias("rp"),
+                )
+            ).alias("mx")
+        )
+    )
+    return (
+        cands.join(m, ["host", "path"], "left")
+        .select(
+            "host",
+            "path",
+            F.coalesce(F.col("mx.is_allow") == 1, F.lit(True)).alias("allowed"),
+            F.coalesce(F.col("mx.rp"), F.lit("")).alias("matched_rule"),
+            F.coalesce(F.col("mx.mlen"), F.lit(0)).cast("long").alias("matched_len"),
+        )
+        .orderBy("host", "path")
+    )
