@@ -278,3 +278,51 @@ def test_q111_google_precedence_semantics(spark, sf_dir):
     # h2 (h%3==2): '*' disallows everything, but vozbot group exists
     # and allows / — vozbot overrides
     assert got[("h2.voz.test", "/ok/page")] == (True, "/")
+
+
+def test_q112_localized_error_pages_flagged_via_cluster(spark, sf_dir):
+    import re
+
+    from voz_spark.crawlops import _Q112_ERR_RE, _soft404_rows, q112_soft404_pages
+
+    rows = {r.url: r for r in q112_soft404_pages(spark, sf_dir).collect()}
+    src = {r["url"]: r["html"] for r in _soft404_rows()}
+    gone = {u for u in src if "/t/gone" in u}
+    # exactly the error-template pages are flagged — including the 6
+    # localized ones with no marker text of their own
+    assert set(rows) == gone
+    no_marker = {u for u in gone if not re.search(_Q112_ERR_RE, src[u].lower())}
+    assert len(no_marker) == 6
+    for u in no_marker:
+        assert rows[u].is_soft404 and not rows[u].own_err_text
+    # content pages never flagged
+    assert all("/t/gone" in u for u in rows)
+
+
+def test_q113_joint_rule_merges_copies_not_label_noise(spark, sf_dir):
+    from voz_spark.crawlops import _mm_rows, q113_multimodal_dedup
+
+    caps = {r["image_id"]: r["caption"] for r in _mm_rows()}
+    pairs = q113_multimodal_dedup(spark, sf_dir).collect()
+    assert pairs, "joint duplicates must exist"
+    from voz_spark.synth import image_id
+
+    from voz_spark.synth import image_phash
+
+    def band_hit(i: int) -> bool:
+        a, b = image_phash(i - 1), image_phash(i)
+        return any(((a >> (16 * k)) & 0xFFFF) == ((b >> (16 * k)) & 0xFFFF) for k in range(4))
+
+    # LSH recall semantics: a planted pair is a guaranteed candidate
+    # only when at least one 16-bit band matches (pigeonhole covers
+    # hamming <= 3; above that, a miss is possible and documented)
+    joint_ids = {image_id(i) for i in range(560) if i % 14 == 3 and i > 0 and band_hit(i)}
+    noise_ids = {image_id(i) for i in range(560) if i % 7 == 3 and i % 14 != 3}
+    merged = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    # every band-reachable caption-copy near-dup merges; no
+    # unrelated-caption pair does
+    assert joint_ids and joint_ids <= merged
+    assert not (noise_ids & merged)
+    for r in pairs:
+        assert r.caption_lev <= 10 and r.hamming <= 10
+        assert caps[r.id_a] != caps[r.id_b]  # they are variants, not equal

@@ -1372,3 +1372,197 @@ def q111_robots_effective(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host", "path")
     )
+
+
+# ---------------------------------------------------------------------------
+# q112: soft-404 detection — pages that answer HTTP 200 but are error
+# pages ("not found", "removed") rendered through a site template.
+# Per-page text matching alone misses localized/renamed variants; the
+# DOM-template signal (q109) propagates the verdict: if at least half
+# of a template cluster's pages carry an error marker, EVERY page of
+# that cluster is a soft-404 — including the ones whose text shows no
+# marker. A crawl that stores soft-404s corrupts both its corpus and
+# its seen-set (the URL looks "done" but yielded nothing).
+#
+# Scale shape: fingerprint + marker flag fold in-row on the scan; one
+# hash aggregate on the uniform template key; the per-cluster verdict
+# (a tiny table — templates, not pages) broadcasts back onto the page
+# rows. The majority rule is integer (2·n_err >= n_pages).
+# ---------------------------------------------------------------------------
+
+Q112_PAGES_PATH = "/tmp/voz_spark_q112_soft404"
+_Q112_ERR_RE = "(not found|no longer exists|has been removed)"
+
+
+def _soft404_rows() -> list[dict]:
+    """30 content pages (2 templates) + 18 soft-404 pages (1 error
+    template): 12 carry an English error marker, 6 are the localized
+    variant with NO marker — only the cluster rule can catch those."""
+    rows = []
+    for i in range(30):
+        host = f"h{i % 6}.voz.test"
+        body = f"<div><p>thread {i} real content about building pc</p></div>"
+        if i % 2 == 0:
+            body += f'<a href="https://{host}/t/{i}">next</a>'
+        rows.append(
+            {
+                "url": f"https://{host}/t/{i:03d}",
+                "html": f"<html><head><title>t{i}</title></head><body>{body}</body></html>",
+            }
+        )
+    for i in range(18):
+        host = f"h{i % 6}.voz.test"
+        msg = (
+            "oops this page has been removed by a moderator"
+            if i % 3 != 2
+            else f"trang nay khong ton tai so {i}"  # localized: no marker
+        )
+        rows.append(
+            {
+                "url": f"https://{host}/t/gone{i:03d}",
+                "html": (
+                    "<html><head><title>error</title></head>"
+                    f"<body><section><em>{msg}</em></section></body></html>"
+                ),
+            }
+        )
+    return rows
+
+
+_Q112_ORACLE = f"""
+WITH t AS (
+  SELECT url,
+         md5(array_to_string(regexp_extract_all(html, '<([a-z]+)[^>]*>', 1), ',')) AS template_md5,
+         regexp_matches(lower(html), '{_Q112_ERR_RE}') AS own_err_text
+  FROM read_parquet('{Q112_PAGES_PATH}/*.parquet')
+),
+c AS (
+  SELECT template_md5,
+         COUNT(*) AS n_pages,
+         CAST(SUM(CASE WHEN own_err_text THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM t GROUP BY template_md5
+)
+SELECT t.url, t.template_md5, t.own_err_text,
+       (2 * c.n_err >= c.n_pages) AS is_soft404
+FROM t JOIN c ON t.template_md5 = c.template_md5
+WHERE 2 * c.n_err >= c.n_pages
+ORDER BY t.url
+"""
+
+
+@register("q112_soft404_pages", oracle=_Q112_ORACLE)
+def q112_soft404_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages flagged soft-404 because their DOM-template cluster is
+    error-dominated (2·n_err >= n_pages) — catches localized error
+    pages whose own text carries no marker."""
+    pages = _materialized(
+        spark,
+        Q112_PAGES_PATH,
+        "soft404=v1",
+        lambda: spark.createDataFrame(_pdf(_soft404_rows())),
+    )
+    t = pages.select(
+        "url",
+        F.md5(
+            F.array_join(F.expr("regexp_extract_all(html, '<([a-z]+)[^>]*>', 1)"), ",")
+        ).alias("template_md5"),
+        F.expr(f"lower(html) rlike '{_Q112_ERR_RE}'").alias("own_err_text"),
+    )
+    c = t.groupBy("template_md5").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("own_err_text").cast("int")).cast("long").alias("n_err"),
+    )
+    flagged = c.where(2 * F.col("n_err") >= F.col("n_pages")).select("template_md5")
+    return (
+        t.join(F.broadcast(flagged), "template_md5")
+        .select("url", "template_md5", "own_err_text", F.lit(True).alias("is_soft404"))
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113: joint multimodal dedup — collapse (image, caption) PAIRS only
+# when BOTH modalities agree: visually near-duplicate (banded pHash,
+# q61's rule) AND caption edit distance small. Image-only dedup (q61)
+# would merge re-used stock visuals with genuinely different text
+# (q67's label-noise pairs — those must be ROUTED, not merged); the
+# joint rule is the safe-collapse criterion a multimodal corpus needs.
+#
+# Scale shape: pair generation is q61's banded LSH (one shuffle on
+# the band key, per-bucket cap); captions join back onto the
+# candidate pairs (pairs ≪ corpus, so the caption lookup is the small
+# side), and levenshtein is one in-row JVM expression. Captions in
+# this fixture are ASCII by construction: Spark's levenshtein counts
+# codepoints while DuckDB's counts bytes, so cross-engine exactness
+# requires 1-byte characters — documented, and the general case would
+# pre-fold captions to a normalized ASCII form first.
+# ---------------------------------------------------------------------------
+
+Q113_MM_PATH = "/tmp/voz_spark_q113_mm"
+_Q113_LEV_MAX = 10
+
+
+def _mm_rows() -> list[dict]:
+    from voz_spark import synth
+
+    rows = []
+    for i in range(560):
+        own = f"photo of pc build number {i} with part code {(i * i) % 997}"
+        if i % 7 == 3 and i > 0:
+            # visually near-dup of i-1 (synth pattern rule). Captions:
+            # half are edit-variants (joint dup), half unrelated
+            # (q67-style label noise -> must NOT merge)
+            cap = (
+                f"photo of pc build number {i - 1} with part code {((i - 1) * (i - 1)) % 997} copy"
+                if i % 14 == 3
+                else f"unrelated stock banner art slide {i} promo"
+            )
+        else:
+            cap = own
+        rows.append({"image_id": synth.image_id(i), "phash": synth.image_phash(i), "caption": cap})
+    return rows
+
+
+def _q113_oracle() -> str:
+    from voz_spark.imagedup import _HAMMING_MAX, _capped_pairs_sql
+
+    return f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{Q113_MM_PATH}/*.parquet')),
+{_capped_pairs_sql()},
+cap AS (SELECT image_id, caption FROM read_parquet('{Q113_MM_PATH}/*.parquet'))
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(c.ph_a, c.ph_b)) AS INT) AS hamming,
+       CAST(levenshtein(ca.caption, cb.caption) AS INT) AS caption_lev
+FROM cand c
+JOIN cap ca ON c.id_a = ca.image_id
+JOIN cap cb ON c.id_b = cb.image_id
+WHERE bit_count(xor(c.ph_a, c.ph_b)) <= {_HAMMING_MAX}
+  AND levenshtein(ca.caption, cb.caption) <= {_Q113_LEV_MAX}
+ORDER BY id_a, id_b
+"""
+
+
+@register("q113_multimodal_dedup", oracle=_q113_oracle())
+def q113_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-collapse pairs: near-dup image (banded pHash, hamming <=
+    10) AND near-dup caption (levenshtein <= 10). Label-noise pairs
+    (same visual, unrelated caption) are excluded by construction."""
+    from voz_spark.imagedup import _neardup_pairs
+
+    mm = _materialized(
+        spark,
+        Q113_MM_PATH,
+        f"n=560;lev={_Q113_LEV_MAX};v1",
+        lambda: spark.createDataFrame(_pdf(_mm_rows())),
+    )
+    pairs = _neardup_pairs(mm.select("image_id", "phash"))
+    ca = mm.select(F.col("image_id").alias("id_a"), F.col("caption").alias("cap_a"))
+    cb = mm.select(F.col("image_id").alias("id_b"), F.col("caption").alias("cap_b"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("caption_lev", F.levenshtein("cap_a", "cap_b").cast("int"))
+        .where(F.col("caption_lev") <= _Q113_LEV_MAX)
+        .select("id_a", "id_b", "hamming", "caption_lev")
+        .orderBy("id_a", "id_b")
+    )
