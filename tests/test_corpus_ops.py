@@ -243,3 +243,56 @@ def test_q106_boilerplate_removed_body_preserved(spark, sf_dir):
         assert r.n_removed in (2, 3)  # header+footer (+mid banner every 3rd doc)
         want = hashlib.md5("\n\n".join(kept).encode()).hexdigest()
         assert r.clean_md5 == want, d
+
+
+def test_q114_redaction_counts_and_text(spark, sf_dir):
+    import hashlib
+    import re
+
+    from voz_spark.corpus_ops import (
+        _PII_CARD,
+        _PII_EMAIL,
+        _PII_PHONE,
+        _pii_rows,
+        q114_pii_redaction,
+    )
+
+    src = {int(r["doc_id"]): r["text"] for r in _pii_rows().to_dict("records")}
+    rows = {r.doc_id: r for r in q114_pii_redaction(spark, sf_dir).collect()}
+    assert set(rows) == set(src)
+    for d, text in src.items():
+        t1 = re.sub(_PII_EMAIL, "<EMAIL>", text)
+        t2 = re.sub(_PII_CARD, "<CARD>", t1)
+        clean = re.sub(_PII_PHONE, "<PHONE>", t2)
+        r = rows[d]
+        assert r.n_emails == len(re.findall(_PII_EMAIL, text))
+        assert r.n_cards == len(re.findall(_PII_CARD, t1))
+        assert r.n_phones == len(re.findall(_PII_PHONE, t2))
+        assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+        # nothing PII-shaped survives redaction
+        assert not re.search(_PII_EMAIL, clean)
+        assert not re.search(_PII_CARD, clean)
+        assert not re.search(_PII_PHONE, clean)
+    assert any(r.n_redacted >= 2 for r in rows.values())
+
+
+def test_q115_shuffle_is_deterministic_uniform_permutation(spark, sf_dir):
+    import hashlib
+
+    from voz_spark.corpus_ops import _Q115_SEED, q115_training_shuffle
+
+    a = [(r.doc_id, r.shard, r.pos_in_shard) for r in q115_training_shuffle(spark, sf_dir).collect()]
+    b = [(r.doc_id, r.shard, r.pos_in_shard) for r in q115_training_shuffle(spark, sf_dir).collect()]
+    assert a == b  # reproducible across runs
+    ids = [x[0] for x in a]
+    assert len(ids) == len(set(ids))  # a permutation, nothing lost
+    # the (shard, pos) order IS the md5 global order
+    keys = [hashlib.md5(f"{_Q115_SEED}{i}".encode()).hexdigest() for i in ids]
+    assert keys == sorted(keys)
+    # and it's a real shuffle: not the natural doc_id order
+    assert ids != sorted(ids)
+    # per-shard positions are dense from 1
+    seen = {}
+    for _, shard, pos in a:
+        seen.setdefault(shard, []).append(pos)
+    assert all(ps == list(range(1, len(ps) + 1)) for ps in seen.values())

@@ -1116,3 +1116,157 @@ def q106_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q114: span-level PII redaction — q77 pseudonymizes STRUCTURED
+# identifier columns; free text needs span-level scrubbing before it
+# can ship in a corpus: emails, phone numbers, and long card-like
+# digit runs are replaced with typed placeholders IN PLACE, keeping
+# the surrounding text trainable. The redaction order matters (cards
+# before phones before bare digit runs, emails first so their digits
+# aren't half-eaten) and is identical in both engines.
+#
+# Scale shape: three chained regexp_replace calls + three
+# regexp_count calls fold into ONE in-row Project on the scan — no
+# UDF, no explode, no shuffle except the display sort. Redacted text
+# is compared by md5.
+# ---------------------------------------------------------------------------
+
+Q114_PII_PATH = "/tmp/voz_spark_q114_pii"
+
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PII_CARD = "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}"
+_PII_PHONE = "0[0-9]{9}"
+
+
+def _pii_rows():
+    import pandas as pd
+
+    rows = []
+    for d in range(240):
+        parts = [f"user review {d} says the build runs great"]
+        if d % 3 == 0:
+            parts.append(f"contact me at user{d}@mail{d % 7}.test for parts")
+        if d % 4 == 1:
+            parts.append(f"call 09{d % 10}{d % 7}1234{d % 10:02d} after noon")
+        if d % 5 == 2:
+            parts.append(f"paid with 4000-12{d % 10:02d}-5678-90{d % 10:02d} yesterday")
+        rows.append({"doc_id": d, "text": " ".join(parts)})
+    return pd.DataFrame(rows)
+
+
+_Q114_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM read_parquet('{Q114_PII_PATH}/*.parquet')
+),
+c AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{_PII_CARD}')) AS BIGINT) AS n_cards,
+         regexp_replace(t1, '{_PII_CARD}', '<CARD>', 'g') AS t2
+  FROM r
+),
+p AS (
+  SELECT doc_id, n_emails, n_cards,
+         CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+         regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+  FROM c
+)
+SELECT doc_id, n_emails, n_cards, n_phones,
+       n_emails + n_cards + n_phones AS n_redacted,
+       md5(clean) AS clean_md5
+FROM p
+ORDER BY doc_id
+"""
+
+
+@register("q114_pii_redaction", oracle=_Q114_ORACLE)
+def q114_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed in-place PII redaction (email → card → phone, in that
+    order) with per-doc counts; redacted text compared by md5. One
+    in-row regexp Project, no shuffle but the display sort."""
+    from voz_spark.imagedup import _materialized
+
+    docs = _materialized(
+        spark,
+        Q114_PII_PATH,
+        "pii=v1",
+        lambda: spark.createDataFrame(_pii_rows()),
+    )
+    t1 = F.regexp_replace("text", _PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, _PII_CARD, "<CARD>")
+    clean = F.regexp_replace(t2, _PII_PHONE, "<PHONE>")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).cast("long")
+    n_cards = F.size(F.regexp_extract_all(t1, F.lit(_PII_CARD), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(_PII_PHONE), 0)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_emails.alias("n_emails"),
+            n_cards.alias("n_cards"),
+            n_phones.alias("n_phones"),
+            (n_emails + n_cards + n_phones).alias("n_redacted"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115: deterministic training-order shuffle — reproducible GLOBAL
+# permutation of the corpus for a given (epoch, seed): order by
+# md5(seed || doc_id). Training-data order must be (a) uniform —
+# md5 of a unique key is — and (b) exactly reproducible across reruns
+# and engines, which a rand()-based shuffle is not.
+#
+# Scale shape: the naive formulation is ROW_NUMBER over a global
+# order — one partition, dead at scale. The scale formulation splits
+# the key: shard = first 2 hex chars (256 uniform shards; a writer
+# maps shards to output files), position = rank WITHIN the shard
+# (window on the uniform shard key). Global order is recovered as
+# (shard, pos) lexicographically — exactly what a sharded dataset
+# loader consumes — without any single-partition stage.
+# ---------------------------------------------------------------------------
+
+_Q115_SEED = "epoch7"
+
+_Q115_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, md5('{_Q115_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shuffle_key, substr(shuffle_key, 1, 2) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY substr(shuffle_key, 1, 2)
+                            ORDER BY shuffle_key, doc_id) AS pos_in_shard
+  FROM k
+)
+SELECT doc_id, shuffle_key, shard, CAST(pos_in_shard AS BIGINT) AS pos_in_shard
+FROM s
+ORDER BY shard, pos_in_shard
+"""
+
+
+@register("q115_training_shuffle", oracle=_Q115_ORACLE)
+def q115_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle: key = md5(seed || doc_id),
+    shard = first key byte (256 uniform shards), position ranked
+    within shard — global order = (shard, pos) with NO global window."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_Q115_SEED), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    s = d.withColumn("shard", F.substring("shuffle_key", 1, 2))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        s.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shuffle_key", "shard", "pos_in_shard")
+        .orderBy("shard", "pos_in_shard")
+    )
