@@ -326,3 +326,52 @@ def test_q113_joint_rule_merges_copies_not_label_noise(spark, sf_dir):
     for r in pairs:
         assert r.caption_lev <= 10 and r.hamming <= 10
         assert caps[r.id_a] != caps[r.id_b]  # they are variants, not equal
+
+
+def test_q116_diff_statuses_and_token_accounting(spark, sf_dir):
+    from voz_spark.crawlops import _corpus_version_rows, q116_corpus_diff
+
+    v1 = {r["doc_id"]: r for r in _corpus_version_rows(1)}
+    v2 = {r["doc_id"]: r for r in _corpus_version_rows(2)}
+    want = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    for d in set(v1) | set(v2):
+        if d not in v1:
+            want["added"] += 1
+        elif d not in v2:
+            want["removed"] += 1
+        elif v1[d]["content_id"] != v2[d]["content_id"]:
+            want["changed"] += 1
+        else:
+            want["unchanged"] += 1
+    rows = {r.status: r for r in q116_corpus_diff(spark, sf_dir).collect()}
+    assert {s: r.n_docs for s, r in rows.items()} == want
+    assert all(v > 0 for v in want.values())  # all four statuses exercised
+    assert rows["added"].tokens_v1 == 0 and rows["removed"].tokens_v2 == 0
+    # changed docs gained exactly 7 tokens each in the fixture
+    assert rows["changed"].token_delta == 7 * want["changed"]
+    assert rows["unchanged"].token_delta == 0
+
+
+def test_q117_canonicalization_cases(spark, sf_dir):
+    from voz_spark.crawlops import q117_url_canonicalize
+
+    got = {r.url: r for r in q117_url_canonicalize(spark, sf_dir).collect()}
+    c = {u: r.canon_url for u, r in got.items()}
+    # case + default port + tracking strip + param sort, all at once
+    assert c["HTTP://Voz.Test:80/t/123?utm_source=fb&b=2&a=1"] == "http://voz.test/t/123?a=1&b=2"
+    # the clean form is the fixed point
+    assert c["http://voz.test/t/123?a=1&b=2"] == "http://voz.test/t/123?a=1&b=2"
+    assert not got["http://voz.test/t/123?a=1&b=2"].was_changed
+    # the two messy forms of one page collapse to ONE frontier key
+    assert c["HTTPS://IMG.Voz.Test:443/i/9?fbclid=XYZ"] == c["https://img.voz.test/i/9"]
+    # path case preserved; only tracking params dropped
+    assert c["https://voz.test/CaseSensitive/Path?z=9&y=8&utm_campaign=x"] == \
+        "https://voz.test/CaseSensitive/Path?y=8&z=9"
+    # non-default port kept
+    assert c["http://voz.test:8080/alt-port?a=1"] == "http://voz.test:8080/alt-port?a=1"
+    # empty query and all-tracking query both drop the '?'
+    assert c["https://voz.test/t/7?"] == "https://voz.test/t/7"
+    assert c["http://voz.test/t/55?utm_source=a&utm_medium=b&fbclid=c"] == "http://voz.test/t/55"
+    assert got["http://voz.test/t/55?utm_source=a&utm_medium=b&fbclid=c"].n_params_kept == 0
+    # param VALUES keep their case; sort is bytewise ('M=2' < 'm=1')
+    assert c["https://a.voz.test/p?m=1&M=2"] == "https://a.voz.test/p?M=2&m=1"

@@ -1566,3 +1566,212 @@ def q113_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming", "caption_lev")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116: corpus-version diff — the release-notes report between two
+# corpus snapshots: per doc_id, added / removed / changed (content
+# hash moved) / unchanged, with token accounting. q93's MERGE builds
+# the new version; this op EXPLAINS it — the reconciliation report
+# every dataset release ships with. The shape is a FULL OUTER join,
+# the one join kind the rest of the registry doesn't exercise.
+#
+# Scale shape: one full-outer sort-merge join on the uniform doc_id
+# key, status derived in-row from null-sides + hash equality, then a
+# 4-row rollup with map-side partials. No window, no second pass.
+# ---------------------------------------------------------------------------
+
+Q116_V1_PATH = "/tmp/voz_spark_q116_v1"
+Q116_V2_PATH = "/tmp/voz_spark_q116_v2"
+
+
+def _corpus_version_rows(version: int):
+    rows = []
+    for d in range(400):
+        in_v1 = d % 10 != 9  # 10% of ids only exist in v2 (added)
+        in_v2 = d % 10 != 4  # 10% of v1 removed in v2
+        changed = d % 5 == 2
+        if version == 1 and in_v1:
+            rows.append({"doc_id": d, "content_id": f"c{d}-v1", "n_tokens": 100 + d % 50})
+        if version == 2 and in_v2:
+            cid = f"c{d}-v2" if changed else f"c{d}-v1"
+            rows.append({"doc_id": d, "content_id": cid, "n_tokens": 100 + d % 50 + (7 if changed else 0)})
+    return rows
+
+
+_Q116_ORACLE = f"""
+WITH v1 AS (SELECT * FROM read_parquet('{Q116_V1_PATH}/*.parquet')),
+v2 AS (SELECT * FROM read_parquet('{Q116_V2_PATH}/*.parquet')),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.content_id <> v2.content_id THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(v1.n_tokens, 0) AS t1,
+         COALESCE(v2.n_tokens, 0) AS t2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT status, COUNT(*) AS n_docs,
+       CAST(SUM(t1) AS BIGINT) AS tokens_v1,
+       CAST(SUM(t2) AS BIGINT) AS tokens_v2,
+       CAST(SUM(t2) - SUM(t1) AS BIGINT) AS token_delta
+FROM j
+GROUP BY status
+ORDER BY status
+"""
+
+
+@register("q116_corpus_diff", oracle=_Q116_ORACLE)
+def q116_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: full-outer join of two corpus versions
+    on doc_id, per-status doc and token accounting."""
+    v1 = _materialized(
+        spark, Q116_V1_PATH, "v1", lambda: spark.createDataFrame(_pdf(_corpus_version_rows(1)))
+    ).select(
+        F.col("doc_id").alias("id1"), F.col("content_id").alias("c1"), F.col("n_tokens").alias("t1")
+    )
+    v2 = _materialized(
+        spark, Q116_V2_PATH, "v2", lambda: spark.createDataFrame(_pdf(_corpus_version_rows(2)))
+    ).select(
+        F.col("doc_id").alias("id2"), F.col("content_id").alias("c2"), F.col("n_tokens").alias("t2")
+    )
+    j = v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("c1") != F.col("c2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("t1", F.lit(0)).alias("t1"),
+        F.coalesce("t2", F.lit(0)).alias("t2"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t1").cast("long").alias("tokens_v1"),
+            F.sum("t2").cast("long").alias("tokens_v2"),
+            (F.sum("t2") - F.sum("t1")).cast("long").alias("token_delta"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117: URL canonicalization (the SQL-expressible core of B1, made
+# oracle-checkable): lowercase scheme+host ONLY (paths are
+# case-sensitive), strip default ports (:80 for http, :443 for
+# https), DROP tracking parameters (utm_*, fbclid), SORT the
+# surviving query parameters, and drop an empty '?'. Without this,
+# one page lives under dozens of frontier keys and every downstream
+# per-URL state splits.
+#
+# Scale shape: everything is in-row — regexp_extract for the parts,
+# split + filter + array_sort + array_join for the query string; no
+# UDF, no shuffle but the display sort. (The engine's production path
+# additionally handles percent-encoding via its null-gated pandas UDF
+# — frontier.py:88-139; this op is the declarative subset both
+# engines can verify exactly.)
+# ---------------------------------------------------------------------------
+
+Q117_URLS_PATH = "/tmp/voz_spark_q117_urls"
+
+
+def _messy_url_rows() -> list[dict]:
+    urls = [
+        "HTTP://Voz.Test:80/t/123?utm_source=fb&b=2&a=1",
+        "http://voz.test/t/123?a=1&b=2",
+        "HTTPS://IMG.Voz.Test:443/i/9?fbclid=XYZ",
+        "https://img.voz.test/i/9",
+        "https://voz.test/CaseSensitive/Path?z=9&y=8&utm_campaign=x",
+        "http://voz.test:8080/alt-port?a=1",
+        "https://voz.test/t/7?",
+        "http://voz.test/t/55?utm_source=a&utm_medium=b&fbclid=c",
+        "https://a.voz.test/p?m=1&M=2",
+        "http://voz.test:80/",
+    ]
+    return [{"url": u} for u in urls]
+
+
+_Q117_ORACLE = f"""
+WITH u AS (
+  SELECT url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/?]*)', 1)) AS hostport,
+         regexp_extract(url, '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS path,
+         CASE WHEN strpos(url, '?') > 0 THEN substr(url, strpos(url, '?') + 1) ELSE '' END AS qs
+  FROM read_parquet('{Q117_URLS_PATH}/*.parquet')
+),
+n AS (
+  SELECT url, scheme,
+         CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         path,
+         COALESCE(array_to_string(list_sort([p FOR p IN string_split(qs, '&')
+            IF p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid)=')]), '&'), '') AS cq
+  FROM u
+)
+SELECT url,
+       scheme || '://' || host || path || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon_url,
+       CAST(CASE WHEN cq = '' THEN 0 ELSE len(string_split(cq, '&')) END AS BIGINT) AS n_params_kept,
+       (url <> scheme || '://' || host || path ||
+        CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS was_changed
+FROM n
+ORDER BY url
+"""
+
+
+@register("q117_url_canonicalize", oracle=_Q117_ORACLE)
+def q117_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative URL canonicalization: lowercase scheme+host, strip
+    default ports, drop tracking params, sort the rest, drop empty
+    '?'. All in-row array/string expressions."""
+    urls = _materialized(
+        spark,
+        Q117_URLS_PATH,
+        "urls=v1",
+        lambda: spark.createDataFrame(_pdf(_messy_url_rows())),
+    )
+    scheme = F.lower(F.regexp_extract("url", "^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("url", "^[A-Za-z]+://([^/?]*)", 1))
+    path = F.regexp_extract("url", "^[A-Za-z]+://[^/?]*([^?]*)", 1)
+    qs = F.when(
+        F.expr("instr(url, '?')") > 0, F.expr("substr(url, instr(url, '?') + 1)")
+    ).otherwise("")
+    u = urls.select(
+        "url", scheme.alias("scheme"), hostport.alias("hostport"), path.alias("path"), qs.alias("qs")
+    )
+    host = (
+        F.when(F.col("scheme") == "http", F.regexp_replace("hostport", ":80$", ""))
+        .when(F.col("scheme") == "https", F.regexp_replace("hostport", ":443$", ""))
+        .otherwise(F.col("hostport"))
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.expr(
+                "filter(split(qs, '&'), p -> p != '' AND NOT p rlike '^(utm_[a-z]+|fbclid)=')"
+            )
+        ),
+        "&",
+    )
+    n = u.select("url", "scheme", host.alias("host"), "path", cq.alias("cq"))
+    canon = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        F.col("host"),
+        F.col("path"),
+        F.when(F.col("cq") != "", F.concat(F.lit("?"), F.col("cq"))).otherwise(""),
+    )
+    return (
+        n.select(
+            "url",
+            canon.alias("canon_url"),
+            F.when(F.col("cq") == "", 0)
+            .otherwise(F.size(F.split("cq", "&")))
+            .cast("long")
+            .alias("n_params_kept"),
+            (F.col("url") != canon).alias("was_changed"),
+        )
+        .orderBy("url")
+    )
