@@ -296,3 +296,57 @@ def test_q115_shuffle_is_deterministic_uniform_permutation(spark, sf_dir):
     for _, shard, pos in a:
         seen.setdefault(shard, []).append(pos)
     assert all(ps == list(range(1, len(ps) + 1)) for ps in seen.values())
+
+
+def test_q118_histogram_quantile_brackets_exact_quantile(spark, sf_dir):
+    """The p-quantile BIN must contain the exact p-quantile value:
+    bin*100 <= exact quantile < (bin+1)*100 for the lower-rank rule."""
+    import duckdb
+
+    from voz_spark.relational import q118_histogram_quantiles
+
+    rows = {r.l_returnflag: r for r in q118_histogram_quantiles(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.5) AS p50,
+                   quantile_disc(l_extendedprice, 0.95) AS p95,
+                   COUNT(*) AS n
+            FROM read_parquet('{sf_dir}/lineitem.parquet') GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    assert {f for f, *_ in exact} == set(rows)
+    for flag, p50, p95, n in exact:
+        r = rows[flag]
+        assert r.n == n
+        assert r.p50_bin * 100 <= p50 < (r.p50_bin + 1) * 100
+        assert r.p95_bin * 100 <= p95 < (r.p95_bin + 1) * 100
+        assert r.p50_bin <= r.p95_bin
+
+
+def test_q119_skew_profile_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    import duckdb
+
+    from voz_spark.relational import q119_key_skew_profile
+
+    rows = {r.entity: r for r in q119_key_skew_profile(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    for entity, table, col in [
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ]:
+        vals = [str(v) for (v,) in con.execute(
+            f"SELECT {col} FROM read_parquet('{sf_dir}/{table}.parquet')"
+        ).fetchall()]
+        freq = Counter(vals)
+        r = rows[entity]
+        assert r.n_rows == len(vals) and r.n_keys == len(freq)
+        assert r.max_freq == max(freq.values())
+        k = (len(freq) + 99) // 100
+        top = sum(f for _, f in sorted(freq.items(), key=lambda t: (-t[1], t[0]))[:k])
+        assert r.top1pct_keys == k
+        assert r.top1pct_share_milli == top * 1000 // len(vals)
+        assert r.skewed == (r.max_freq * r.n_keys >= 20 * r.n_rows)
+    con.close()

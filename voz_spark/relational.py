@@ -1163,3 +1163,155 @@ def q57_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return k_core(_copurchase_edges(li), k=3)
+
+
+# ---------------------------------------------------------------------------
+# q118: histogram quantiles — the 100 TB complement of q15's exact
+# median: an exact per-group median needs a per-group sort of the
+# whole column, but a FIXED-WIDTH histogram gets p50/p95 at bin
+# resolution with one hash aggregate over a BOUNDED key domain (the
+# approx_percentile idea, made deterministic and engine-exact). The
+# quantile rule is integer: the p-th quantile bin is the smallest bin
+# whose running count satisfies cum·100 >= n·p.
+#
+# Scale shape: one aggregate on (flag, bin) — bounded by |flags| ×
+# |bins|, NOT by row count — then a window over that tiny bin table
+# and a conditional-min rollup. The corpus shuffles only bin counts.
+# Binning is floor(price / 100): one IEEE double division + floor,
+# bit-identical cross-engine on identical inputs.
+# ---------------------------------------------------------------------------
+
+_Q118_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag, CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+w AS (
+  SELECT *, SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM b
+)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(MIN(CASE WHEN cum * 100 >= n * 95 THEN bin END) AS BIGINT) AS p95_bin,
+       COUNT(*) AS n_bins
+FROM w
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q118_histogram_quantiles", oracle=_Q118_ORACLE)
+def q118_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 price bins per return flag from a fixed-width
+    histogram: one bounded-domain aggregate + a window over the bin
+    table (never the rows)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / F.lit(100.0)).cast("long").alias("bin"),
+    )
+    b = li.groupBy("l_returnflag", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("l_returnflag")
+    w = b.withColumn("cum", F.sum("c").over(wcum)).withColumn("n", F.sum("c").over(wall))
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * 50, F.col("bin")))
+            .cast("long")
+            .alias("p50_bin"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * 95, F.col("bin")))
+            .cast("long")
+            .alias("p95_bin"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119: join-key skew diagnostics — the measurement an operator runs
+# BEFORE choosing a salting/AQE strategy: per key column, how
+# concentrated is the distribution? Reports max key frequency, the
+# share held by the top 1% of keys (integer millis), and a skew flag
+# (max >= 20× the mean frequency, in cross-multiplied integer form).
+#
+# Scale shape: the frequency table is one uniform hash aggregate; the
+# top-1% share does NOT rank the whole key table — K = ceil(n_keys /
+# 100) comes from an O(1) scalar collect (bounded-domain precedent)
+# and the top-K survivors come from TakeOrdered, so no global window
+# ever touches the key table.
+# ---------------------------------------------------------------------------
+
+
+def _skew_profile(df: DataFrame, entity: str, key: str) -> DataFrame:
+    freq = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("f"))
+    tot = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").cast("long").alias("n_rows"),
+        F.max("f").cast("long").alias("max_freq"),
+    )
+    n_keys = int(tot.collect()[0].n_keys)  # O(1): one scalar row
+    k_top = (n_keys + 99) // 100
+    top = freq.orderBy(F.desc("f"), "k").limit(k_top).agg(
+        F.sum("f").cast("long").alias("top_rows")
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        F.lit(entity).alias("entity"),
+        "n_rows",
+        "n_keys",
+        "max_freq",
+        F.lit(k_top).cast("long").alias("top1pct_keys"),
+        F.expr("top_rows * 1000 div n_rows").alias("top1pct_share_milli"),
+        F.expr("max_freq * n_keys >= 20 * n_rows").alias("skewed"),
+    )
+
+
+_Q119_ORACLE = """
+WITH p AS (
+  SELECT 'events.user_id' AS entity, CAST(user_id AS VARCHAR) AS k FROM events
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+),
+freq AS (SELECT entity, k, COUNT(*) AS f FROM p GROUP BY 1, 2),
+tot AS (
+  SELECT entity, COUNT(*) AS n_keys, CAST(SUM(f) AS BIGINT) AS n_rows,
+         CAST(MAX(f) AS BIGINT) AS max_freq
+  FROM freq GROUP BY entity
+),
+r AS (
+  SELECT f.*, ROW_NUMBER() OVER (PARTITION BY f.entity ORDER BY f.f DESC, f.k) AS rn,
+         t.n_keys
+  FROM freq f JOIN tot t ON f.entity = t.entity
+),
+top AS (
+  SELECT entity, CAST(SUM(f) AS BIGINT) AS top_rows
+  FROM r WHERE rn <= (n_keys + 99) // 100 GROUP BY entity
+)
+SELECT t.entity, t.n_rows, t.n_keys, t.max_freq,
+       (t.n_keys + 99) // 100 AS top1pct_keys,
+       top.top_rows * 1000 // t.n_rows AS top1pct_share_milli,
+       (t.max_freq * t.n_keys >= 20 * t.n_rows) AS skewed
+FROM tot t JOIN top ON t.entity = top.entity
+ORDER BY t.entity
+"""
+
+
+@register("q119_key_skew_profile", oracle=_Q119_ORACLE)
+def q119_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution concentration report for two join keys:
+    top-1%-of-keys share in integer millis + a cross-multiplied skew
+    flag; TakeOrdered top-K, never a global key-table window."""
+    ev = T(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_orderkey").cast("string").alias("k"))
+    return (
+        _skew_profile(ev, "events.user_id", "k")
+        .unionByName(_skew_profile(li, "lineitem.l_orderkey", "k"))
+        .orderBy("entity")
+    )
