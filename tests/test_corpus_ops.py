@@ -350,3 +350,46 @@ def test_q119_skew_profile_matches_bruteforce(spark, sf_dir):
         assert r.top1pct_share_milli == top * 1000 // len(vals)
         assert r.skewed == (r.max_freq * r.n_keys >= 20 * r.n_rows)
     con.close()
+
+
+def test_q120_delta_hits_only_and_verified(spark, sf_dir):
+    """Every reported pair crosses the delta/base split and truly has
+    >= 6 equal minhashes; no base-base or delta-delta pair leaks."""
+    from voz_spark.dataprep import q24_minhash_signatures, q120_incremental_lsh_dedup
+
+    sigs = {r.doc_id: [r[f"mh{j}"] for j in range(8)]
+            for r in q24_minhash_signatures(spark, sf_dir).collect()}
+    rows = q120_incremental_lsh_dedup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_doc % 10 == 0 and r.base_doc % 10 != 0
+        n = sum(1 for x, y in zip(sigs[r.delta_doc], sigs[r.base_doc]) if x == y)
+        assert n == r.n_mh_match >= 6
+
+
+def test_q121_burst_rule_recomputed(spark, sf_dir):
+    from collections import defaultdict
+
+    import duckdb
+
+    from voz_spark.relational import q121_event_bursts
+
+    con = duckdb.connect()
+    hourly = con.execute(
+        f"""SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)
+            FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1,2 ORDER BY 1,2"""
+    ).fetchall()
+    con.close()
+    series = defaultdict(list)
+    for et, hr, c in hourly:
+        series[et].append((hr, c))
+    want = set()
+    for et, pts in series.items():
+        for i, (hr, c) in enumerate(pts):
+            prev = pts[max(0, i - 24):i]
+            np_, ts_ = len(prev), sum(x for _, x in prev)
+            if np_ >= 12 and c * np_ * 10 >= ts_ * 25:
+                want.add((et, hr, c, ts_, np_))
+    got = {(r.event_type, r.hour, r.n_events, r.trail_sum, r.n_prev)
+           for r in q121_event_bursts(spark, sf_dir).collect()}
+    assert got == want and got

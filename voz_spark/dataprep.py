@@ -2150,3 +2150,90 @@ def q95_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("chunk_md5", "chunk_len", "n_occurrences", "n_docs")
         .orderBy("chunk_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# q120: incremental LSH dedup — dedup a NEW crawl batch against the
+# STANDING corpus index without ever re-pairing the corpus with
+# itself. q25 builds the full index (corpus × corpus through band
+# buckets); in production the daily question is "which of today's
+# documents near-duplicate something we already have?", and the
+# answer must cost O(delta × bucket), not O(corpus²): the delta's
+# band table joins the PERSISTED corpus band table (an Iceberg table
+# in production, bucketed by band value) and only then verifies the
+# candidate pairs against both signature sets. The q88 incremental-
+# aggregate principle applied to the dedup index.
+#
+# The verify threshold is an INTEGER minhash match count (>= 6 of 8),
+# not a float Jaccard — cross-engine exact.
+# ---------------------------------------------------------------------------
+
+_Q120_MIN_MATCH = 6
+
+
+@register(
+    "q120_incremental_lsh_dedup",
+    oracle=f"""
+WITH sh AS ({_shingles_sql()}),
+sig AS (
+  SELECT doc_id, {_MH_COLS_SQL}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, {_BAND_SQL} FROM sig
+),
+bx AS (
+  SELECT doc_id, band_idx, band_val FROM banded
+  UNPIVOT (band_val FOR band_idx IN (band0, band1, band2, band3))
+),
+pairs AS (
+  SELECT DISTINCT d.doc_id AS delta_doc, b.doc_id AS base_doc
+  FROM bx d JOIN bx b ON d.band_idx = b.band_idx AND d.band_val = b.band_val
+  WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+)
+SELECT p.delta_doc, p.base_doc,
+       CAST(({_EST_SQL}) AS BIGINT) AS n_mh_match
+FROM pairs p
+JOIN sig a ON p.delta_doc = a.doc_id
+JOIN sig b ON p.base_doc = b.doc_id
+WHERE ({_EST_SQL}) >= {_Q120_MIN_MATCH}
+ORDER BY delta_doc, base_doc
+""",
+)
+def q120_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate hits of the delta batch (doc_id % 10 == 0)
+    against the standing corpus (the rest): delta bands × corpus band
+    index, integer minhash verify — the corpus never self-joins."""
+    sig = q24_minhash_signatures(spark, sf_dir).persist()
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{a}"), F.col(f"mh{b}"))).alias(f"band{i}")
+            for i, (a, b) in enumerate(_BANDS)
+        ],
+    )
+    bx = bands.selectExpr(
+        "doc_id",
+        "stack(4, 'band0', band0, 'band1', band1, 'band2', band2, 'band3', band3)"
+        " AS (band_idx, band_val)",
+    )
+    d = bx.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("delta_doc"), "band_idx", "band_val"
+    )
+    b = bx.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("base_doc"), "band_idx", "band_val"
+    )
+    pairs = d.join(b, ["band_idx", "band_val"]).select("delta_doc", "base_doc").distinct()
+    sa = sig.select(F.col("doc_id").alias("delta_doc"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(_N_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("base_doc"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(_N_MINHASH)])
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(_N_MINHASH)
+    )
+    return (
+        pairs.join(sa, "delta_doc")
+        .join(sb, "base_doc")
+        .withColumn("n_mh_match", n_match.cast("long"))
+        .where(F.col("n_mh_match") >= _Q120_MIN_MATCH)
+        .select("delta_doc", "base_doc", "n_mh_match")
+        .orderBy("delta_doc", "base_doc")
+    )

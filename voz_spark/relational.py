@@ -1315,3 +1315,69 @@ def q119_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_skew_profile(li, "lineitem.l_orderkey", "k"))
         .orderBy("entity")
     )
+
+
+# ---------------------------------------------------------------------------
+# q121: burst detection — hourly event-rate anomalies against the
+# trailing 24 observed hours (the crawl-ops alarm: a host suddenly
+# serving 3× its normal rate is a trap, a mirror storm, or a bug in
+# the scheduler). The burst rule is cross-multiplied integers
+# (c · n_prev · 10 >= trail_sum · 25, i.e. current >= 2.5× the
+# trailing mean, with >= 12 observed hours of history) — no float
+# thresholds, engine-exact.
+#
+# Scale shape: the row-sized work is ONE aggregate on (event_type,
+# hour) — a bounded domain; the trailing window runs over that tiny
+# hourly table, partitioned by event_type. Same bounded-domain
+# pattern as q118.
+# ---------------------------------------------------------------------------
+
+_Q121_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT *,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_sum,
+         COUNT(c) OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev
+  FROM h
+)
+SELECT event_type, hour, c AS n_events,
+       CAST(trail_sum AS BIGINT) AS trail_sum,
+       CAST(n_prev AS BIGINT) AS n_prev
+FROM w
+WHERE n_prev >= 12 AND c * n_prev * 10 >= trail_sum * 25
+ORDER BY event_type, hour
+"""
+
+
+@register("q121_event_bursts", oracle=_Q121_ORACLE)
+def q121_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours where an event type ran >= 2.5x its trailing-24-observed-
+    hours mean (integer cross-multiplied rule, >= 12 hours history)."""
+    h = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    b = h.withColumn("trail_sum", F.sum("c").over(w)).withColumn(
+        "n_prev", F.count("c").over(w)
+    )
+    return (
+        b.where(
+            (F.col("n_prev") >= 12)
+            & (F.col("c") * F.col("n_prev") * 10 >= F.col("trail_sum") * 25)
+        )
+        .select(
+            "event_type",
+            "hour",
+            F.col("c").alias("n_events"),
+            F.col("trail_sum").cast("long").alias("trail_sum"),
+            F.col("n_prev").cast("long").alias("n_prev"),
+        )
+        .orderBy("event_type", "hour")
+    )
