@@ -393,3 +393,61 @@ def test_q121_burst_rule_recomputed(spark, sf_dir):
     got = {(r.event_type, r.hour, r.n_events, r.trail_sum, r.n_prev)
            for r in q121_event_bursts(spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_q122_exact_quotas_and_minwise_order(spark, sf_dir):
+    import hashlib
+
+    import duckdb
+
+    from voz_spark.corpus_ops import _Q122_K, q122_eval_sample
+
+    rows = q122_eval_sample(spark, sf_dir).collect()
+    con = duckdb.connect()
+    strata = dict(con.execute(
+        f"""SELECT lang || '|' || source, COUNT(*)
+            FROM read_parquet('{sf_dir}/documents.parquet') GROUP BY 1"""
+    ).fetchall())
+    con.close()
+    by = {}
+    for r in rows:
+        by.setdefault(f"{r.lang}|{r.source}", []).append(r)
+    assert set(by) == set(strata)
+    for key, rs in by.items():
+        assert len(rs) == min(_Q122_K, strata[key])  # exact quota
+        rs.sort(key=lambda r: r.rank_in_stratum)
+        keys = [r.sample_key for r in rs]
+        assert keys == sorted(keys)  # min-wise order
+        for r in rs:
+            assert r.sample_key == hashlib.md5(str(r.doc_id).encode()).hexdigest()
+
+
+def test_q123_card_matches_bruteforce(spark, sf_dir):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from voz_spark.corpus_ops import q123_dataset_card
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    agg = defaultdict(lambda: {"n": 0, "tok": 0, "short": 0, "md5": Counter()})
+    for src, text in docs:
+        a = agg[src]
+        a["n"] += 1
+        a["tok"] += len(text.strip().split(" "))
+        a["short"] += len(text) < 120
+        a["md5"][hashlib.md5(text.encode()).hexdigest()] += 1
+    rows = {r.source: r for r in q123_dataset_card(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for src, a in agg.items():
+        r = rows[src]
+        dups = sum(c - 1 for c in a["md5"].values())
+        assert (r.n_docs, r.n_tokens, r.n_dup_docs) == (a["n"], a["tok"], dups)
+        assert r.tokens_per_doc == a["tok"] // a["n"]
+        assert r.dup_rate_milli == dups * 1000 // a["n"]
+        assert r.short_rate_milli == a["short"] * 1000 // a["n"]

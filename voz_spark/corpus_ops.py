@@ -1270,3 +1270,125 @@ def q115_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shuffle_key", "shard", "pos_in_shard")
         .orderBy("shard", "pos_in_shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q122: min-wise stratified eval sampling — carve an eval set with an
+# EXACT per-stratum quota (k docs per (lang, source)): rank each doc
+# by md5(doc_id) within its stratum and keep the k smallest. Min-wise
+# hashing gives a uniform, seedable, engine-exact sample; q58's hash
+# split gives proportional rates, this gives exact counts — the shape
+# an eval benchmark needs (e.g. exactly 10 per language).
+#
+# Scale shape: one window over the uniform (lang, source) stratum key
+# — the stratum count is bounded, membership is decided by a rank
+# within each stratum, and the md5 order makes re-runs (and engines)
+# agree byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_Q122_K = 10
+
+_Q122_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hs,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, source, doc_id, hs AS sample_key, CAST(rn AS BIGINT) AS rank_in_stratum
+FROM r WHERE rn <= {_Q122_K}
+ORDER BY lang, source, rank_in_stratum
+"""
+
+
+@register("q122_eval_sample", oracle=_Q122_ORACLE)
+def q122_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly K docs per (lang, source) stratum, chosen by min-wise
+    md5 rank — uniform, deterministic, engine-exact."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.md5(F.col("doc_id").cast("string")).alias("hs")
+    )
+    w = Window.partitionBy("lang", "source").orderBy("hs", "doc_id")
+    return (
+        d.withColumn("rank_in_stratum", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_stratum") <= _Q122_K)
+        .select("lang", "source", "doc_id", F.col("hs").alias("sample_key"), "rank_in_stratum")
+        .orderBy("lang", "source", "rank_in_stratum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123: dataset-card rollup — the per-source summary block a corpus
+# release ships with (the HuggingFace dataset-card numbers): doc and
+# token counts, exact-duplicate rate (q20's md5 rule), and short-doc
+# rate, every ratio in integer millis. One scan feeds BOTH aggregates
+# (per-doc facts fold in-row; the dup rate needs its own content-md5
+# aggregate) and the final join is |sources|-sized.
+# ---------------------------------------------------------------------------
+
+_Q123_ORACLE = """
+WITH f AS (
+  SELECT source, doc_id, md5(text) AS cmd5,
+         len(string_split(trim(text), ' ')) AS n_ws,
+         (LENGTH(text) < 120) AS short
+  FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_ws) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN short THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+  FROM f GROUP BY source
+),
+dups AS (
+  SELECT source, CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, cmd5, COUNT(*) AS c FROM f GROUP BY 1, 2) g
+  GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       p.n_tokens // p.n_docs AS tokens_per_doc,
+       d.n_dup_docs,
+       d.n_dup_docs * 1000 // p.n_docs AS dup_rate_milli,
+       p.n_short * 1000 // p.n_docs AS short_rate_milli
+FROM per_src p JOIN dups d ON p.source = d.source
+ORDER BY p.source
+"""
+
+
+@register("q123_dataset_card", oracle=_Q123_ORACLE)
+def q123_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source release-card stats: docs, whitespace tokens,
+    tokens/doc (floor), exact-dup rate and short-doc rate in integer
+    millis."""
+    f = T(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5("text").alias("cmd5"),
+        F.size(F.split(F.trim("text"), " ")).alias("n_ws"),
+        (F.length("text") < 120).alias("short"),
+    )
+    per_src = f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_tokens"),
+        F.sum(F.col("short").cast("int")).cast("long").alias("n_short"),
+    )
+    dups = (
+        f.groupBy("source", "cmd5")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("n_dup_docs"))
+    )
+    return (
+        per_src.join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens div n_docs").alias("tokens_per_doc"),
+            "n_dup_docs",
+            F.expr("n_dup_docs * 1000 div n_docs").alias("dup_rate_milli"),
+            F.expr("n_short * 1000 div n_docs").alias("short_rate_milli"),
+        )
+        .orderBy("source")
+    )
