@@ -1,6 +1,7 @@
-"""Semantics pins for the crawl-maintenance wave (q96-q100): each
-operator's distributed formulation is checked against a brute-force
-recomputation of the same fixture in plain Python."""
+"""Semantics pins for the crawl-maintenance waves (q96-q102,
+q107-q113, q116-q117): each operator's distributed formulation is
+checked against a brute-force recomputation of the same fixture in
+plain Python."""
 
 from __future__ import annotations
 

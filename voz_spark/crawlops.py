@@ -1,14 +1,17 @@
-"""Crawl-maintenance operators (sixth round-2 wave): the web-graph
-hygiene jobs a production crawl runs BETWEEN fetch rounds.
+"""Crawl-maintenance operators (round-2 waves 6-12): the web-graph
+hygiene jobs a production crawl runs BETWEEN fetch rounds — redirect
+resolution, mirror/trap/soft-404 defense, anchor-text and importance
+signals, recrawl scheduling, budget apportionment, robots parsing and
+evaluation, registrable-domain extraction, HTML extraction, URL
+canonicalization, corpus-version diffing, and joint multimodal dedup.
 
 The reference walks listing pages and refetches everything wholesale
 each run (src/main.py:153-200, src/image_processor.py:100-160); it has
-no redirect resolution, no mirror detection, no trap defense, and no
-change-rate model — every one of these exists to keep a 100 TB crawl
-from wasting its fetch budget. All five run over deterministic
-materialized fixtures (the `_materialized` write-once pattern from
-imagedup.py) so both engines read the SAME parquet, and every derived
-number is integer/string arithmetic — no float thresholds anywhere.
+none of these capabilities — each exists to keep a 100 TB crawl from
+wasting its fetch budget. All run over deterministic materialized
+fixtures (the `_materialized` write-once pattern from imagedup.py) so
+both engines read the SAME parquet, and every derived threshold is
+integer/string arithmetic — no float comparisons anywhere.
 """
 
 from __future__ import annotations
