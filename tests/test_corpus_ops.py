@@ -451,3 +451,25 @@ def test_q123_card_matches_bruteforce(spark, sf_dir):
         assert r.tokens_per_doc == a["tok"] // a["n"]
         assert r.dup_rate_milli == dups * 1000 // a["n"]
         assert r.short_rate_milli == a["short"] * 1000 // a["n"]
+
+
+def test_q124_deciles_are_balanced_and_ordered(spark, sf_dir):
+    from voz_spark.corpus_ops import q124_quality_deciles
+
+    rows = q124_quality_deciles(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.decile)
+        assert [r.decile for r in rs] == list(range(1, len(rs) + 1))
+        n = sum(r.n_docs for r in rs)
+        # SQL NTILE rule: earlier buckets get the extras, sizes differ by <= 1
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        # deciles partition the score axis monotonically
+        for a, b in zip(rs, rs[1:]):
+            assert a.max_score <= b.min_score
+        assert sum(r.n_docs for r in rs if r.keep) <= n * 3 // 10 + 3
+        assert all(r.keep == (r.decile >= 8) for r in rs)

@@ -1392,3 +1392,76 @@ def q123_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q124: quality-decile curation tiers — the "keep the top-k deciles
+# per source" curation rule (DCLM/FineWeb-style percentile gating,
+# where the threshold adapts PER SOURCE instead of one global
+# cutoff). Score is an integer milli stopword ratio (q21's signal
+# family, integer-exact); NTILE(10) under the (score, doc_id) total
+# order is engine-identical by the SQL-standard bucket rule.
+#
+# Scale shape: one window on the uniform source key assigns deciles,
+# then one (source, decile) aggregate — both map-side-combinable
+# keys; no global sort.
+# ---------------------------------------------------------------------------
+
+_Q124_ORACLE = """
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(len([t FOR t IN string_split(trim(text), ' ')
+               IF t IN ('the', 'a', 'of', 'and', 'to')]) AS BIGINT) * 1000
+           // CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS score_milli
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) > 0
+),
+d AS (
+  SELECT *, NTILE(10) OVER (PARTITION BY source ORDER BY score_milli, doc_id) AS decile
+  FROM s
+)
+SELECT source, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+       CAST(MIN(score_milli) AS BIGINT) AS min_score,
+       CAST(MAX(score_milli) AS BIGINT) AS max_score,
+       (decile >= 8) AS keep
+FROM d
+GROUP BY source, decile
+ORDER BY source, decile
+"""
+
+
+@register("q124_quality_deciles", oracle=_Q124_ORACLE)
+def q124_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality deciles (NTILE over the integer-milli
+    stopword score under a total order); deciles 8-10 carry the keep
+    flag — the adaptive per-source curation threshold."""
+    from pyspark.sql import Window
+
+    stops = "('the', 'a', 'of', 'and', 'to')"
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.trim("text"), " ").alias("toks"),
+    )
+    s = d.where(F.size("toks") > 0).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"aggregate(transform(toks, t -> CASE WHEN t IN {stops} THEN CAST(1 AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b) * 1000"
+            " div CAST(size(toks) AS BIGINT)"
+        ).alias("score_milli"),
+    )
+    w = Window.partitionBy("source").orderBy("score_milli", "doc_id")
+    dec = s.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return (
+        dec.groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score_milli").cast("long").alias("min_score"),
+            F.max("score_milli").cast("long").alias("max_score"),
+        )
+        .select("source", "decile", "n_docs", "min_score", "max_score",
+                (F.col("decile") >= 8).alias("keep"))
+        .orderBy("source", "decile")
+    )
