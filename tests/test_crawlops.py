@@ -376,3 +376,21 @@ def test_q117_canonicalization_cases(spark, sf_dir):
     assert got["http://voz.test/t/55?utm_source=a&utm_medium=b&fbclid=c"].n_params_kept == 0
     # param VALUES keep their case; sort is bytewise ('M=2' < 'm=1')
     assert c["https://a.voz.test/p?m=1&M=2"] == "https://a.voz.test/p?M=2&m=1"
+
+
+def test_q125_streaks_and_tiers(spark, sf_dir):
+    from voz_spark.crawlops import q125_fetch_health
+
+    rows = {r.host: r for r in q125_fetch_health(spark, sf_dir).collect()}
+    assert rows["ok.voz.test"].backoff_tier == "normal"
+    assert rows["ok.voz.test"].max_error_streak == 0
+    # flaky: 12/60 isolated errors (20%) -> watch, streak of exactly 1
+    flaky = rows["flaky.voz.test"]
+    assert (flaky.n_errors, flaky.max_error_streak, flaky.backoff_tier) == (12, 1, "watch")
+    # outage: one contiguous 12-error window -> slow via the STREAK
+    # rule even though the 20% rate alone would only be 'watch'
+    outage = rows["outage.voz.test"]
+    assert (outage.n_errors, outage.max_error_streak, outage.backoff_tier) == (12, 12, "slow")
+    assert outage.error_rate_milli == flaky.error_rate_milli  # same rate, different verdict
+    dead = rows["dead.voz.test"]
+    assert (dead.error_rate_milli, dead.backoff_tier) == (1000, "suspend")

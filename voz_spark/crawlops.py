@@ -1778,3 +1778,113 @@ def q117_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125: host fetch-health + adaptive backoff tiers — the feedback
+# loop the politeness scheduler (B4) needs: a host answering 5xx or
+# timing out should see its rate cut BEFORE it blocks the crawl. Per
+# host: error rate in integer millis, the LONGEST consecutive-failure
+# streak (gaps-and-islands: island id = fetch_seq minus per-status
+# rank — both engines compute it identically), and a backoff tier
+# from integer thresholds.
+#
+# Scale shape: one uniform-host window pass assigns island ids, then
+# two host-keyed aggregates (per-island lengths → per-host max); the
+# fetch log shuffles once. The fixture plants distinct failure
+# patterns: healthy, intermittent (no long streak), outage (one long
+# streak), dead.
+# ---------------------------------------------------------------------------
+
+Q125_FETCHLOG_PATH = "/tmp/voz_spark_q125_fetchlog"
+_Q125_N_FETCH = 60
+
+
+def _fetchlog_rows() -> list[dict]:
+    rows = []
+    patterns = {
+        "ok.voz.test": lambda s: "ok",
+        "flaky.voz.test": lambda s: "error" if s % 5 == 2 else "ok",  # isolated errors
+        "outage.voz.test": lambda s: "error" if 20 <= s < 32 else "ok",  # one 12-streak
+        "dead.voz.test": lambda s: "error",
+    }
+    for host, rule in patterns.items():
+        for s in range(_Q125_N_FETCH):
+            rows.append({"host": host, "fetch_seq": s, "status": rule(s)})
+    return rows
+
+
+_Q125_ORACLE = f"""
+WITH f AS (
+  SELECT host, fetch_seq, status,
+         fetch_seq - ROW_NUMBER() OVER (PARTITION BY host, status ORDER BY fetch_seq)
+           AS island
+  FROM read_parquet('{Q125_FETCHLOG_PATH}/*.parquet')
+),
+streaks AS (
+  SELECT host, island, COUNT(*) AS len
+  FROM f WHERE status = 'error' GROUP BY host, island
+),
+mx AS (SELECT host, CAST(MAX(len) AS BIGINT) AS max_error_streak FROM streaks GROUP BY host),
+h AS (
+  SELECT host, COUNT(*) AS n_fetches,
+         CAST(SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM f GROUP BY host
+)
+SELECT h.host, h.n_fetches, h.n_errors,
+       h.n_errors * 1000 // h.n_fetches AS error_rate_milli,
+       COALESCE(mx.max_error_streak, 0) AS max_error_streak,
+       CASE WHEN h.n_errors * 1000 // h.n_fetches >= 900 THEN 'suspend'
+            WHEN COALESCE(mx.max_error_streak, 0) >= 10
+              OR h.n_errors * 1000 // h.n_fetches >= 300 THEN 'slow'
+            WHEN h.n_errors > 0 THEN 'watch'
+            ELSE 'normal' END AS backoff_tier
+FROM h LEFT JOIN mx ON h.host = mx.host
+ORDER BY h.host
+"""
+
+
+@register("q125_fetch_health", oracle=_Q125_ORACLE)
+def q125_fetch_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host error rate (integer millis), longest error streak
+    (gaps-and-islands), and backoff tier: suspend ≥ 90% errors, slow
+    on a ≥10 streak or ≥30% rate, watch on any error, else normal."""
+    from pyspark.sql import Window
+
+    logf = _materialized(
+        spark,
+        Q125_FETCHLOG_PATH,
+        f"n={_Q125_N_FETCH};v1",
+        lambda: spark.createDataFrame(_pdf(_fetchlog_rows())),
+    )
+    w = Window.partitionBy("host", "status").orderBy("fetch_seq")
+    f = logf.withColumn("island", F.col("fetch_seq") - F.row_number().over(w))
+    mx = (
+        f.where(F.col("status") == "error")
+        .groupBy("host", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("host")
+        .agg(F.max("len").cast("long").alias("max_error_streak"))
+    )
+    h = f.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum((F.col("status") == "error").cast("int")).cast("long").alias("n_errors"),
+    )
+    rate = F.expr("n_errors * 1000 div n_fetches")
+    streak = F.coalesce("max_error_streak", F.lit(0).cast("long"))
+    return (
+        h.join(mx, "host", "left")
+        .select(
+            "host",
+            "n_fetches",
+            "n_errors",
+            rate.alias("error_rate_milli"),
+            streak.alias("max_error_streak"),
+            F.when(rate >= 900, "suspend")
+            .when((streak >= 10) | (rate >= 300), "slow")
+            .when(F.col("n_errors") > 0, "watch")
+            .otherwise("normal")
+            .alias("backoff_tier"),
+        )
+        .orderBy("host")
+    )
