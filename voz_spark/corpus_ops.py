@@ -1465,3 +1465,74 @@ def q124_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("decile") >= 8).alias("keep"))
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q126: size-balanced output-shard planning — the writer-side
+# counterpart of q115: a 100 TB corpus ships as ~fixed-size files
+# (the small-files problem in reverse), so each writer task packs its
+# documents greedily into TARGET-byte files: file_no = (running
+# bytes before this doc) div TARGET. Deterministic (md5 order), so
+# the file manifest is reproducible across engines and re-runs.
+#
+# Scale shape: docs are assigned to 16 md5-prefix writer tasks
+# (uniform), ONE window per task computes the running byte sum, and
+# the file manifest is one (task, file_no) aggregate. No global
+# coordination: each task packs independently — exactly how a
+# distributed writer works.
+# ---------------------------------------------------------------------------
+
+_Q126_TARGET = 2000  # bytes per output file (test-scale analogue of ~1 GB)
+
+_Q126_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS key,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS task
+  FROM documents
+),
+w AS (
+  SELECT *, CAST(SUM(n_chars) OVER (PARTITION BY task ORDER BY key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS before_bytes
+  FROM k
+),
+a AS (
+  SELECT task, COALESCE(before_bytes, 0) // {_Q126_TARGET} AS file_no, doc_id, n_chars
+  FROM w
+)
+SELECT task, CAST(file_no AS BIGINT) AS file_no, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS file_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM a
+GROUP BY task, file_no
+ORDER BY task, file_no
+"""
+
+
+@register("q126_output_shard_plan", oracle=_Q126_ORACLE)
+def q126_output_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy TARGET-byte file packing per md5-prefix writer task:
+    file_no = running-bytes-before div TARGET. One per-task window +
+    one manifest aggregate; tasks pack independently."""
+    from pyspark.sql import Window
+
+    k = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("key"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("task"),
+    )
+    w = Window.partitionBy("task").orderBy("key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    a = k.withColumn(
+        "before_bytes", F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("long")
+    ).withColumn("file_no", F.expr(f"before_bytes div {_Q126_TARGET}"))
+    return (
+        a.groupBy("task", "file_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("file_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("task", "file_no")
+    )
