@@ -190,3 +190,51 @@ def test_k_core_fully_peeled_graph_is_empty(spark):
 
     pairs = [(1, 2), (2, 3), (3, 4)]  # path: no 3-core at all
     assert k_core(_pairs_df(spark, pairs), k=3).count() == 0
+
+
+# --- C32 exact eigenvector centrality (reference src/network_analyzer.py:342-347) ---
+
+
+def test_eigenvector_matches_networkx_cycle_with_chord(spark):
+    """Pin the distributed (Aᵀ+I) power iteration against
+    nx.eigenvector_centrality on a hand-built asymmetric digraph —
+    same recurrence, so values must agree to iteration tolerance."""
+    nx = pytest.importorskip("networkx")
+    from voz_spark.graph import eigenvector_centrality
+
+    triples = [
+        ("a", "b", 1.0),
+        ("b", "c", 1.0),
+        ("c", "a", 1.0),
+        ("a", "c", 1.0),
+        ("d", "a", 1.0),
+        ("c", "d", 1.0),
+    ]
+    got = {
+        r.node: r.eigenvector
+        for r in eigenvector_centrality(_edges_df(spark, triples)).collect()
+    }
+    g = nx.DiGraph()
+    g.add_edges_from([(s, d) for s, d, _ in triples])
+    want = nx.eigenvector_centrality(g, max_iter=500)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=5e-5), (v, got[v], want[v])
+
+
+def test_eigenvector_symmetric_star_ordering(spark):
+    """Bidirectional star: the hub dominates; all leaves are equal by
+    symmetry and the vector is L2-normalized."""
+    from voz_spark.graph import eigenvector_centrality
+
+    leaves = ["x1", "x2", "x3", "x4"]
+    triples = [("hub", v, 1.0) for v in leaves] + [(v, "hub", 1.0) for v in leaves]
+    got = {
+        r.node: r.eigenvector
+        for r in eigenvector_centrality(_edges_df(spark, triples)).collect()
+    }
+    assert got["hub"] > got["x1"]
+    for v in leaves[1:]:
+        assert got[v] == pytest.approx(got["x1"], abs=1e-9)
+    l2 = sum(v * v for v in got.values()) ** 0.5
+    assert l2 == pytest.approx(1.0, abs=1e-6)

@@ -414,6 +414,12 @@ def q81_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks")).where(
         F.size("toks") >= _SPAN_TOKENS
     )
+    # persisted: `spans` feeds BOTH the dup aggregate and the join
+    # probe. Both sides shuffle on span_h, so ReuseExchange usually
+    # covers the recompute — but that is plan-shape luck, not a
+    # contract (the q25 lesson): persist makes the single
+    # materialization explicit, so the corpus-wide span explode runs
+    # once regardless of how Catalyst shapes either side.
     spans = toks.select(
         "doc_id",
         F.explode(
@@ -422,7 +428,7 @@ def q81_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" i -> md5(concat_ws(' ', slice(toks, i, {_SPAN_TOKENS}))))"
             )
         ).alias("span_h"),
-    )
+    ).persist()
     dup = (
         spans.groupBy("span_h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -451,6 +457,32 @@ def q81_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Size gate for broadcasting DERIVED frequency tables (q82 unigram,
+# q84 bigram): the same dispatch idea as the bloom broadcast/cogroup
+# split (frontier.py:230-273) — measure the ACTUAL state size, then
+# pick the physical strategy; never hard-code a broadcast of a table
+# whose size is corpus-dependent. The table is persisted first (every
+# caller re-reads it in the score join, so the count is never wasted
+# work), and the gate compares its real row count: at or below the
+# gate the hint is applied; above it the join is left UNHINTED, so it
+# runs as a shuffle join on the md5-uniform word key (no skew) and AQE
+# may still flip it to broadcast from runtime byte stats. At open-web
+# scale q82's unigram table is marginal and q84's bigram table is
+# vocab²-ish — plainly not broadcastable — which is exactly what the
+# measured gate enforces.
+_FREQ_BROADCAST_MAX_ROWS_CONF = "spark.voz.freqBroadcastMaxRows"
+_FREQ_BROADCAST_MAX_ROWS = 8_000_000  # ≈ a few hundred MB of (word, count) rows
+
+
+def _freq_broadcast_gate(df: DataFrame, n_rows: int) -> DataFrame:
+    limit = int(
+        df.sparkSession.conf.get(
+            _FREQ_BROADCAST_MAX_ROWS_CONF, str(_FREQ_BROADCAST_MAX_ROWS)
+        )
+    )
+    return F.broadcast(df) if n_rows <= limit else df
+
+
 # ---------------------------------------------------------------------------
 # q82: unigram-rarity quality scoring — the libm-free analogue of the
 # n-gram-LM perplexity filters (KenLM-style) corpus pipelines use to
@@ -460,11 +492,14 @@ def q81_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language contamination) scores high. Linear rarity keeps the exact
 # cross-engine guarantee that ln()-based surprisal cannot.
 #
-# Scale shape: the frequency table is vocabulary-bounded, so it
-# BROADCASTS onto the token stream (at open-web vocab scale, keep the
-# shuffle join — the md5-uniform word key salts cleanly); per-doc
-# rarity sums go through ROUND + DECIMAL so accumulation order never
-# matters; the single corpus-sized exchange is the per-doc aggregate.
+# Scale shape: the frequency table is vocabulary-bounded but its size
+# is corpus-dependent, so the broadcast is SIZE-GATED on the measured
+# row count (_freq_broadcast_gate): sandbox vocabularies broadcast;
+# past the gate the score join stays an unhinted shuffle join on the
+# md5-uniform word key (no skew; AQE may still flip it from runtime
+# stats). Per-doc rarity sums go through ROUND + DECIMAL so
+# accumulation order never matters; the single corpus-sized exchange
+# is the per-doc aggregate.
 # ---------------------------------------------------------------------------
 
 
@@ -495,7 +530,14 @@ def q82_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
     ).where(F.col("word") != "")
-    wf = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    # persisted: referenced by BOTH the total derivation and the score
+    # join, and its measured count drives the broadcast gate
+    wf = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .persist()
+    )
+    n_vocab = wf.count()
     # N_total == SUM(freq) by construction: derive it from the tiny
     # frequency table instead of a third full corpus explode pass
     tot = wf.agg(F.sum("freq").cast("long").alias("n_total"))
@@ -503,7 +545,7 @@ def q82_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(38,6)"
     )
     return (
-        w.join(F.broadcast(wf), "word")
+        w.join(_freq_broadcast_gate(wf, n_vocab), "word")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -571,6 +613,11 @@ def q83_crossmodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q28_simhash_neardup_pairs(spark, sf_dir)
     emb = T(spark, sf_dir, "embeddings")
+    # broadcast-safety INVARIANT (why no size gate here, unlike
+    # q82/q84): q28's pair table is bounded BY CONSTRUCTION — banded
+    # candidates are hamming-filtered then `.limit(100)`-capped, and
+    # the cap is mirrored in its oracle — so the build side is ≤100
+    # rows at ANY corpus scale, never corpus-dependent
     # the pair-derived side stays broadcast in BOTH joins: the first
     # broadcasts the raw pair table against the doc_a lookup, the
     # second broadcasts that (still pair-sized) intermediate against
@@ -617,7 +664,7 @@ def q83_crossmodal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # array — no posexplode+window, so the corpus is never shuffled just
 # to pair neighbors); the bigram-count table shuffles once on the
 # (prev,w) key (md5-uniform words → no skew; at open-web scale it is
-# NOT broadcastable, so the score join stays a shuffle join there —
+# NOT broadcastable, which the measured _freq_broadcast_gate enforces —
 # sandbox-size counts broadcast, mirroring q82); the context totals
 # c(prev,·) derive from the bigram table itself (vocabulary-bounded
 # aggregate, never a second corpus pass). Per-doc sums are
@@ -668,16 +715,27 @@ def q84_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.prev", "b.wd")
-    bf = bgf.groupBy("prev", "wd").agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+    # persisted: bf is referenced twice (context totals + the LM join) —
+    # without it the corpus-wide bigram explode and its shuffle would run
+    # twice; its measured count also drives the broadcast gate
+    bf = (
+        bgf.groupBy("prev", "wd")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bg"))
+        .persist()
+    )
+    n_bigram_vocab = bf.count()
     # context totals from the bigram table (vocabulary-bounded), not a
     # second corpus pass; attach them to bf so the corpus joins ONCE
     cf = bf.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_ctx"))
-    lm = bf.join(cf, "prev")
+    # lm has exactly bf's rows (cf joins 1:1 on prev), so bf's count
+    # gates it; at web scale a bigram table is vocab²-ish — the gate
+    # leaves the score join unhinted there instead of forcing an OOM
+    lm = _freq_broadcast_gate(bf.join(cf, "prev"), n_bigram_vocab)
     cond = F.round(F.col("c_bg").cast("double") / F.col("c_ctx"), 6).cast(
         "decimal(38,6)"
     )
     return (
-        bgf.join(F.broadcast(lm), ["prev", "wd"])
+        bgf.join(lm, ["prev", "wd"])
         .groupBy("doc_id")
         .agg(
             F.sum(cond).cast("double").alias("cond_sum"),

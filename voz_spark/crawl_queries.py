@@ -215,3 +215,113 @@ def q94_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("priority_milli") >= _Q94_MIN_PRI_MILLI)
         .orderBy("host", "url")
     )
+
+
+# ---------------------------------------------------------------------------
+# q127: summary-report assembly — the reference's composed markdown
+# summary (src/detailed_analyzer.py:1002-1092 generate_summary_report:
+# a fixed section skeleton whose data-driven lines come from the
+# analysis tables it holds in memory). Here the same report is a
+# QUERY: each section's rows are a projection of an already-registered
+# operator's output (q42 recommendation matrix, q44 sentiment, q45
+# crawl monitor, q123 dataset card — all individually oracled or
+# simulator-pinned), stringified into a uniform (section, item, value)
+# row shape and unioned. The composition is one lazy DAG; nothing is
+# collected to the driver.
+#
+# Rows-only by design: the report's VALUES are each pinned at their
+# source query (q45/q123 have full DuckDB oracles; q42/q44 ride the
+# synthetic-posts pipeline DuckDB cannot run); this query's own claim
+# is the composition, and its shape (string columns only, total
+# ordering) follows the driver's rows-only contract.
+# ---------------------------------------------------------------------------
+
+
+@register("q127_summary_report", oracle=None)
+def q127_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed analysis summary (reference summary_report.md): one
+    row per report line, (section, item, value), sections ordered as
+    the reference writes them."""
+    from voz_spark.corpus_ops import q123_dataset_card
+
+    def sec(df: DataFrame, ord_: int, name: str, item, value) -> DataFrame:
+        return df.select(
+            F.lit(ord_).alias("section_ord"),
+            F.lit(name).alias("section"),
+            item.cast("string").alias("item"),
+            value.cast("string").alias("value"),
+        )
+
+    rec = sec(
+        q42_voz_recommendation_matrix(spark, sf_dir),
+        1,
+        "recommendation_matrix",
+        F.col("budget_range"),
+        F.col("recommendations_json"),
+    )
+    sent = sec(
+        q44_voz_sentiment(spark, sf_dir),
+        2,
+        "component_sentiment",
+        F.col("component_type"),
+        F.format_string(
+            "n=%d mean_polarity=%.6f median_polarity=%.6f mean_subjectivity=%.6f",
+            "n_mentions",
+            "mean_polarity",
+            "median_polarity",
+            "mean_subjectivity",
+        ),
+    )
+    mon = sec(
+        q45_crawl_monitor(spark, sf_dir),
+        3,
+        "crawl_progress",
+        F.lpad(F.col("round_id").cast("string"), 4, "0"),
+        F.format_string(
+            "candidates=%d scheduled=%d fetched=%d failed=%d success_rate=%.6f progress_pct=%.6f",
+            "n_candidates",
+            "n_scheduled",
+            "n_fetched",
+            "n_failed",
+            "success_rate",
+            "progress_pct",
+        ),
+    )
+    card = sec(
+        q123_dataset_card(spark, sf_dir),
+        4,
+        "dataset_card",
+        F.col("source"),
+        F.format_string(
+            "docs=%d tokens=%d tokens_per_doc=%d dup_rate_milli=%d short_rate_milli=%d",
+            "n_docs",
+            "n_tokens",
+            "tokens_per_doc",
+            "dup_rate_milli",
+            "short_rate_milli",
+        ),
+    )
+    return (
+        rec.unionByName(sent)
+        .unionByName(mon)
+        .unionByName(card)
+        .orderBy("section_ord", "item")
+    )
+
+
+@register("q128_eigenvector_centrality", oracle=None)
+def q128_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 exact eigenvector centrality (reference
+    src/network_analyzer.py:342-347: nx.eigenvector_centrality over the
+    full user graph, unweighted) via the distributed (Aᵀ+I) power
+    iteration — networkx parity pinned in tests/test_graph_monitor.py.
+    Values rounded to 6dp for a stable rows-only surface."""
+    from voz_spark.analytics import preprocess
+    from voz_spark.graph import build_edges, eigenvector_centrality
+    from voz_spark.synth_posts import gen_posts_df
+
+    posts = preprocess(gen_posts_df(spark, 20))
+    ev = eigenvector_centrality(build_edges(posts))
+    return ev.select(
+        "node", F.round("eigenvector", 6).alias("eigenvector_6dp")
+    ).orderBy(F.desc("eigenvector_6dp"), "node")

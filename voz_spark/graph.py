@@ -97,6 +97,68 @@ def pagerank(edges: DataFrame, iterations: int = 10, damping: float = 0.85) -> D
     return out
 
 
+def eigenvector_centrality(
+    edges: DataFrame, max_iter: int = 100, tol: float = 1.0e-6
+) -> DataFrame:
+    """C32 exact form (reference src/network_analyzer.py:342-347:
+    ``nx.eigenvector_centrality(G, max_iter=500)`` — unweighted, since
+    networkx's default ``weight=None`` ignores the edge weights): power
+    iteration on (Aᵀ + I) with per-step L2 normalization. The +I shift
+    is exactly what networkx's ``x = xlast.copy()`` seed encodes — it
+    breaks periodicity, so the iteration converges to the same left
+    principal eigenvector networkx returns; parity is pinned in
+    tests/test_graph_monitor.py.
+
+    Distributed shape: each step is one join + one aggregation
+    shuffling on the node key (same shape as :func:`pagerank`), plus
+    two O(1) driver scalars — the L2 norm and networkx's L1
+    convergence delta (sum |x - xlast| < n·tol). No driver work is
+    proportional to the graph; lineage is truncated per iteration with
+    localCheckpoint (the :func:`connected_components` discipline) so
+    plan analysis stays O(1) per step instead of O(iterations)."""
+    adj = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .unionByName(adj.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    import math
+
+    x = nodes.select("node", F.lit(1.0 / n).alias("x")).localCheckpoint()
+    for _ in range(max_iter):
+        contrib = (
+            adj.join(x, adj.src == x.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("x").alias("c"))
+        )
+        # (Aᵀ + I)x : every node keeps its own value and adds in-edge mass
+        new = (
+            x.join(contrib, "node", "left")
+            .select("node", (F.col("x") + F.coalesce("c", F.lit(0.0))).alias("x"))
+            .localCheckpoint()
+        )
+        norm_sq = new.agg(F.sum(F.col("x") * F.col("x"))).first()[0]
+        norm = math.sqrt(norm_sq) or 1.0
+        new_n = new.select("node", (F.col("x") / F.lit(norm)).alias("x")).localCheckpoint()
+        delta = (
+            new_n.withColumnRenamed("x", "xn")
+            .join(x, "node")
+            .agg(F.sum(F.abs(F.col("xn") - F.col("x"))))
+            .first()[0]
+        )
+        x = new_n
+        if delta < n * tol:
+            break
+    out = x.select("node", F.col("x").alias("eigenvector")).orderBy(
+        F.desc("eigenvector"), "node"
+    )
+    adj.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def _brandes_betweenness(nodes: list, edge_list: list[tuple]) -> dict:
     """Pure-Python Brandes (directed, unweighted, normalized like
     networkx's default) — fallback when networkx is absent. Public

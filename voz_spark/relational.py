@@ -1154,15 +1154,25 @@ ORDER BY node"""
     return "".join(ctes)
 
 
-@register("q57_k_core", oracle=_kcore_unrolled_oracle(k=3, rounds=16))
+_Q57_ORACLE_ROUNDS = 16  # the oracle's static unroll depth
+
+
+@register("q57_k_core", oracle=_kcore_unrolled_oracle(k=3, rounds=_Q57_ORACLE_ROUNDS))
 def q57_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes of the 3-core of the strong co-purchase graph with their
     within-core degree (the maximal subgraph where every part keeps
-    >= 3 strong co-purchase ties)."""
+    >= 3 strong co-purchase ties).
+
+    Convergence guard: the unrolled oracle is exact only while the
+    peel reaches its fixpoint within _Q57_ORACLE_ROUNDS rounds
+    (measured: 10 at sf0.01). max_iters is pinned to ROUNDS+1 — one
+    slot for the final empty-low-set check — so a future fixture that
+    needs a 17th peel makes k_core raise RuntimeError LOUDLY instead
+    of this query silently diverging from the 16-round oracle."""
     from voz_spark.graph import k_core
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return k_core(_copurchase_edges(li), k=3)
+    return k_core(_copurchase_edges(li), k=3, max_iters=_Q57_ORACLE_ROUNDS + 1)
 
 
 # ---------------------------------------------------------------------------
