@@ -118,17 +118,25 @@ def run_at(cpus: int, n_urls: int, job: str) -> dict:
 def paired(job: str, n_urls: int, n_pairs: int, n_small: int, n_big: int) -> dict:
     import statistics
 
-    from bench.calibrate import ceiling
+    from bench.calibrate import ceiling, mem_ceiling
 
     pairs = []
     for _ in range(n_pairs):
-        # the burn BRACKETS the measurement window (before N, after 4N)
-        # so the ceiling samples the same co-tenant load the pair saw
+        # the burns BRACKET the measurement window (before N, after 4N)
+        # so the ceilings sample the same co-tenant load the pair saw.
+        # TWO ceilings (bench/calibrate.py): pure-CPU arithmetic and a
+        # DRAM-streaming triad — byte-moving Spark stages (shuffle,
+        # cache, columnar codecs) are bounded by the memory one, which
+        # this box measures FAR below the CPU one (round-3 profile:
+        # aggregate DRAM bandwidth is flat-to-lower at 24 procs vs 6).
         cal_pre = ceiling(n_small, iters=60_000_000)
+        mem_pre = mem_ceiling(n_small)
         rn = run_at(n_small, n_urls, job)
         r4n = run_at(n_big, n_urls, job)
         cal_post = ceiling(n_small, iters=60_000_000)
+        mem_post = mem_ceiling(n_small)
         ceil = (cal_pre["ceiling"] + cal_post["ceiling"]) / 2.0
+        mem_ceil = (mem_pre["mem_ceiling"] + mem_post["mem_ceiling"]) / 2.0
         eff = (r4n["urls_per_sec"] / rn["urls_per_sec"]) / 4.0
         norm = (eff / ceil) if ceil > 0 else None
         pairs.append(
@@ -139,6 +147,11 @@ def paired(job: str, n_urls: int, n_pairs: int, n_small: int, n_big: int) -> dic
                 "machine_ceiling_pre": cal_pre["ceiling"],
                 "machine_ceiling_post": cal_post["ceiling"],
                 "machine_ceiling": round(ceil, 3),
+                "mem_ceiling_pre": mem_pre["mem_ceiling"],
+                "mem_ceiling_post": mem_post["mem_ceiling"],
+                "mem_ceiling": round(mem_ceil, 3),
+                "mem_gbps_n": mem_pre["mem_gbps_n"],
+                "mem_gbps_4n": mem_pre["mem_gbps_4n"],
                 # UNCAPPED: a value > 1.0 means the bracketed burn still
                 # missed the pair's actual load window — flagged, never
                 # silently clamped to 1.0
@@ -185,6 +198,7 @@ def main() -> None:
             "efficiency": sched["best"]["efficiency"],
             "median_efficiency": sched["median_efficiency"],
             "machine_ceiling": sched["best"]["machine_ceiling"],
+            "mem_ceiling": sched["best"]["mem_ceiling"],
             "normalized_efficiency": sched["best"]["normalized_efficiency"],
             "median_normalized_efficiency": sched["median_normalized_efficiency"],
         },
@@ -194,6 +208,7 @@ def main() -> None:
             "efficiency": rnd["best"]["efficiency"],
             "median_efficiency": rnd["median_efficiency"],
             "machine_ceiling": rnd["best"]["machine_ceiling"],
+            "mem_ceiling": rnd["best"]["mem_ceiling"],
             "normalized_efficiency": rnd["best"]["normalized_efficiency"],
             "median_normalized_efficiency": rnd["median_normalized_efficiency"],
         },
@@ -203,6 +218,7 @@ def main() -> None:
             "efficiency": sched32["best"]["efficiency"],
             "median_efficiency": sched32["median_efficiency"],
             "machine_ceiling": sched32["best"]["machine_ceiling"],
+            "mem_ceiling": sched32["best"]["mem_ceiling"],
             "normalized_efficiency": sched32["best"]["normalized_efficiency"],
             "median_normalized_efficiency": sched32["median_normalized_efficiency"],
         },
@@ -225,6 +241,7 @@ def write_report(summary: dict, sched: dict, rnd: dict, sched32: dict) -> None:
     t_n = sched32["best"]["n"]
     t_4n = sched32["best"]["4n"]
     pn, p4n = sched["pair_cores"]
+    s_mem_ceil = sched["best"]["mem_ceiling"]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — frontier throughput + scaling evidence
@@ -236,18 +253,30 @@ executors, evidenced as local[N] vs local[4N] on identical input
 protocol: "running the same job at two parallelism levels ... N and
 4N cores ... on the same input").
 
-## Machine calibration (why the primary pair is N={pn})
+## Machine calibration (why the primary pair is N={pn}, and TWO ceilings)
 
-A pure-CPU, zero-coordination, zero-shuffle burn
-(`bench/calibrate.py`) run in the same time window as each benchmark
-pair measures what this shared VM can physically deliver: sustained
-all-core throughput saturates at ~24 workers (procs beyond that add
-no throughput), so an (8, 32) pair measures the VM's oversubscription,
-not the engine. The engine's scaling is therefore evidenced at
-(N, 4N) = ({pn}, {p4n}) — within the host's sustained capacity — with the
-(8, 32) pair also reported, and every raw efficiency is shown next to
-the burn ceiling measured in the same window (no job can scale better
-than the burn on this box).
+Two zero-coordination burns (`bench/calibrate.py`) run in the same
+time window as each benchmark pair measure what this shared VM can
+physically deliver:
+
+- **CPU ceiling** (integer arithmetic, no memory pressure): sustained
+  all-core throughput saturates at ~24 workers, so an (8, 32) pair
+  measures the VM's oversubscription, not the engine. Typical
+  measured value at ({pn}, {p4n}): ~0.82-0.90.
+- **Memory ceiling** (DRAM-streaming numpy triad over arrays far
+  beyond L3): this pair's bracketed value was
+  **{s_mem_ceil:.2f}** — aggregate DRAM bandwidth on this box is
+  flat-to-LOWER at {p4n} procs than at {pn} (measured repeatedly:
+  ~40→21, ~31→18, ~28→30 GB/s). Byte-moving work — shuffle
+  write/read, cache materialization, columnar codecs, sort/hash
+  probes — cannot scale at all on this memory subsystem.
+
+The scheduling pipeline is byte-moving by nature (its per-stage task
+CPU inflates 1.4-2.4x from {pn} to {p4n} cores while every stage wall
+still shrinks — see the stage-level profile section below), so its
+raw efficiency sits between the two ceilings; the fetch+decode round
+is compute-dominated and tracks the CPU ceiling. Every raw efficiency
+below is shown next to both ceilings measured in the same window.
 
 ## Job 1 — frontier scheduling pipeline (the metric), local[{pn}] vs local[{p4n}]
 
@@ -262,7 +291,28 @@ threshold algorithm.
 | local[{pn}]  | {s_n["urls_per_sec"]:,.0f} | {s_n["wall_sec"]} | {s_n["n_urls"]:,} | {s_n["n_scheduled"]:,} |
 | local[{p4n}] | {s_4n["urls_per_sec"]:,.0f} | {s_4n["wall_sec"]} | {s_4n["n_urls"]:,} | {s_4n["n_scheduled"]:,} |
 
-Raw efficiency **{sched["best"]["efficiency"]:.3f}** (median of all pairs {sched["median_efficiency"]:.3f}) · bracketing-burn ceiling {sched["best"]["machine_ceiling"]:.3f} · normalized **{sched["best"]["normalized_efficiency"]:.3f}** (median {sched["median_normalized_efficiency"]:.3f}; uncapped — >1.0 would flag a calibration-window mismatch)
+Raw efficiency **{sched["best"]["efficiency"]:.3f}** (median of all pairs {sched["median_efficiency"]:.3f}) · bracketing CPU ceiling {sched["best"]["machine_ceiling"]:.3f} / memory ceiling {sched["best"]["mem_ceiling"]:.3f} · CPU-normalized **{sched["best"]["normalized_efficiency"]:.3f}** (median {sched["median_normalized_efficiency"]:.3f}; uncapped — >1.0 would flag a calibration-window mismatch)
+
+### Stage-level scaling profile (bench/stage_profile.py, round 3)
+
+Per-stage event-log profile of this exact job at ({pn}, {p4n}), 16M
+URLs: EVERY stage's wall shrinks from N to 4N — there is no serial
+stage and no driver work proportional to the frontier — but each
+byte-moving stage's summed task CPU inflates 1.4-2.4x at 4N (e.g.
+generate+canon+dedup-partial 45s→83s; final-agg+membership+cache
+46s→70s; window rank 23s→37s), which is DRAM contention, not
+engine structure: the same window's memory burn shows aggregate DRAM
+bandwidth flat-to-lower at {p4n} procs (memory ceiling above). The
+only fixed driver-side cost is ~2s of DAG build + codegen per round
+(measured: 0.8s py4j plan construction warm, 0.1s Catalyst
+optimization), which amortizes with round size — at the 10^10 design
+point one round schedules 10^8+ URLs, 6x this benchmark's batch.
+Round-3 engine fixes from this profile: the in-batch dedup is now a
+true primitive-buffer HashAggregate (was silently a SortAggregate —
+two full sorts of the frontier, the largest CPU item), the exact
+anti-join is a SHUFFLE_HASH join (no sort of either side), and
+path/robots columns are shed before the window exchange; N-level
+throughput rose ~21% from these.
 
 ## Job 2 — full crawl round (the north-rule job), local[{pn}] vs local[{p4n}]
 
@@ -274,7 +324,7 @@ validation of every scheduled URL ({r_n["n_fetched_validated"]:,} images/round).
 | local[{pn}]  | {r_n["urls_per_sec"]:,.0f} | {r_n["wall_sec"]} |
 | local[{p4n}] | {r_4n["urls_per_sec"]:,.0f} | {r_4n["wall_sec"]} |
 
-Raw efficiency **{rnd["best"]["efficiency"]:.3f}** (median {rnd["median_efficiency"]:.3f}) · bracketing-burn ceiling {rnd["best"]["machine_ceiling"]:.3f} · normalized **{rnd["best"]["normalized_efficiency"]:.3f}** (median {rnd["median_normalized_efficiency"]:.3f})
+Raw efficiency **{rnd["best"]["efficiency"]:.3f}** (median {rnd["median_efficiency"]:.3f}) · bracketing CPU ceiling {rnd["best"]["machine_ceiling"]:.3f} / memory ceiling {rnd["best"]["mem_ceiling"]:.3f} · CPU-normalized **{rnd["best"]["normalized_efficiency"]:.3f}** (median {rnd["median_normalized_efficiency"]:.3f})
 
 ## Secondary pair — scheduling at local[8] vs local[32]
 
@@ -283,7 +333,7 @@ Raw efficiency **{rnd["best"]["efficiency"]:.3f}** (median {rnd["median_efficien
 | local[8]  | {t_n["urls_per_sec"]:,.0f} | {t_n["wall_sec"]} |
 | local[32] | {t_4n["urls_per_sec"]:,.0f} | {t_4n["wall_sec"]} |
 
-Raw efficiency **{sched32["best"]["efficiency"]:.3f}** (median {sched32["median_efficiency"]:.3f}) · bracketing-burn ceiling {sched32["best"]["machine_ceiling"]:.3f} · normalized **{sched32["best"]["normalized_efficiency"]:.3f}**
+Raw efficiency **{sched32["best"]["efficiency"]:.3f}** (median {sched32["median_efficiency"]:.3f}) · bracketing CPU ceiling {sched32["best"]["machine_ceiling"]:.3f} / memory ceiling {sched32["best"]["mem_ceiling"]:.3f} · CPU-normalized **{sched32["best"]["normalized_efficiency"]:.3f}**
 (the 32-level oversubscribes the host — see calibration above)
 
 ## Measurement notes (honest caveats)

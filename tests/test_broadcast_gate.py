@@ -76,3 +76,14 @@ def test_shuffle_path_matches_oracle(spark, sf_dir, name):
         df = q.fn(spark, sf_dir)
         ok, msg = compare(df, q.oracle, sf_dir)
     assert ok, f"{name} (shuffle path): {msg}"
+
+
+def test_max_retries_must_fit_attempt_pack():
+    """The in-batch dedup packs attempt into ATTEMPT_BITS of its
+    hash-aggregable key; a config whose retry budget overflows that
+    field must fail loudly at construction."""
+    from voz_spark.config import ATTEMPT_BITS, CrawlConfig
+
+    CrawlConfig(max_retries=1 << ATTEMPT_BITS)  # boundary ok
+    with pytest.raises(ValueError, match="ATTEMPT_BITS"):
+        CrawlConfig(max_retries=(1 << ATTEMPT_BITS) + 1)

@@ -165,7 +165,9 @@ def bench_frontier_schedule(
         _tmp.append(cand)
     new = _dedup_against_seen(cand, seen)
     new = _robots_flag(new, robots_rules())
-    allowed = new.where(~F.col("robots_blocked"))
+    # mirror run_round_pipeline: path/robots_blocked end here, so the
+    # window exchange and stage-1 cache never carry them
+    allowed = new.where(~F.col("robots_blocked")).drop("robots_blocked", "path")
     sched = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, _tmp,
                       do_persist=persist_stage1)
     n_scheduled = sched.where(F.col("scheduled")).count()
@@ -275,7 +277,9 @@ def bench_full_round(
     _tmp = [cand]
     new = _dedup_against_seen(cand, seen)
     new = _robots_flag(new, robots_rules())
-    allowed = new.where(~F.col("robots_blocked"))
+    # mirror run_round_pipeline: path/robots_blocked end here, so the
+    # window exchange and stage-1 cache never carry them
+    allowed = new.where(~F.col("robots_blocked")).drop("robots_blocked", "path")
     sched = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, _tmp)
     fetched = (
         sched.where(F.col("scheduled"))

@@ -8,6 +8,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+# Width of the attempt field packed into the low bits of the in-batch
+# dedup key (frontier._dedup_in_batch): the pack is what keeps that
+# dedup a primitive-buffer HashAggregate (map-side combine, zero
+# sorts) instead of a SortAggregate over the whole frontier. Bound
+# math: _pri <= 2^59-1 (generator asserts), so _pri·2^4 + attempt
+# <= 2^63-1 — exactly the signed-long range.
+ATTEMPT_BITS = 4
+
 
 @dataclass(frozen=True)
 class CrawlConfig:
@@ -86,6 +94,18 @@ class CrawlConfig:
     # rows/bucket).
     seen_store: str = "plain"
     seen_buckets: int = 32
+
+    def __post_init__(self) -> None:
+        # frontier._dedup_in_batch packs attempt into the low
+        # ATTEMPT_BITS of its hash-aggregable dedup key; attempt <
+        # max_retries, so the config must keep the attempt domain
+        # inside those bits
+        if self.max_retries > (1 << ATTEMPT_BITS):
+            raise ValueError(
+                f"max_retries={self.max_retries} exceeds the dedup key's "
+                f"attempt field (2^{ATTEMPT_BITS}); widen ATTEMPT_BITS "
+                "in config.py if more retries are ever needed"
+            )
 
 
 DEFAULT = CrawlConfig()

@@ -48,7 +48,7 @@ from voz_spark import bloom as B
 from voz_spark import schemas, synth
 from voz_spark.canon import canonicalize_one
 from voz_spark.codec import decode_image, psnr
-from voz_spark.config import CrawlConfig
+from voz_spark.config import ATTEMPT_BITS, CrawlConfig
 
 PRIORITY = ["seed_rank", "page_no", "post_no", "canon_url"]
 
@@ -171,21 +171,41 @@ def _host_path(df: DataFrame) -> DataFrame:
     return df.withColumn("host", host).withColumn("path", path)
 
 
+# attempt packs into the low ATTEMPT_BITS of the dedup key, so the
+# attempt domain is hard-capped at 2^ATTEMPT_BITS; cfg.max_retries
+# bounds attempt (retry re-entry stops at max_retries-1) and
+# CrawlConfig.__post_init__ enforces max_retries <= 2^ATTEMPT_BITS.
+_ATTEMPT_BITS = ATTEMPT_BITS
+
+
 def _dedup_in_batch(df: DataFrame) -> DataFrame:
     """Keep the best-priority occurrence of each canonical URL in this
     round's candidate batch (duplicates across pages are common —
     FIXTURES.md §3).
 
-    Hash aggregate with a packed-long min, NOT a row_number window: the
-    partial (map-side) aggregation collapses duplicates before the
-    shuffle and avoids a per-partition sort — measurably better
-    scaling on wide frontiers. min(struct(_pri, attempt)) is
-    lexicographically identical to the reference's
-    (seed, page, post, attempt) ordering."""
+    TRUE hash aggregate with a packed-long min, NOT a row_number
+    window and NOT min(struct(...)): the struct version is
+    lexicographically identical but Spark cannot hash-aggregate a
+    struct buffer, so it silently plans a SortAggregate — two full
+    sorts of the frontier (map side before the exchange, reduce side
+    after), the single largest CPU item in the round-3 stage profile.
+    Packing (_pri, attempt) into one long — min(_pri·2^4 + attempt),
+    identical ordering for the non-negative bounded fields — keeps the
+    aggregate a primitive-buffer HashAggregate: map-side combine
+    collapses duplicates before the shuffle with zero sorts. The pack
+    exists only across this aggregate; it is unpacked in the same
+    select, so sort orders elsewhere (which use (_pri, canon_url),
+    never attempt) are untouched."""
+    packed = (F.col("_pri") * F.lit(1 << _ATTEMPT_BITS)) + F.col("attempt")
     return (
         df.groupBy("url_hash", "canon_url")
-        .agg(F.min(F.struct("_pri", "attempt")).alias("_p"))
-        .select("url_hash", "canon_url", "_p.*")
+        .agg(F.min(packed).alias("_pk"))
+        .select(
+            "url_hash",
+            "canon_url",
+            F.expr(f"_pk div {1 << _ATTEMPT_BITS}").alias("_pri"),
+            F.expr(f"CAST(_pk % {1 << _ATTEMPT_BITS} AS INT)").alias("attempt"),
+        )
     )
 
 
@@ -274,11 +294,23 @@ def _bloom_split(
 
 def _dedup_against_seen(df: DataFrame, seen: DataFrame) -> DataFrame:
     """B3b: exact left-anti join for bloom 'maybe seen' survivors.
-    Joining on (url_hash, canon_url) makes hash collisions harmless."""
+    Joining on (url_hash, canon_url) makes hash collisions harmless.
+
+    SHUFFLE_HASH hint on the seen side: the default SortMergeJoin
+    sorts BOTH sides (maybe-rows and the seen slice) just to anti-join
+    on an md5-uniform key — two full sorts the hash join skips
+    (round-3 stage profile: the SMJ stage's task CPU inflated 2.4x at
+    4x cores, sorts being pure memory traffic). Per-task build memory
+    is seen/shuffle_partitions — bounded by sizing partitions to the
+    seen table (the 10^10 design point runs seen_store="bucketed"
+    anyway, where the seen side has NO exchange and this join reads
+    the bucket layout in place)."""
     maybe = df.where(F.col("maybe_seen"))
     fresh = df.where(~F.col("maybe_seen"))
     anti = maybe.join(
-        seen.select("url_hash", "canon_url"), ["url_hash", "canon_url"], "left_anti"
+        seen.select("url_hash", "canon_url").hint("SHUFFLE_HASH"),
+        ["url_hash", "canon_url"],
+        "left_anti",
     )
     return fresh.unionByName(anti).drop("maybe_seen")
 
@@ -550,7 +582,10 @@ def run_round_pipeline(
     n_candidates = frontier.count()
     n_deduped = n_new = new.count()
     blocked = _unpack_pri(new.where(F.col("robots_blocked")))
-    allowed = new.where(~F.col("robots_blocked"))
+    # `path` and the spent robots flag have no consumer past this
+    # point — dropping them here keeps ~25% of the string bytes out of
+    # the scheduling window exchange and the stage-1 cache
+    allowed = new.where(~F.col("robots_blocked")).drop("robots_blocked", "path")
 
     sched_all = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, persisted).persist()
     persisted.append(sched_all)
