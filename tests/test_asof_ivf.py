@@ -137,3 +137,50 @@ def test_ivf_probes_subset_of_corpus(spark):
         probes.setdefault(r.qid, set()).add(r.cid)
     for r in q49_ann_ivf(spark, sf).collect():
         assert assigned[r.nid] in probes[r.qid]
+
+
+def test_q130_pq_selfcoding_and_recall(spark, sf_dir):
+    """PQ invariants: (1) each codebook-source vector encodes to its
+    own codeword in every block (its block distance to itself is 0);
+    (2) ADC top-10 keeps a sane overlap with the exact dot-product
+    top-10 — untrained 4-bit-per-block codes on isotropic synthetic
+    vectors are the hardest case, so the floor is modest (real
+    deployments train the codebook; the dataflow shape is identical)."""
+    import numpy as np
+
+    from voz_spark.dataprep import (
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        _PQ_NQ,
+        q130_pq_adc_search,
+    )
+    from voz_spark.relational import T
+    from pyspark.sql import functions as F
+
+    emb = T(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([np.array(r.embedding, dtype=np.float64) for r in rows])
+    got = q130_pq_adc_search(spark, sf_dir).collect()
+
+    # (1) self-coding: re-derive codes the same way and check the
+    # codebook rows' codes are the identity
+    cb = V[:_PQ_K].reshape(_PQ_K, _PQ_M, _PQ_D)
+    for k in range(_PQ_K):
+        for j in range(_PQ_M):
+            d = (
+                ((cb[k, j][None, :] - cb[:, j, :]) ** 2).sum(-1).round(6)
+            )
+            assert d.argmin() == k
+
+    # (2) recall floor vs exact dot product
+    recalls = []
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r.nid)
+    assert set(by_q) == set(range(_PQ_NQ))
+    for q in range(_PQ_NQ):
+        dots = V @ V[q]
+        order = [i for i in np.argsort(-dots, kind="stable") if i != q][:10]
+        recalls.append(len(set(order) & set(by_q[q])) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls

@@ -246,3 +246,27 @@ def test_q105_cuts_at_scene_boundaries_only(spark, sf_dir):
     assert set(got) == {f"v{v:02d}" for v in range(_Q105_VIDEOS)}
     for v, frames in got.items():
         assert sorted(frames) == [8, 16], (v, frames)
+
+
+def test_q129_planted_corner_variants_share_exactly_three_tiles(spark, sf_dir):
+    """Every idx % 6 == 1 image has a '~w' variant whose only change is
+    a stamp inside the bottom-right quadrant: the pair must surface
+    with exactly 3 of 4 tile hashes shared, and every planted pair
+    must be present."""
+    from voz_spark.imagedup import _Q129_N_IMAGES, q129_tile_variant_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared_tiles
+        for r in q129_tile_variant_pairs(spark, sf_dir).collect()
+    }
+    from voz_spark import synth
+
+    planted = 0
+    for idx in range(_Q129_N_IMAGES):
+        if idx % 6 == 1:
+            iid = synth.image_row(idx)["image_id"]
+            key = (iid, iid + "~w") if iid < iid + "~w" else (iid + "~w", iid)
+            assert key in got, f"missing planted variant pair {key}"
+            assert got[key] == 3, (key, got[key])
+            planted += 1
+    assert planted == _Q129_N_IMAGES // 6

@@ -2237,3 +2237,145 @@ def q120_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_doc", "base_doc", "n_mh_match")
         .orderBy("delta_doc", "base_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130: product-quantization (PQ) codes + ADC top-k search — the
+# memory side of ANN at 10^10 embeddings (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011): q49's IVF
+# prunes WHICH vectors a query touches; PQ shrinks WHAT is stored per
+# vector. Each 64-dim float32 vector (256 bytes) becomes m=4 codes of
+# 4 bits' worth of information (one small int per 16-dim block,
+# codebook K=16) — the codes table is ~16 bytes/vector, a 16x
+# compression, and the search never reads a raw corpus vector:
+# asymmetric-distance computation (ADC) scores a query against the
+# PER-QUERY lookup table of query-block x codeword inner products.
+#
+# Determinism/exactness: the codebook is the first K vectors' blocks
+# (a deterministic "training sample" — the q49 centroid discipline;
+# real k-means training changes recall, not the dataflow shape);
+# block distances and lut entries go through ROUND(...,6) and the
+# per-pair ADC sum is DECIMAL-exact, so the DuckDB oracle matches
+# bit-for-bit. Argmin tie-break is (dist, cid) total order.
+#
+# Scale shape: encode = one scan, explode x m blocks, broadcast-join
+# the K·m codebook, per-(vector, block) argmin window over K=16 rows
+# (bounded group). Search = codes ⋈ broadcast(lut of |Q|·K·m rows) +
+# a map-side-combinable (qid, nid) aggregate of m rows per pair; raw
+# embeddings are touched only for the |Q| queries. A production
+# variant packs the m codes per-vector for in-row lut lookup — same
+# semantics, zero per-pair shuffle rows beyond the partial sums.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subvector blocks
+_PQ_D = 16  # dims per block (64-dim embeddings)
+_PQ_K = 16  # codewords per block
+_PQ_NQ = 8  # query set: vec_id < 8
+_PQ_TOPK = 10
+
+_L2_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+)
+_L2_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}),"
+    " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), (p, q) -> p + q)"
+)
+
+
+def _q130_oracle() -> str:
+    l2 = _L2_DUCK.format(a="b.sub", b="c.csub")
+    dot = _DOT_DUCK.format(a="qb.qsub", b="c.csub")
+    return f"""
+WITH blocks AS (
+  SELECT vec_id AS nid, j, embedding[j * {_PQ_D} + 1 : (j + 1) * {_PQ_D}] AS sub
+  FROM embeddings, (SELECT unnest(range({_PQ_M})) AS j)
+),
+cb AS (
+  SELECT nid AS cid, j, sub AS csub FROM blocks WHERE nid < {_PQ_K}
+),
+assigned AS (
+  SELECT nid, j, cid AS code FROM (
+    SELECT b.nid, b.j, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.nid, b.j
+             ORDER BY ROUND({l2}, 6), c.cid
+           ) AS rk
+    FROM blocks b JOIN cb c USING (j)
+  ) WHERE rk = 1
+),
+qb AS (SELECT nid AS qid, j, sub AS qsub FROM blocks WHERE nid < {_PQ_NQ}),
+lut AS (
+  SELECT qb.qid, c.j, c.cid, ROUND({dot}, 6) AS v
+  FROM qb JOIN cb c USING (j)
+),
+scored AS (
+  SELECT l.qid, a.nid,
+         CAST(SUM(CAST(l.v AS DECIMAL(38,6))) AS DOUBLE) AS adc
+  FROM assigned a JOIN lut l ON a.j = l.j AND a.code = l.cid
+  WHERE l.qid <> a.nid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, nid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rnk
+  FROM scored
+)
+SELECT qid, nid, adc, rnk FROM ranked WHERE rnk <= {_PQ_TOPK}
+ORDER BY qid, rnk
+"""
+
+
+@register("q130_pq_adc_search", oracle=_q130_oracle())
+def q130_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode every embedding into m=4 block codes (K=16 codebook,
+    16x compression) and run ADC top-10 search for the query set —
+    the raw corpus vectors are never read during search."""
+    emb = T(spark, sf_dir, "embeddings")
+    blocks = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.explode(F.array(*[F.lit(j) for j in range(_PQ_M)])).alias("j"),
+        F.col("embedding"),
+    ).select(
+        "nid",
+        "j",
+        F.expr(f"slice(embedding, j * {_PQ_D} + 1, {_PQ_D})").alias("sub"),
+    )
+    cb = blocks.where(F.col("nid") < _PQ_K).select(
+        F.col("nid").alias("cid"), "j", F.col("sub").alias("csub")
+    )
+    l2 = F.round(F.expr(_L2_SPARK.format(a="sub", b="csub")), 6)
+    aw = Window.partitionBy("nid", "j").orderBy(l2.asc(), F.col("cid").asc())
+    assigned = (
+        blocks.join(F.broadcast(cb), "j")
+        .withColumn("rk", F.row_number().over(aw))
+        .where(F.col("rk") == 1)
+        .select("nid", "j", F.col("cid").alias("code"))
+    )
+    qb = blocks.where(F.col("nid") < _PQ_NQ).select(
+        F.col("nid").alias("qid"), "j", F.col("sub").alias("qsub")
+    )
+    lut = qb.join(F.broadcast(cb), "j").select(
+        "qid",
+        "j",
+        "cid",
+        F.round(F.expr(_DOT_SPARK.format(a="qsub", b="csub")), 6).alias("v"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(lut),
+            (assigned.j == lut.j) & (assigned.code == lut.cid),
+        )
+        .where(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("adc"), "nid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _PQ_TOPK)
+        .select("qid", "nid", "adc", "rnk")
+        .orderBy("qid", "rnk")
+    )

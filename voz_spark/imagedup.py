@@ -1076,3 +1076,159 @@ def q105_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") >= _Q105_CUT_MIN)
         .orderBy("video_id", "frame_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# q129: partial-duplicate (corner-variant) detection via QUADRANT tile
+# pHashes — whole-image pHash (q61) misses images that differ only in
+# one region: a corner watermark/logo stamp, a cropped-in banner, a
+# censor box. Splitting each image into 4 quadrants and hashing each
+# independently turns "same picture except one corner" into "≥2 (here
+# exactly 3) bit-identical tile hashes" — an EQUI-JOIN detection, never
+# a pixel-space pair scan. This is the tile-level complement of q103
+# (which detects the watermark itself); here we find the unwatermarked
+# original ↔ stamped variant PAIR, so curation can keep the clean copy.
+#
+# Scale shape: 4 rows per image; a stop-tile guard drops tile hashes
+# with df > cap before the self-join (flat/trivial quadrants — the
+# high-df-shingle lesson from q26, mirrored in the oracle); the join
+# is equi on (tile_idx, tile_hash) so bucket sizes are duplicate-group
+# sized. The fixture is decoded ONCE into a parquet table of tile
+# hashes (write-once _materialized, same discipline as q61); the
+# DuckDB oracle runs the identical rule on the same rows — full
+# value-hash check, not rows-only.
+# ---------------------------------------------------------------------------
+
+Q129_TILES_PATH = "/tmp/voz_spark_q129_tiles"
+
+_Q129_N_IMAGES = 360  # every idx % 6 == 1 image also gets a stamped variant
+_Q129_TILE_DF_CAP = 50
+_Q129_MIN_SHARED = 2
+
+_Q129_ORACLE = f"""
+WITH t AS (
+  SELECT image_id, tile_idx, tile_hash
+  FROM read_parquet('{Q129_TILES_PATH}/*.parquet')
+),
+df AS (
+  SELECT tile_idx, tile_hash FROM t
+  GROUP BY 1, 2 HAVING COUNT(*) <= {_Q129_TILE_DF_CAP}
+),
+kept AS (SELECT t.* FROM t JOIN df USING (tile_idx, tile_hash)),
+pairs AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_tiles
+  FROM kept a JOIN kept b
+    ON a.tile_idx = b.tile_idx AND a.tile_hash = b.tile_hash
+   AND a.image_id < b.image_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared_tiles
+FROM pairs
+WHERE n_shared_tiles >= {_Q129_MIN_SHARED} AND n_shared_tiles < 4
+ORDER BY id_a, id_b
+"""
+
+
+def _q129_tiles_builder(spark: SparkSession):
+    """Tile table builder: 4 quadrant pHashes per image, plus — for
+    every idx % 6 == 1 — a '~w' variant whose bottom-right quadrant
+    carries a deterministic watermark stamp (other quadrants are
+    byte-identical pixels, so exactly 3 tile hashes match)."""
+
+    def build():
+        from voz_spark import synth
+        from voz_spark.phash import phash64
+
+        def quad_hashes(px):
+            h, w = px.shape[0], px.shape[1]
+            out = []
+            for ti, (ys, xs) in enumerate(
+                [
+                    (slice(0, h // 2), slice(0, w // 2)),
+                    (slice(0, h // 2), slice(w // 2, w)),
+                    (slice(h // 2, h), slice(0, w // 2)),
+                    (slice(h // 2, h), slice(w // 2, w)),
+                ]
+            ):
+                out.append((ti, phash64(px[ys, xs])))
+            return out
+
+        def gen(batches):
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    px = synth.image_pixels(idx)
+                    iid = synth.image_row(idx)["image_id"]
+                    for ti, th in quad_hashes(px):
+                        rows.append(
+                            {"image_id": iid, "tile_idx": ti, "tile_hash": th}
+                        )
+                    if idx % 6 == 1:
+                        v = px.copy()
+                        h, w = v.shape[0], v.shape[1]
+                        # deterministic stamp: invert a block inside the
+                        # bottom-right quadrant (a hard-edged logo)
+                        y0, x0 = h - h // 4, w - w // 4
+                        v[y0:, x0:] = 255 - v[y0:, x0:]
+                        for ti, th in quad_hashes(v):
+                            rows.append(
+                                {
+                                    "image_id": iid + "~w",
+                                    "tile_idx": ti,
+                                    "tile_hash": th,
+                                }
+                            )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q129_N_IMAGES)
+            .repartition(8)
+            .mapInPandas(gen, "image_id string, tile_idx int, tile_hash long")
+        )
+
+    return build
+
+
+@register("q129_tile_variant_pairs", oracle=_Q129_ORACLE)
+def q129_tile_variant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corner-variant image pairs: images sharing >= 2 (but not all 4)
+    bit-identical quadrant pHashes after a stop-tile df cap — the
+    watermark/crop partial-dup detector whole-image pHash misses."""
+    t = _materialized(
+        spark,
+        Q129_TILES_PATH,
+        f"n={_Q129_N_IMAGES};quad-phash;stamp=6:1;v1",
+        _q129_tiles_builder(spark),
+    )
+    df_ok = (
+        t.groupBy("tile_idx", "tile_hash")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") <= _Q129_TILE_DF_CAP)
+        .select("tile_idx", "tile_hash")
+    )
+    kept = t.join(df_ok, ["tile_idx", "tile_hash"])
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tile_idx") == F.col("b.tile_idx"))
+            & (F.col("a.tile_hash") == F.col("b.tile_hash"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .groupBy(
+            F.col("a.image_id").alias("id_a"), F.col("b.image_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_tiles"))
+    )
+    return (
+        pairs.where(
+            (F.col("n_shared_tiles") >= _Q129_MIN_SHARED)
+            & (F.col("n_shared_tiles") < 4)
+        )
+        .select("id_a", "id_b", "n_shared_tiles")
+        .orderBy("id_a", "id_b")
+    )
