@@ -503,3 +503,30 @@ def test_q126_packing_is_lossless_and_bounded(spark, sf_dir):
         # target + max-doc-size; docs here are small so bound tightly
         assert all(r.file_bytes < 2 * _Q126_TARGET for r in rs)
         assert len(rs) >= 2  # targets produce multiple files per task
+
+
+def test_q133_round_robin_head_properties(spark, sf_dir):
+    """The curriculum head is a contiguous rank-major round-robin:
+    positions 1..|S| are every qualifying source's rank-1 doc in
+    source order, each source contributes exactly R docs, and the
+    arithmetic global_pos is a permutation of 1..|S|*R."""
+    from voz_spark.corpus_ops import _Q133_R, q133_curriculum_interleave
+
+    rows = q133_curriculum_interleave(spark, sf_dir).collect()
+    srcs = sorted({r.source for r in rows})
+    n = len(srcs)
+    assert n > 0
+    assert sorted(r.global_pos for r in rows) == list(
+        range(1, n * _Q133_R + 1)
+    )
+    by_pos = {r.global_pos: r for r in rows}
+    for i, s in enumerate(srcs):
+        first = by_pos[i + 1]
+        assert first.source == s and first.rk == 1
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.rk)
+        # rank-major: global position strictly increases with rank
+        assert by_pos[r.global_pos].rk == (r.global_pos - 1) // n + 1
+    for s, rks in per_src.items():
+        assert sorted(rks) == list(range(1, _Q133_R + 1)), s

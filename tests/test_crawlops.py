@@ -394,3 +394,61 @@ def test_q125_streaks_and_tiers(spark, sf_dir):
     assert outage.error_rate_milli == flaky.error_rate_milli  # same rate, different verdict
     dead = rows["dead.voz.test"]
     assert (dead.error_rate_milli, dead.backoff_tier) == (1000, "suspend")
+
+
+def test_q132_matches_bruteforce_reciprocity(spark, sf_dir):
+    """Pin q132 against an independent pure-Python recount of the
+    directed host-pair link log and its integer reciprocity rule."""
+    import collections
+
+    import duckdb
+
+    from voz_spark.crawlops import (
+        _Q132_H,
+        _Q132_MIN_EACH,
+        _Q132_RECIP_MILLI,
+        q132_link_farm_pairs,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    fwd = collections.Counter()
+    rev = collections.Counter()
+    for uid, eid in rows:
+        s, d = uid % _Q132_H, eid % _Q132_H
+        if s == d:
+            continue
+        if s < d:
+            fwd[(s, d)] += 1
+        else:
+            rev[(d, s)] += 1
+    want = {}
+    for key in set(fwd) | set(rev):
+        f_, r_ = fwd[key], rev[key]
+        if f_ >= _Q132_MIN_EACH and r_ >= _Q132_MIN_EACH:
+            milli = (1000 * min(f_, r_)) // max(f_, r_)
+            if milli >= _Q132_RECIP_MILLI:
+                want[key] = (f_, r_, milli)
+    got = {
+        (r.host_a, r.host_b): (r.fwd, r.rev, r.recip_milli)
+        for r in q132_link_farm_pairs(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_q132_plan_single_hash_aggregate_exchange(spark, sf_dir):
+    """q132's one-shuffle claim: exactly one hashpartitioning Exchange
+    (the pair-key aggregate); the final orderBy adds only a
+    rangepartitioning exchange."""
+    import re
+
+    from voz_spark.crawlops import q132_link_farm_pairs
+
+    d = q132_link_farm_pairs(spark, sf_dir)
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    kinds = re.findall(r"Arguments: (\w+partitioning)", plan)
+    assert kinds.count("hashpartitioning") == 1, plan
+    assert all(k in ("hashpartitioning", "rangepartitioning") for k in kinds), plan

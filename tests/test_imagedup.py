@@ -270,3 +270,64 @@ def test_q129_planted_corner_variants_share_exactly_three_tiles(spark, sf_dir):
             assert got[key] == 3, (key, got[key])
             planted += 1
     assert planted == _Q129_N_IMAGES // 6
+
+
+def test_q131_flags_exactly_the_planted_misaligned_pairs(spark, sf_dir):
+    """Only the idx % 11 == 5 pairs (caption class swapped) fall below
+    the alignment threshold, and their scores sit at noise level while
+    no aligned pair is flagged."""
+    from voz_spark import synth
+    from voz_spark.imagedup import _Q131_N, q131_crossmodal_alignment
+
+    got = {r.image_id: r for r in q131_crossmodal_alignment(spark, sf_dir).collect()}
+    planted = {
+        synth.image_id(idx) for idx in range(_Q131_N) if idx % 11 == 5
+    }
+    assert set(got) == planted
+    for r in got.values():
+        assert r.img_cls != r.cap_cls
+        assert r.align_score < 0.3, (r.image_id, r.align_score)
+
+
+def test_q134_equals_crossplit_subset_of_q61(spark, sf_dir):
+    """The incremental delta-vs-standing result must equal exactly the
+    q61 full-corpus pairs that cross the md5 split (bucket caps never
+    bind on the fixture), oriented delta-side first."""
+    import hashlib
+
+    from voz_spark.imagedup import (
+        q61_phash_neardup,
+        q134_incremental_image_neardup,
+    )
+
+    def is_base(iid: str) -> bool:
+        return hashlib.md5(iid.encode()).hexdigest()[0] < "8"
+
+    full = q61_phash_neardup(spark, sf_dir).collect()
+    want = {}
+    for r in full:
+        a_base, b_base = is_base(r.id_a), is_base(r.id_b)
+        if a_base != b_base:
+            delta_id, base_id = (r.id_b, r.id_a) if a_base else (r.id_a, r.id_b)
+            want[(delta_id, base_id)] = r.hamming
+    got = {
+        (r.delta_id, r.base_id): r.hamming
+        for r in q134_incremental_image_neardup(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_q131_plan_has_zero_shuffles(spark, sf_dir):
+    """q131's scan→project→filter claim, pinned: no hashpartitioning
+    Exchange anywhere — the only allowed exchange is the final
+    orderBy's rangepartitioning."""
+    import re
+
+    from voz_spark.imagedup import q131_crossmodal_alignment
+
+    d = q131_crossmodal_alignment(spark, sf_dir)
+    plan = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    ex = re.findall(r"Exchange (\w+)", plan)
+    assert all(k == "rangepartitioning" for k in ex), plan

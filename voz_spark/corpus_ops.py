@@ -1594,3 +1594,90 @@ def q126_output_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("task", "file_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133: fixed-quota curriculum interleave — the warm-up head of a
+# training run wants the best R documents from EVERY qualifying source
+# in strict round-robin order (rank-1 docs of all sources first, then
+# rank-2, ...), so early steps see the full source mixture at top
+# quality instead of whatever one shard happened to hold. This is the
+# deterministic ordering complement of q79's mixture WEIGHTS and
+# q115's uniform shuffle.
+#
+# Scale shape: the global training order is a TOTAL order computed
+# WITHOUT any global window — per-source rank is one window on the
+# uniform source key (output bounded to R rows/source), the source
+# index comes from a |sources|-row aggregate joined back broadcast,
+# and the global position is pure arithmetic:
+#   global_pos = (rk - 1) * |S| + src_idx.
+# The fixed quota (only sources with >= R docs qualify) is exactly
+# what makes the arithmetic exact — every round-robin round is full.
+# The DuckDB oracle computes the SAME positions with an actual global
+# ROW_NUMBER, proving the windowless construction equals the window.
+# ---------------------------------------------------------------------------
+
+_Q133_R = 10  # per-source quota
+
+
+def _q133_oracle() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS src_n
+  FROM documents
+),
+head AS (
+  SELECT doc_id, source, n_chars, rk FROM ranked
+  WHERE src_n >= {_Q133_R} AND rk <= {_Q133_R}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rk, source) AS BIGINT) AS global_pos,
+       doc_id, source, rk, n_chars
+FROM head
+ORDER BY global_pos
+"""
+
+
+@register("q133_curriculum_interleave", oracle=_q133_oracle())
+def q133_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin curriculum head: top-{R} docs per qualifying source,
+    globally ordered rank-major — the global position is computed
+    arithmetically (no global window)."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    # qualifying sources + their rank among qualifiers: a |sources|-row
+    # aggregate; the window below runs over that tiny table, then joins
+    # back broadcast
+    src_counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("src_n"))
+    qual = src_counts.where(F.col("src_n") >= _Q133_R).select("source")
+    sw = Window.orderBy("source")
+    src_idx = qual.withColumn("src_idx", F.row_number().over(sw))
+    n_src = src_idx.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    head = ranked.where(F.col("rk") <= _Q133_R).join(
+        F.broadcast(src_idx), "source"
+    )
+    return (
+        head.crossJoin(F.broadcast(n_src))
+        .select(
+            (
+                (F.col("rk") - F.lit(1)) * F.col("n_src")
+                + F.col("src_idx")
+            ).cast("long").alias("global_pos"),
+            "doc_id",
+            "source",
+            "rk",
+            "n_chars",
+        )
+        .orderBy("global_pos")
+    )

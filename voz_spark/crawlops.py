@@ -1888,3 +1888,89 @@ def q125_fetch_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q132: reciprocal-link farm detection over the observed host-link
+# graph — link spam's signature is pairs of hosts exchanging links at
+# near-parity ("I link you, you link me") far above organic rates.
+# Production crawls demote such pairs before importance propagation
+# (q101 OPIC / pagerank) so farms can't pump each other's scores; the
+# reference has no graph hygiene at all (it crawls one forum).
+#
+# The link log is derived deterministically from the events table
+# (src_host = user_id mod H, dst_host = event_id mod H — a dense
+# host-to-host link sample; same integer rule in both engines, so the
+# fixture needs no materialization).
+#
+# Scale shape: ONE shuffle. Directed edges fold to the UNORDERED pair
+# key (least, greatest) carrying conditional partial sums for each
+# direction — map-side combine applies, no self-join of the pair table
+# on its reversed key (the naive shape shuffles twice and materializes
+# both orientations). The farm rule is pure integer arithmetic:
+# reciprocity_milli = 1000*min(fwd,rev) div max(fwd,rev) — engine-
+# exact, no float comparisons.
+# ---------------------------------------------------------------------------
+
+_Q132_H = 31  # host-space modulus
+_Q132_MIN_EACH = 4  # both directions must carry at least this many links
+_Q132_RECIP_MILLI = 500  # min(fwd,rev)/max(fwd,rev) >= 0.5
+
+_Q132_ORACLE = f"""
+WITH e AS (
+  SELECT user_id % {_Q132_H} AS src_h, event_id % {_Q132_H} AS dst_h
+  FROM events
+  WHERE user_id % {_Q132_H} <> event_id % {_Q132_H}
+),
+p AS (
+  SELECT LEAST(src_h, dst_h) AS host_a, GREATEST(src_h, dst_h) AS host_b,
+         CAST(SUM(CASE WHEN src_h < dst_h THEN 1 ELSE 0 END) AS BIGINT) AS fwd,
+         CAST(SUM(CASE WHEN src_h > dst_h THEN 1 ELSE 0 END) AS BIGINT) AS rev
+  FROM e GROUP BY 1, 2
+)
+SELECT host_a, host_b, fwd, rev,
+       (1000 * LEAST(fwd, rev)) // GREATEST(fwd, rev) AS recip_milli
+FROM p
+WHERE fwd >= {_Q132_MIN_EACH} AND rev >= {_Q132_MIN_EACH}
+  AND (1000 * LEAST(fwd, rev)) // GREATEST(fwd, rev) >= {_Q132_RECIP_MILLI}
+ORDER BY host_a, host_b
+"""
+
+
+@register("q132_link_farm_pairs", oracle=_Q132_ORACLE)
+def q132_link_farm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host pairs exchanging links at near-parity (candidate link
+    farms): one aggregate on the unordered pair key with directional
+    partial sums; integer milli-reciprocity rule."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _Q132_H).alias("src_h"),
+        (F.col("event_id") % _Q132_H).alias("dst_h"),
+    )
+    pairs = (
+        ev.where(F.col("src_h") != F.col("dst_h"))
+        .groupBy(
+            F.least("src_h", "dst_h").alias("host_a"),
+            F.greatest("src_h", "dst_h").alias("host_b"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("src_h") < F.col("dst_h"), 1).otherwise(0)
+            ).cast("long").alias("fwd"),
+            F.sum(
+                F.when(F.col("src_h") > F.col("dst_h"), 1).otherwise(0)
+            ).cast("long").alias("rev"),
+        )
+    )
+    recip = F.expr("(1000 * least(fwd, rev)) div greatest(fwd, rev)")
+    return (
+        pairs.withColumn("recip_milli", recip)
+        .where(
+            (F.col("fwd") >= _Q132_MIN_EACH)
+            & (F.col("rev") >= _Q132_MIN_EACH)
+            & (F.col("recip_milli") >= _Q132_RECIP_MILLI)
+        )
+        .select("host_a", "host_b", "fwd", "rev", "recip_milli")
+        .orderBy("host_a", "host_b")
+    )

@@ -1232,3 +1232,217 @@ def q129_tile_variant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "n_shared_tiles")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q131: cross-modal (image <-> caption) alignment filter — the
+# CLIP-score gate every multimodal training pipeline runs before an
+# image-caption pair enters the corpus (LAION's core curation step:
+# drop pairs whose image embedding and caption embedding disagree).
+# The reference stores caption text next to each image
+# (src/image_processor.py:113-118) but never validates that the text
+# DESCRIBES the image; at 10^10 pairs, scraped alt-text is wrong often
+# enough that misalignment filtering is a first-class operator.
+#
+# Fixture: a deterministic embedding pair per image — the image vector
+# encodes the image's content class; the caption vector encodes the
+# class its CAPTION talks about. Every idx % 11 == 5 pair is planted
+# misaligned (caption from class (c+3) % 8): its dot product collapses
+# to noise level while aligned pairs stay near 1. Components are
+# rounded to 6 decimals at build time, both engines fold the SAME
+# doubles left-to-right, so the score is bit-identical.
+#
+# Scale shape: this is the best case a 100 TB operator can have —
+# ZERO shuffles: one scan, an in-row zip_with/aggregate dot product,
+# a filter. Embarrassingly parallel; 4N cores = 4N throughput by
+# construction. No window, no join, no collect.
+# ---------------------------------------------------------------------------
+
+Q131_PAIRS_PATH = "/tmp/voz_spark_q131_pairs"
+
+_Q131_N = 396  # every idx % 11 == 5 pair is planted misaligned
+_Q131_NCLS = 8
+_Q131_DIM = 8
+_Q131_THRESH = 0.5  # aligned ~0.95+, misaligned <0.3 — far from 0.5
+
+_Q131_DOT = (
+    "aggregate(zip_with(img_vec, cap_vec, (x, y) -> x * y),"
+    " CAST(0.0 AS DOUBLE), (p, q) -> p + q)"
+)
+_Q131_DOT_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(list_zip(img_vec, cap_vec), x -> x[1] * x[2])),"
+    " (p, q) -> p + q)"
+)
+
+_Q131_ORACLE = f"""
+WITH s AS (
+  SELECT image_id, img_cls, cap_cls,
+         ROUND({_Q131_DOT_DUCK}, 6) AS align_score
+  FROM read_parquet('{Q131_PAIRS_PATH}/*.parquet')
+)
+SELECT image_id, img_cls, cap_cls, align_score
+FROM s WHERE align_score < {_Q131_THRESH}
+ORDER BY image_id
+"""
+
+
+def _q131_pairs_builder(spark: SparkSession):
+    """(image_id, img_cls, cap_cls, img_vec, cap_vec) rows: unit-norm
+    class prototype + per-idx noise, components rounded to 6 decimals
+    so the cross-engine dot product is bit-exact."""
+
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+
+        def vec(cls: int, seed: int) -> list[float]:
+            rng = np.random.default_rng(
+                synth.splitmix64(seed) & 0x7FFFFFFF
+            )
+            v = rng.uniform(0.0, 0.5, _Q131_DIM)
+            v[cls] += 6.0
+            v = v / np.sqrt((v * v).sum())
+            return [float(x) for x in np.round(v, 6)]
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    c = idx % _Q131_NCLS
+                    cap_c = (c + 3) % _Q131_NCLS if idx % 11 == 5 else c
+                    rows.append(
+                        {
+                            "image_id": synth.image_id(idx),
+                            "img_cls": c,
+                            "cap_cls": cap_c,
+                            "img_vec": vec(c, idx * 29 + 1),
+                            "cap_vec": vec(cap_c, idx * 31 + 2),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q131_N)
+            .repartition(8)
+            .mapInPandas(
+                gen,
+                "image_id string, img_cls int, cap_cls int,"
+                " img_vec array<double>, cap_vec array<double>",
+            )
+        )
+
+    return build
+
+
+@register("q131_crossmodal_alignment", oracle=_Q131_ORACLE)
+def q131_crossmodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misaligned image-caption pairs (CLIP-style gate): dot product of
+    the stored image and caption embeddings below threshold — one scan,
+    in-row arithmetic, zero shuffles."""
+    t = _materialized(
+        spark,
+        Q131_PAIRS_PATH,
+        f"n={_Q131_N};d={_Q131_DIM};k={_Q131_NCLS};swap=11:5;v3",
+        _q131_pairs_builder(spark),
+    )
+    return (
+        t.withColumn("align_score", F.round(F.expr(_Q131_DOT), 6))
+        .where(F.col("align_score") < _Q131_THRESH)
+        .select("image_id", "img_cls", "cap_cls", "align_score")
+        .orderBy("image_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134: INCREMENTAL image near-dup — each crawl round's newly-fetched
+# images (the delta) matched against the standing pHash band index,
+# never re-pairing the standing corpus with itself: the image-side
+# analogue of q120's incremental text LSH, and the operation a daily
+# 100 TB ingest actually runs (the full-corpus q61 pair job is the
+# backfill, not the steady state).
+#
+# The standing/delta split is md5(image_id) first hex digit (< '8' =
+# standing) — deterministic, engine-identical, and uncorrelated with
+# content, so planted near-dup pairs land across the split ~half the
+# time. The bucket-occupancy cap applies to the STANDING index side
+# (that is where crawl-scale skew lives); cost is O(delta × bucket),
+# never corpus².
+# ---------------------------------------------------------------------------
+
+
+def _q134_oracle() -> str:
+    def bands(src: str, alias: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT image_id, phash, {k} AS band_id, {_band_expr(k)} AS bucket FROM {src}"
+            for k in range(_BANDS)
+        )
+
+    return f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{Q61_PHASH_PATH}/*.parquet')),
+base AS (SELECT * FROM p WHERE substr(md5(image_id), 1, 1) < '8'),
+delta AS (SELECT * FROM p WHERE substr(md5(image_id), 1, 1) >= '8'),
+bb AS ({bands("base", "bb")}),
+db AS ({bands("delta", "db")}),
+okb AS (
+  SELECT band_id, bucket FROM bb GROUP BY 1, 2
+  HAVING COUNT(*) <= {_BUCKET_CAP}
+),
+bbo AS (SELECT bb.* FROM bb SEMI JOIN okb USING (band_id, bucket)),
+cand AS (
+  SELECT DISTINCT d.image_id AS delta_id, d.phash AS ph_d,
+                  b.image_id AS base_id, b.phash AS ph_b
+  FROM db d JOIN bbo b USING (band_id, bucket)
+)
+SELECT delta_id, base_id,
+       CAST(bit_count(xor(ph_d, ph_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ph_d, ph_b)) <= {_HAMMING_MAX}
+ORDER BY delta_id, base_id
+"""
+
+
+@register("q134_incremental_image_neardup", oracle=_q134_oracle())
+def q134_incremental_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New (delta) images matched against the standing pHash band
+    index: band equi-join delta × standing with the skew cap on the
+    standing side, exact hamming <= 10 verify — O(delta × bucket)."""
+    p = _materialized(
+        spark,
+        Q61_PHASH_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
+    )
+    half = F.substring(F.md5("image_id"), 1, 1) < "8"
+    stack_args = ", ".join(f"{k}, {_band_expr(k)}" for k in range(_BANDS))
+    bands = p.selectExpr(
+        "image_id", "phash", f"stack({_BANDS}, {stack_args}) AS (band_id, bucket)"
+    )
+    bb = bands.where(half)
+    db = bands.where(~half)
+    ok = (
+        bb.groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= _BUCKET_CAP)
+        .select("band_id", "bucket")
+    )
+    bbo = bb.join(ok, ["band_id", "bucket"]).select(
+        "band_id", "bucket", F.col("image_id").alias("base_id"), F.col("phash").alias("ph_b")
+    )
+    cand = (
+        db.select(
+            "band_id", "bucket", F.col("image_id").alias("delta_id"), F.col("phash").alias("ph_d")
+        )
+        .join(bbo, ["band_id", "bucket"])
+        .select("delta_id", "ph_d", "base_id", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ph_d").bitwiseXOR(F.col("ph_b"))).cast("int")
+        )
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .select("delta_id", "base_id", "hamming")
+        .orderBy("delta_id", "base_id")
+    )
