@@ -331,3 +331,64 @@ def test_q131_plan_has_zero_shuffles(spark, sf_dir):
     )
     ex = re.findall(r"Exchange (\w+)", plan)
     assert all(k == "rangepartitioning" for k in ex), plan
+
+
+def test_q136_planted_sprites_are_flagged_with_one_distinct_tile(spark, sf_dir):
+    """Every idx%7==3 image (top-left quadrant tiled 2x2) collapses to
+    a single distinct quadrant hash and carries the sprite flag."""
+    from voz_spark import synth
+    from voz_spark.imagedup import _Q136_N_IMAGES, q136_sprite_images
+
+    got = {r.image_id: r for r in q136_sprite_images(spark, sf_dir).collect()}
+    for idx in range(_Q136_N_IMAGES):
+        if idx % 7 == 3:
+            iid = synth.image_row(idx)["image_id"]
+            assert iid in got, iid
+            assert got[iid].n_distinct_tiles == 1
+            assert got[iid].is_sprite
+
+
+def test_q137_gps_rows_scrubbed_others_untouched(spark, sf_dir):
+    """idx%5==2 rows lose exactly their three gps_* tags; every other
+    row keeps its full tag list; no output row retains a gps_ tag."""
+    from voz_spark import synth
+    from voz_spark.imagedup import _Q137_N, q137_exif_gps_scrub
+
+    got = {r.image_id: r for r in q137_exif_gps_scrub(spark, sf_dir).collect()}
+    assert len(got) == _Q137_N
+    for idx in range(_Q137_N):
+        r = got[synth.image_id(idx)]
+        if idx % 5 == 2:
+            assert r.had_gps and r.n_removed == 3
+        else:
+            assert not r.had_gps and r.n_removed == 0
+        assert "gps_" not in r.kept_tags
+        assert f"make=cam{idx % 4}" in r.kept_tags
+
+
+def test_q140_diameter_bounds_and_chain_flag_consistency(spark, sf_dir):
+    """Every audited cluster's diameter is at least the pair threshold
+    floor (members connect via <=_HAMMING_MAX edges, so a 2-member
+    cluster's diameter IS its edge weight) and the collapse flag is
+    exactly diameter > threshold; singleton clusters never appear."""
+    from voz_spark.imagedup import (
+        _HAMMING_MAX,
+        q61_phash_neardup,
+        q140_cluster_diameter_audit,
+    )
+
+    rows = q140_cluster_diameter_audit(spark, sf_dir).collect()
+    assert rows, "fixture plants near-dup groups; clusters must exist"
+    pair_h = {
+        (r.id_a, r.id_b): r.hamming for r in q61_phash_neardup(spark, sf_dir).collect()
+    }
+    max_pair = max(pair_h.values())
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.diameter_bits >= 0
+        assert r.chain_collapsed == (r.diameter_bits > _HAMMING_MAX)
+        if r.n_members == 2:
+            # a 2-member cluster is one verified pair: its diameter is
+            # that pair's hamming, so it can never be collapse-flagged
+            assert r.diameter_bits <= max_pair
+            assert not r.chain_collapsed

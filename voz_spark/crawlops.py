@@ -1974,3 +1974,329 @@ def q132_link_farm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host_a", "host_b", "fwd", "rev", "recip_milli")
         .orderBy("host_a", "host_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q135: content-type sniffing — servers lie about MIME types (soft
+# error pages served as image/jpeg, PDFs served as text/html), and a
+# crawler that trusts the header poisons downstream decode stages. The
+# gate sniffs the payload's magic bytes and flags disagreement with
+# the declared Content-Type; the reference trusts the response header
+# outright (src/image_processor.py:60-84). Browsers and production
+# crawlers all run this check (MIME sniffing is standardised for
+# exactly this reason).
+#
+# Fixture: (fetch_id, declared_type, head BINARY) — the first 16
+# payload bytes with a deterministic true format per row; every
+# idx % 13 == 4 row declares image/jpeg over an HTML error page and
+# every idx % 17 == 9 declares text/html over PDF bytes.
+#
+# Scale shape: ZERO shuffles — hex-prefix classification is one in-row
+# CASE over the scan (the q68/q131 plan class); the 16-byte head means
+# the scan never reads payload bodies.
+# ---------------------------------------------------------------------------
+
+Q135_FETCH_PATH = "/tmp/voz_spark_q135_fetch"
+
+_Q135_N = 340
+
+# (hex prefix of the payload head, sniffed MIME type)
+_Q135_MAGIC = [
+    ("FFD8FF", "image/jpeg"),
+    ("89504E47", "image/png"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("3C21444F", "text/html"),  # "<!DO"
+    ("3C68746D", "text/html"),  # "<htm"
+    ("56515A31", "image/vqz"),  # the engine's own codec magic
+]
+
+_Q135_TRUE = [
+    ("image/jpeg", b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x02\x03\x04\x05"),
+    ("image/png", b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR"),
+    ("image/gif", b"GIF89a\x10\x00\x10\x00\x80\x00\x00\x00\x00\x00"),
+    ("application/pdf", b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"),
+    ("text/html", b"<!DOCTYPE html><h"),
+    ("image/vqz", b"VQZ1\x00\x00\x00\x10\x00\x00\x00\x10"),
+]
+
+
+def _q135_sniff_sql(col: str) -> str:
+    """Shared CASE expression (ANSI SQL, valid in both engines): hex
+    prefix of the head -> sniffed MIME type."""
+    arms = " ".join(
+        f"WHEN hex({col}) LIKE '{p}%' THEN '{m}'" for p, m in _Q135_MAGIC
+    )
+    return f"CASE {arms} ELSE 'application/octet-stream' END"
+
+
+_Q135_ORACLE = f"""
+WITH s AS (
+  SELECT fetch_id, declared_type,
+         {_q135_sniff_sql("head")} AS sniffed_type
+  FROM read_parquet('{Q135_FETCH_PATH}/*.parquet')
+)
+SELECT fetch_id, declared_type, sniffed_type
+FROM s WHERE declared_type <> sniffed_type
+ORDER BY fetch_id
+"""
+
+
+def _q135_fetch_builder(spark: SparkSession):
+    """(fetch_id, declared_type, head) rows with planted MIME lies."""
+
+    def build():
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    true_type, head = _Q135_TRUE[idx % len(_Q135_TRUE)]
+                    declared = true_type
+                    if idx % 13 == 4:
+                        declared = "image/jpeg"
+                        head = _Q135_TRUE[4][1]  # HTML error page bytes
+                    elif idx % 17 == 9:
+                        declared = "text/html"
+                        head = _Q135_TRUE[3][1]  # PDF bytes
+                    rows.append(
+                        {
+                            "fetch_id": f"f{idx:07d}",
+                            "declared_type": declared,
+                            "head": head[:16],
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q135_N)
+            .repartition(8)
+            .mapInPandas(
+                gen, "fetch_id string, declared_type string, head binary"
+            )
+        )
+
+    return build
+
+
+@register("q135_content_type_mismatch", oracle=_Q135_ORACLE)
+def q135_content_type_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetches whose payload magic bytes contradict the declared
+    Content-Type: in-row hex-prefix sniff, zero shuffles."""
+    from voz_spark.imagedup import _materialized
+
+    t = _materialized(
+        spark,
+        Q135_FETCH_PATH,
+        f"n={_Q135_N};lies=13:4,17:9;v1",
+        _q135_fetch_builder(spark),
+    )
+    return (
+        t.withColumn("sniffed_type", F.expr(_q135_sniff_sql("head")))
+        .where(F.col("declared_type") != F.col("sniffed_type"))
+        .select("fetch_id", "declared_type", "sniffed_type")
+        .orderBy("fetch_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138: locale-duplicate clustering — multilingual sites serve the
+# same page under /en/, /vi/, /fr/ URL variants, and untranslated
+# locales are byte-identical: crawling all of them triples the corpus
+# with exact duplicates that URL canonicalization (q117) cannot see
+# (the URLs genuinely differ). Group by content fingerprint, keep one
+# canonical URL per cluster (preferring the 'en' mirror, then the
+# lexicographically smallest URL), and report the locale spread —
+# the hreflang-consolidation step of a production crawl.
+#
+# Fixture: derived arithmetically from `documents` (page_no = doc
+# index div 3, locale = index mod 3; every page_no % 10 == 7 'fr'
+# variant is genuinely translated, i.e. its fingerprint differs) —
+# same integer rule in both engines, so no materialization is needed.
+#
+# Scale shape: ONE shuffle on the content fingerprint. The canonical
+# pick is a rank-prefixed MIN — a partial-combinable scalar aggregate,
+# never a window — and locale spread is a bounded collect_set (|L|=3).
+# ---------------------------------------------------------------------------
+
+_Q138_LOCALES = ["en", "vi", "fr"]
+
+_Q138_ORACLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i FROM documents
+),
+v AS (
+  SELECT i // 3 AS page_no,
+         CASE i % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'vi' ELSE 'fr' END AS locale,
+         md5(CAST(CASE WHEN i % 3 = 2 AND (i // 3) % 10 = 7
+                       THEN 1000000 + i // 3 ELSE i // 3 END AS VARCHAR)) AS fp
+  FROM d
+),
+u AS (
+  SELECT page_no, locale, fp,
+         'https://site.example/' || locale || '/p/' || CAST(page_no AS VARCHAR) AS url,
+         CASE WHEN locale = 'en' THEN '0' ELSE '1' END || url AS ck
+  FROM v
+)
+SELECT fp,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       array_to_string(list_sort(list(DISTINCT locale)), ',') AS locales,
+       substr(MIN(ck), 2) AS canonical_url
+FROM u
+GROUP BY fp
+HAVING COUNT(*) > 1
+ORDER BY fp
+"""
+
+
+@register("q138_locale_dup_clusters", oracle=_Q138_ORACLE)
+def q138_locale_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-mirror URL clusters sharing one content fingerprint:
+    one fingerprint shuffle; canonical URL via rank-prefixed MIN (no
+    window), 'en' preferred."""
+    from voz_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    page = F.expr("i div 3")
+    v = d.select(
+        page.alias("page_no"),
+        F.element_at(
+            F.array(*[F.lit(loc) for loc in _Q138_LOCALES]),
+            (F.col("i") % 3 + 1).cast("int"),
+        ).alias("locale"),
+        F.md5(
+            F.when(
+                (F.col("i") % 3 == 2) & (page % 10 == 7),
+                F.lit(1_000_000) + page,
+            )
+            .otherwise(page)
+            .cast("string")
+        ).alias("fp"),
+    )
+    u = v.select(
+        "fp",
+        "locale",
+        F.concat(
+            F.lit("https://site.example/"),
+            F.col("locale"),
+            F.lit("/p/"),
+            F.col("page_no").cast("string"),
+        ).alias("url"),
+    ).withColumn(
+        "ck",
+        F.concat(
+            F.when(F.col("locale") == "en", F.lit("0")).otherwise(F.lit("1")),
+            F.col("url"),
+        ),
+    )
+    return (
+        u.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.array_join(F.sort_array(F.collect_set("locale")), ",").alias(
+                "locales"
+            ),
+            F.expr("substring(min(ck), 2, 2147483647)").alias("canonical_url"),
+        )
+        .where(F.col("n_urls") > 1)
+        .select("fp", "n_urls", "locales", "canonical_url")
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139: discovery-credit crawl ROI — which hosts are WORTH the fetch
+# budget? Re-served content earns nothing: each distinct content
+# fingerprint credits only the host that served it FIRST (smallest
+# fetch id), and a host's ROI is credited-discoveries per fetch. This
+# is the feedback signal q102's budget apportionment wants as its
+# weight at steady state (fetch counts alone reward mirrors and
+# boilerplate farms). The reference crawls a single forum and never
+# asks the question.
+#
+# The fetch log derives arithmetically from `events` (host = user_id
+# mod 23, fingerprint = md5(event_id mod 400) — 400 distinct contents
+# guarantee heavy re-serving); same integer rules in both engines, no
+# materialization needed.
+#
+# Scale shape: first-serve attribution is a MIN over a sortable
+# zero-padded (fetch_id|host) string key per fingerprint — a scalar
+# partial-combinable aggregate, no window, no self-join; then one
+# bounded host-level rollup. Ties cannot occur (fetch ids are
+# distinct per row via ROW_NUMBER-free arithmetic: the key embeds the
+# host, so even equal fetch ids order deterministically).
+# ---------------------------------------------------------------------------
+
+_Q139_H = 23  # host-space modulus
+_Q139_C = 400  # distinct-content modulus
+
+_Q139_ORACLE = f"""
+WITH f AS (
+  SELECT user_id % {_Q139_H} AS host,
+         md5(CAST(event_id % {_Q139_C} AS VARCHAR)) AS fp,
+         lpad(CAST(event_id AS VARCHAR), 20, '0') || '|' ||
+           CAST(user_id % {_Q139_H} AS VARCHAR) AS ck
+  FROM events
+),
+first_serve AS (
+  SELECT fp, CAST(split_part(MIN(ck), '|', 2) AS BIGINT) AS host
+  FROM f GROUP BY fp
+),
+credits AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_discoveries
+  FROM first_serve GROUP BY host
+),
+tot AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches FROM f GROUP BY host
+)
+SELECT t.host, t.n_fetches,
+       COALESCE(c.n_discoveries, 0) AS n_discoveries,
+       (1000 * COALESCE(c.n_discoveries, 0)) // t.n_fetches AS roi_milli
+FROM tot t LEFT JOIN credits c ON t.host = c.host
+ORDER BY t.host
+"""
+
+
+@register("q139_crawl_roi", oracle=_Q139_ORACLE)
+def q139_crawl_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl ROI under first-serve discovery credit: MIN over
+    a zero-padded sortable key per fingerprint (no window), then a
+    bounded host rollup; integer milli-ROI."""
+    from voz_spark.session import load_table
+
+    f = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _Q139_H).alias("host"),
+        F.md5((F.col("event_id") % _Q139_C).cast("string")).alias("fp"),
+        F.concat(
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+            F.lit("|"),
+            (F.col("user_id") % _Q139_H).cast("string"),
+        ).alias("ck"),
+    )
+    first_serve = f.groupBy("fp").agg(
+        F.substring_index(F.min("ck"), "|", -1).cast("long").alias("host")
+    )
+    credits = first_serve.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_discoveries")
+    )
+    tot = f.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches")
+    )
+    return (
+        tot.join(credits, "host", "left")
+        .select(
+            "host",
+            "n_fetches",
+            F.coalesce("n_discoveries", F.lit(0)).cast("long").alias(
+                "n_discoveries"
+            ),
+            F.expr("(1000 * coalesce(n_discoveries, 0)) div n_fetches").alias(
+                "roi_milli"
+            ),
+        )
+        .orderBy("host")
+    )

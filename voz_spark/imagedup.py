@@ -1446,3 +1446,310 @@ def q134_incremental_image_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         .select("delta_id", "base_id", "hamming")
         .orderBy("delta_id", "base_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q136: sprite / self-tiled image detection — texture swatches, sprite
+# sheets, and tiled backgrounds are near-zero-information training
+# images that whole-image dedup never catches (each sprite sheet is
+# globally unique). Their signature is INTRA-image repetition: the
+# quadrant pHashes of a self-tiled image collapse to one value. The
+# reference validates images only by decode success + min dimensions
+# (src/image_processor.py:86-104); a curation pipeline also needs the
+# "is this picture mostly the same picture four times" gate.
+#
+# Fixture: the q129 quadrant-tile shape over a fresh image set, with
+# every idx % 7 == 3 image rebuilt by tiling its top-left quadrant
+# 2x2 (all four tile hashes equal) and every idx % 13 == 6 image
+# mirrored left-to-right (right quadrants become flips of the left —
+# generally distinct hashes, a graded non-sprite control).
+#
+# Scale shape: one partial-combinable aggregate on image_id (two-phase
+# countDistinct); no joins, no windows. At 10^10 images this is the
+# cheapest per-image statistic the tile table supports.
+# ---------------------------------------------------------------------------
+
+Q136_TILES_PATH = "/tmp/voz_spark_q136_tiles"
+
+_Q136_N_IMAGES = 280
+
+_Q136_ORACLE = f"""
+SELECT image_id,
+       CAST(COUNT(DISTINCT tile_hash) AS BIGINT) AS n_distinct_tiles,
+       (COUNT(DISTINCT tile_hash) = 1) AS is_sprite
+FROM read_parquet('{Q136_TILES_PATH}/*.parquet')
+GROUP BY image_id
+HAVING COUNT(DISTINCT tile_hash) < 4
+ORDER BY image_id
+"""
+
+
+def _q136_tiles_builder(spark: SparkSession):
+    """Quadrant-pHash tile rows with planted self-tiled sprites."""
+
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+        from voz_spark.phash import phash64
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    px = synth.image_pixels(idx)
+                    if idx % 7 == 3:
+                        # sprite: the top-left quadrant tiled 2x2
+                        q = px[: px.shape[0] // 2, : px.shape[1] // 2]
+                        px = np.tile(q, (2, 2) + (1,) * (px.ndim - 2))
+                    elif idx % 13 == 6:
+                        px = px[:, ::-1]
+                    h, w = px.shape[0], px.shape[1]
+                    iid = synth.image_row(idx)["image_id"]
+                    for ti, (ys, xs) in enumerate(
+                        [
+                            (slice(0, h // 2), slice(0, w // 2)),
+                            (slice(0, h // 2), slice(w // 2, w)),
+                            (slice(h // 2, h), slice(0, w // 2)),
+                            (slice(h // 2, h), slice(w // 2, w)),
+                        ]
+                    ):
+                        rows.append(
+                            {
+                                "image_id": iid,
+                                "tile_idx": ti,
+                                "tile_hash": phash64(px[ys, xs]),
+                            }
+                        )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q136_N_IMAGES)
+            .repartition(8)
+            .mapInPandas(gen, "image_id string, tile_idx int, tile_hash long")
+        )
+
+    return build
+
+
+@register("q136_sprite_images", oracle=_Q136_ORACLE)
+def q136_sprite_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images whose quadrant pHashes repeat (self-tiled sprites and
+    textures): one two-phase distinct aggregate per image, flagged
+    sprite when all four quadrants hash identically."""
+    t = _materialized(
+        spark,
+        Q136_TILES_PATH,
+        f"n={_Q136_N_IMAGES};sprite=7:3;mirror=13:6;v1",
+        _q136_tiles_builder(spark),
+    )
+    return (
+        t.groupBy("image_id")
+        .agg(F.countDistinct("tile_hash").cast("long").alias("n_distinct_tiles"))
+        .where(F.col("n_distinct_tiles") < 4)
+        .select(
+            "image_id",
+            "n_distinct_tiles",
+            (F.col("n_distinct_tiles") == 1).alias("is_sprite"),
+        )
+        .orderBy("image_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137: EXIF GPS scrubbing — camera uploads carry GPS coordinates in
+# EXIF, which is location PII: every responsible image corpus strips
+# it before the bytes ship (the text analogue is q114's span
+# redaction). The reference stores raw downloaded bytes untouched
+# (src/image_processor.py:120-150) — metadata hygiene is absent.
+#
+# Fixture: a deterministic parsed-tag table (image_id, tags as
+# 'key=value' strings — make/model/datetime always, gps_lat/gps_lon/
+# gps_alt planted on every idx % 5 == 2 image, orientation on idx%3).
+# Parsing EXIF out of real bytes is a container codec question (the
+# image libs are absent here — the same documented gate as q33); the
+# OPERATOR is the scrub itself, which is where the dataflow lives.
+#
+# Scale shape: ZERO shuffles — an in-row list filter + sort + join per
+# image (the q131 plan class). The scrub never groups, joins, or
+# windows; throughput is linear in cores at any corpus size.
+# ---------------------------------------------------------------------------
+
+Q137_EXIF_PATH = "/tmp/voz_spark_q137_exif"
+
+_Q137_N = 310
+
+_Q137_ORACLE = f"""
+SELECT image_id,
+       len(tags) >= 1 AND len(list_filter(tags, t -> starts_with(t, 'gps_'))) > 0 AS had_gps,
+       CAST(len(tags) - len(list_filter(tags, t -> NOT starts_with(t, 'gps_'))) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(list_sort(list_filter(tags, t -> NOT starts_with(t, 'gps_'))), '|'), '') AS kept_tags
+FROM read_parquet('{Q137_EXIF_PATH}/*.parquet')
+ORDER BY image_id
+"""
+
+
+def _q137_exif_builder(spark: SparkSession):
+    """(image_id, tags array<string>) rows with planted GPS tags."""
+
+    def build():
+        from voz_spark import synth
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    tags = [
+                        f"make=cam{idx % 4}",
+                        f"model=m{idx % 9}",
+                        f"datetime=2024-0{1 + idx % 9}-15",
+                    ]
+                    if idx % 3 == 0:
+                        tags.append(f"orientation={1 + idx % 8}")
+                    if idx % 5 == 2:
+                        tags.append(f"gps_lat={10_000 + idx * 13}")
+                        tags.append(f"gps_lon={106_000 + idx * 7}")
+                        tags.append(f"gps_alt={idx % 120}")
+                    rows.append(
+                        {"image_id": synth.image_id(idx), "tags": tags}
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q137_N)
+            .repartition(8)
+            .mapInPandas(gen, "image_id string, tags array<string>")
+        )
+
+    return build
+
+
+@register("q137_exif_gps_scrub", oracle=_Q137_ORACLE)
+def q137_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip GPS tags from per-image EXIF metadata and report what was
+    removed: in-row list filter, zero shuffles."""
+    t = _materialized(
+        spark,
+        Q137_EXIF_PATH,
+        f"n={_Q137_N};gps=5:2;v1",
+        _q137_exif_builder(spark),
+    )
+    kept = F.filter("tags", lambda x: ~x.startswith("gps_"))
+    return t.select(
+        "image_id",
+        (F.size(F.filter("tags", lambda x: x.startswith("gps_"))) > 0).alias(
+            "had_gps"
+        ),
+        (F.size("tags") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.sort_array(kept), "|").alias("kept_tags"),
+    ).orderBy("image_id")
+
+
+# ---------------------------------------------------------------------------
+# q140: dedup-cluster diameter audit — transitive (connected-component)
+# dedup over-merges by CHAINING: A~B (hamming 9) and B~C (hamming 9)
+# put A and C in one cluster even when A and C differ by 18 bits, so
+# the q65/q104 survivor silently replaces images it is NOT a near-dup
+# of. The audit recomputes each cluster's pairwise pHash diameter and
+# flags clusters whose diameter exceeds the pair threshold — the rows
+# a pipeline routes to a stricter second-pass (e.g. star clustering
+# around the survivor). Production dedup reviews (and the SemDeDup /
+# image-dedup literature) treat chain collapse as the main CC failure
+# mode; without this audit it is invisible.
+#
+# Scale shape: clusters are bounded BY CONSTRUCTION of the pair rule
+# (the per-(band,bucket) cap means components stay small), and the
+# audit additionally enforces an explicit member cap mirrored in the
+# oracle — the within-cluster pair expansion is O(cap²) per cluster,
+# never corpus². Aggregates (count, max) are partial-combinable.
+# ---------------------------------------------------------------------------
+
+_Q140_CLUSTER_CAP = 50
+
+_Q140_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT image_id, phash FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+m AS (
+  SELECT c.cluster, c.node, p.phash FROM comp c JOIN p ON p.image_id = c.node
+),
+sz AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM m GROUP BY cluster
+  HAVING COUNT(*) <= {_Q140_CLUSTER_CAP}
+),
+d AS (
+  SELECT a.cluster,
+         CAST(MAX(bit_count(xor(a.phash, b.phash))) AS INT) AS diameter_bits
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.node < b.node
+  GROUP BY a.cluster
+)
+SELECT sz.cluster, sz.n_members, d.diameter_bits,
+       d.diameter_bits > {_HAMMING_MAX} AS chain_collapsed
+FROM sz JOIN d ON sz.cluster = d.cluster
+ORDER BY sz.cluster
+"""
+
+
+@register("q140_cluster_diameter_audit", oracle=_Q140_ORACLE)
+def q140_cluster_diameter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise pHash diameter of every dedup cluster, flagging chain
+    collapse (diameter beyond the pair threshold): member-capped
+    within-cluster expansion, partial-combinable count/max aggregates."""
+    from voz_spark.graph import connected_components
+
+    p = _materialized(
+        spark,
+        Q65_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,w,h",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "w", "h"),
+    )
+    pairs = _neardup_pairs(p)
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).withColumnRenamed("component", "cluster")
+    m = cc.join(p, cc["node"] == p["image_id"]).select(
+        "cluster", "node", "phash"
+    )
+    sz = (
+        m.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .where(F.col("n_members") <= _Q140_CLUSTER_CAP)
+    )
+    a = m.select("cluster", F.col("node").alias("na"), F.col("phash").alias("pa"))
+    b = m.select("cluster", F.col("node").alias("nb"), F.col("phash").alias("pb"))
+    d = (
+        a.join(b, "cluster")
+        .where(F.col("na") < F.col("nb"))
+        .groupBy("cluster")
+        .agg(
+            F.max(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+            .cast("int")
+            .alias("diameter_bits")
+        )
+    )
+    return (
+        sz.join(d, "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "diameter_bits",
+            (F.col("diameter_bits") > _HAMMING_MAX).alias("chain_collapsed"),
+        )
+        .orderBy("cluster")
+    )
