@@ -39,6 +39,9 @@ EXTRA = [
     "q80_semantic_dedup",
     "q81_dup_span_fraction",
     "q84_bigram_fluency",
+    # round-3 additions: PQ-compressed ANN search, video clip dedup
+    "q130_pq_adc_search",
+    "q141_video_clip_containment",
 ]
 
 

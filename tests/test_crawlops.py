@@ -538,3 +538,31 @@ def test_q139_roi_matches_bruteforce_first_serve(spark, sf_dir):
         assert r.n_discoveries == credits.get(h, 0)
         assert r.roi_milli == 1000 * credits.get(h, 0) // fetches[h]
     assert sum(r.n_discoveries for r in got.values()) == len(first)
+
+
+def test_q142_violations_match_bruteforce_gap_scan(spark, sf_dir):
+    """Distributed per-host gap audit equals a plain-Python sort+scan
+    of the same fetch log with the same integer-microsecond rule."""
+    from voz_spark.session import load_table
+    from voz_spark.crawlops import _Q142_DELAYS, _Q142_H, q142_politeness_audit
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
+    by_host: dict = {}
+    for r in ev:
+        by_host.setdefault(r.user_id % _Q142_H, []).append((r.ts, r.event_id))
+    got = {r.host: r for r in q142_politeness_audit(spark, sf_dir).collect()}
+    assert set(got) == set(by_host)
+    for h, rows in by_host.items():
+        rows.sort()
+        gaps = [
+            ((b[0] - a[0]).days * 86_400 + (b[0] - a[0]).seconds) * 1_000_000
+            + (b[0] - a[0]).microseconds
+            for a, b in zip(rows, rows[1:])
+        ]
+        need_us = (h % _Q142_DELAYS + 1) * 1_000_000
+        r = got[h]
+        assert r.n_fetches == len(rows)
+        assert r.n_gaps == len(gaps)
+        assert r.n_violations == sum(1 for g in gaps if g < need_us)
+        assert r.min_gap_us == (min(gaps) if gaps else -1)
+        assert r.required_delay_s == h % _Q142_DELAYS + 1

@@ -392,3 +392,44 @@ def test_q140_diameter_bounds_and_chain_flag_consistency(spark, sf_dir):
             # that pair's hamming, so it can never be collapse-flagged
             assert r.diameter_bits <= max_pair
             assert not r.chain_collapsed
+
+
+def test_q141_clips_found_compilation_rejected(spark, sf_dir):
+    """Every planted clip maps to its source with containment >= 900
+    milli; the compilation (5 scenes from each of three sources) never
+    reaches the threshold; sources never pair with each other."""
+    from voz_spark.imagedup import _Q141_CLIPS, q141_video_clip_containment
+
+    rows = {(r.clip_id, r.source_id): r
+            for r in q141_video_clip_containment(spark, sf_dir).collect()}
+    for c in range(_Q141_CLIPS):
+        key = (f"clip{c:02d}", f"src{c % 10:02d}")
+        assert key in rows, key
+        r = rows[key]
+        assert r.n_shared == 10 + c
+        assert r.n_clip_scenes == 11 + c
+        assert r.containment_milli == 1000 * (10 + c) // (11 + c) >= 900
+    assert not any("comp" in a or "comp" in b for a, b in rows)
+    assert not any(a.startswith("src") and b.startswith("src") for a, b in rows)
+
+
+def test_q143_totals_reconcile_with_fixture(spark, sf_dir):
+    """Per-format byte totals and candidate counts equal a pandas
+    recount of the same fixture rows."""
+    from voz_spark.imagedup import (
+        _Q143_CAND_MILLI,
+        Q143_SIZES_PATH,
+        q143_storage_audit,
+    )
+
+    got = {r.fmt: r for r in q143_storage_audit(spark, sf_dir).collect()}
+    pdf = spark.read.parquet(Q143_SIZES_PATH).toPandas()
+    assert set(got) == set(pdf["fmt"].unique())
+    for fmt, grp in pdf.groupby("fmt"):
+        r = got[fmt]
+        raw = 3 * grp["w"].astype("int64") * grp["h"].astype("int64")
+        ratio = 1000 * grp["nbytes"].astype("int64") // raw
+        assert r.n_images == len(grp)
+        assert r.total_bytes == int(grp["nbytes"].sum())
+        assert r.fleet_ratio_milli == 1000 * int(grp["nbytes"].sum()) // int(raw.sum())
+        assert r.n_transcode_candidates == int((ratio >= _Q143_CAND_MILLI).sum())

@@ -2300,3 +2300,96 @@ def q139_crawl_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q142: politeness compliance audit — the frontier PLANS politeness
+# (per-host budgets, synth.py pacing model); this audits what actually
+# HAPPENED: per host, the observed gaps between consecutive fetches
+# against the host's required crawl-delay, counting violations. The
+# closed-loop check every crawl operation runs after an incident
+# ("did we hammer anyone last night?"); the reference sleeps between
+# requests but never verifies (src/crawler.py's time.sleep calls).
+#
+# Fetch log derives from `events` (host = user_id mod 11, fetch time =
+# ts); required delay is host mod 5 + 1 seconds — same integer rules
+# in both engines. Gaps are computed in exact integer MICROSECONDS
+# (timestampdiff / date_diff both return exact integers at that
+# granularity, no truncation ambiguity), so the violation rule is
+# engine-exact arithmetic.
+#
+# Scale shape: the lag window partitions on the host — a key whose
+# row count politeness itself bounds (a compliant host log grows at
+# most 1/delay rows per second), so no window partition explodes; in
+# production the audit shards further by (host, day) with per-shard
+# boundary rows. Aggregates are partial-combinable.
+# ---------------------------------------------------------------------------
+
+_Q142_H = 11  # host-space modulus
+_Q142_DELAYS = 5  # required delay = host % 5 + 1 seconds
+
+_Q142_ORACLE = f"""
+WITH f AS (
+  SELECT user_id % {_Q142_H} AS host, ts, event_id FROM events
+),
+g AS (
+  SELECT host, ts, event_id,
+         date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+  FROM f
+  WINDOW w AS (PARTITION BY host ORDER BY ts, event_id)
+)
+SELECT host,
+       host % {_Q142_DELAYS} + 1 AS required_delay_s,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(SUM(CASE WHEN gap_us < (host % {_Q142_DELAYS} + 1) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COALESCE(MIN(gap_us), -1) AS BIGINT) AS min_gap_us
+FROM g
+GROUP BY host
+ORDER BY host
+"""
+
+
+@register("q142_politeness_audit", oracle=_Q142_ORACLE)
+def q142_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed inter-fetch gaps per host vs the required crawl-delay:
+    exact integer-microsecond gaps from a host-keyed lag window,
+    partial-combinable violation counts."""
+    from pyspark.sql import Window
+
+    from voz_spark.session import load_table
+
+    f = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _Q142_H).alias("host"), "ts", "event_id"
+    )
+    w = Window.partitionBy("host").orderBy("ts", "event_id")
+    g = f.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    )
+    delay_s = F.col("host") % _Q142_DELAYS + 1
+    return (
+        g.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.sum(
+                F.when(
+                    F.col("gap_us")
+                    < (F.col("host") % _Q142_DELAYS + 1) * 1_000_000,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+            F.coalesce(F.min("gap_us"), F.lit(-1)).cast("long").alias("min_gap_us"),
+        )
+        .select(
+            "host",
+            delay_s.alias("required_delay_s"),
+            "n_fetches",
+            "n_gaps",
+            "n_violations",
+            "min_gap_us",
+        )
+        .orderBy("host")
+    )

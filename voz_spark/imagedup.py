@@ -1753,3 +1753,286 @@ def q140_cluster_diameter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# q141: video clip-containment dedup — re-uploads of a SLICE of a
+# longer video (clips, compilations, reaction cut-ins) are the video
+# corpus's dominant duplication mode, and symmetric Jaccard (the q97
+# mirror rule) misses them: a 12-scene clip of a 40-scene source
+# shares only 12/40 of the union but 100% of ITSELF. The rule is
+# CONTAINMENT — shared scenes over the SMALLER video's scene count —
+# exactly how production video dedup (and copy-detection literature)
+# scores clip relationships.
+#
+# Fixture: (video_id, scene_no, scene_sig) rows — 10 sources × 40
+# scenes with deterministic signatures; 8 planted clips each carry a
+# contiguous slice of one source plus one unique outro scene
+# (containment ≥ 10/11), and one "compilation" carries 5 scenes from
+# each of three sources (containment 5/16 per source — a graded
+# negative the threshold must reject).
+#
+# Scale shape: the q97/q26 discipline — a df cap drops degenerate
+# signatures (intros/logos shared by everything) BEFORE the pair
+# join; the equi-join is on the signature, pairs aggregate with
+# map-side combine, and set sizes join back from a per-video count.
+# Never a video×video cross join.
+# ---------------------------------------------------------------------------
+
+Q141_SCENES_PATH = "/tmp/voz_spark_q141_scenes"
+
+_Q141_SOURCES = 10
+_Q141_SRC_SCENES = 40
+_Q141_CLIPS = 8
+_Q141_SIG_DF_CAP = 20
+_Q141_CONTAIN_MILLI = 900
+
+_Q141_ORACLE = f"""
+WITH s AS (
+  SELECT video_id, scene_sig
+  FROM read_parquet('{Q141_SCENES_PATH}/*.parquet')
+),
+sizes AS (
+  SELECT video_id, CAST(COUNT(*) AS BIGINT) AS n_scenes
+  FROM s GROUP BY video_id
+),
+okd AS (
+  SELECT scene_sig FROM s GROUP BY scene_sig
+  HAVING COUNT(*) <= {_Q141_SIG_DF_CAP}
+),
+k AS (SELECT s.* FROM s SEMI JOIN okd USING (scene_sig)),
+shared AS (
+  SELECT a.video_id AS id_a, b.video_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM k a JOIN k b ON a.scene_sig = b.scene_sig
+   AND a.video_id < b.video_id
+  GROUP BY 1, 2
+)
+SELECT CASE WHEN sa.n_scenes <= sb.n_scenes THEN id_a ELSE id_b END AS clip_id,
+       CASE WHEN sa.n_scenes <= sb.n_scenes THEN id_b ELSE id_a END AS source_id,
+       n_shared,
+       LEAST(sa.n_scenes, sb.n_scenes) AS n_clip_scenes,
+       (1000 * n_shared) // LEAST(sa.n_scenes, sb.n_scenes) AS containment_milli
+FROM shared
+JOIN sizes sa ON sa.video_id = id_a
+JOIN sizes sb ON sb.video_id = id_b
+WHERE (1000 * n_shared) // LEAST(sa.n_scenes, sb.n_scenes) >= {_Q141_CONTAIN_MILLI}
+ORDER BY clip_id, source_id
+"""
+
+
+def _q141_scenes_builder(spark: SparkSession):
+    """Scene-signature rows for sources, clips, and one compilation."""
+
+    def build():
+        from voz_spark import synth
+
+        def sig(src: int, scene: int) -> int:
+            v = synth.splitmix64(src * 1009 + scene * 17 + 3)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    if idx < _Q141_SOURCES:
+                        for sc in range(_Q141_SRC_SCENES):
+                            rows.append(
+                                {
+                                    "video_id": f"src{idx:02d}",
+                                    "scene_no": sc,
+                                    "scene_sig": sig(idx, sc),
+                                }
+                            )
+                    elif idx < _Q141_SOURCES + _Q141_CLIPS:
+                        c = idx - _Q141_SOURCES
+                        src = c % _Q141_SOURCES
+                        for j, sc in enumerate(range(5, 5 + 10 + c)):
+                            rows.append(
+                                {
+                                    "video_id": f"clip{c:02d}",
+                                    "scene_no": j,
+                                    "scene_sig": sig(src, sc),
+                                }
+                            )
+                        rows.append(
+                            {
+                                "video_id": f"clip{c:02d}",
+                                "scene_no": 10 + c,
+                                "scene_sig": sig(900 + c, 0),
+                            }
+                        )
+                    else:
+                        # compilation: 5 scenes from each of sources 0,1,2
+                        j = 0
+                        for src in range(3):
+                            for sc in range(20, 25):
+                                rows.append(
+                                    {
+                                        "video_id": "comp00",
+                                        "scene_no": j,
+                                        "scene_sig": sig(src, sc),
+                                    }
+                                )
+                                j += 1
+                        rows.append(
+                            {
+                                "video_id": "comp00",
+                                "scene_no": j,
+                                "scene_sig": sig(950, 0),
+                            }
+                        )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q141_SOURCES + _Q141_CLIPS + 1)
+            .repartition(8)
+            .mapInPandas(
+                gen, "video_id string, scene_no int, scene_sig long"
+            )
+        )
+
+    return build
+
+
+@register("q141_video_clip_containment", oracle=_Q141_ORACLE)
+def q141_video_clip_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-of relationships between videos: shared scene signatures
+    over the smaller video's scene count (containment, not Jaccard),
+    df-capped signature join, integer milli threshold."""
+    t = _materialized(
+        spark,
+        Q141_SCENES_PATH,
+        f"src={_Q141_SOURCES}x{_Q141_SRC_SCENES};clips={_Q141_CLIPS};v1",
+        _q141_scenes_builder(spark),
+    )
+    s = t.select("video_id", "scene_sig")
+    sizes = s.groupBy("video_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scenes")
+    )
+    okd = (
+        s.groupBy("scene_sig")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") <= _Q141_SIG_DF_CAP)
+        .select("scene_sig")
+    )
+    k = s.join(okd, "scene_sig")
+    a = k.select(F.col("video_id").alias("id_a"), "scene_sig")
+    b = k.select(F.col("video_id").alias("id_b"), "scene_sig")
+    shared = (
+        a.join(b, "scene_sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("video_id").alias("id_a"), F.col("n_scenes").alias("na")
+    )
+    sb = sizes.select(
+        F.col("video_id").alias("id_b"), F.col("n_scenes").alias("nb")
+    )
+    j = shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    small = F.least("na", "nb")
+    contain = F.expr("(1000 * n_shared) div least(na, nb)")
+    return (
+        j.withColumn("containment_milli", contain)
+        .where(F.col("containment_milli") >= _Q141_CONTAIN_MILLI)
+        .select(
+            F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("clip_id"),
+            F.when(F.col("na") <= F.col("nb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("source_id"),
+            "n_shared",
+            small.alias("n_clip_scenes"),
+            "containment_milli",
+        )
+        .orderBy("clip_id", "source_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143: storage audit by compression efficiency — at 10^10 images the
+# bytes column IS the bill, and the lever is re-encoding images whose
+# stored size is out of line with their pixel count (losslessly-stored
+# photographs compress 10-20x under a perceptual codec). The audit
+# rolls up bytes and the integer milli compression ratio
+# (stored_bytes per raw RGB byte) per format, counting transcode
+# candidates (ratio above a threshold) — the planning query a storage
+# team runs before a re-encode campaign.
+#
+# Scale shape: one in-row ratio projection + one bounded-key (|fmts|)
+# aggregate; sums are BIGINT and partial-combinable. The fixture
+# stores the byte SIZE, not the bytes — the audit never reads or
+# decodes a payload.
+# ---------------------------------------------------------------------------
+
+Q143_SIZES_PATH = "/tmp/voz_spark_q143_sizes"
+
+_Q143_CAND_MILLI = 500  # stored >= half of raw RGB -> transcode candidate
+
+_Q143_ORACLE = f"""
+WITH m AS (
+  SELECT fmt,
+         CAST(nbytes AS BIGINT) AS nbytes,
+         3 * CAST(w AS BIGINT) * CAST(h AS BIGINT) AS raw_bytes,
+         (1000 * CAST(nbytes AS BIGINT)) // (3 * CAST(w AS BIGINT) * CAST(h AS BIGINT)) AS ratio_milli
+  FROM read_parquet('{Q143_SIZES_PATH}/*.parquet')
+)
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+       CAST((1000 * SUM(nbytes)) // SUM(raw_bytes) AS BIGINT) AS fleet_ratio_milli,
+       CAST(SUM(CASE WHEN ratio_milli >= {_Q143_CAND_MILLI} THEN 1 ELSE 0 END) AS BIGINT) AS n_transcode_candidates
+FROM m
+GROUP BY fmt
+ORDER BY fmt
+"""
+
+
+@register("q143_storage_audit", oracle=_Q143_ORACLE)
+def q143_storage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format storage rollup with integer milli compression ratios
+    and transcode-candidate counts: in-row ratios, one bounded-key
+    aggregate, no payload reads."""
+    t = _materialized(
+        spark,
+        Q143_SIZES_PATH,
+        f"n={_N_IMAGES};cols=id,fmt,w,h,nbytes;v1",
+        lambda: images_df(spark, _N_IMAGES).select(
+            "image_id",
+            "fmt",
+            "w",
+            "h",
+            F.length("bytes").cast("long").alias("nbytes"),
+        ),
+    )
+    m = t.select(
+        "fmt",
+        F.col("nbytes").cast("long").alias("nbytes"),
+        (3 * F.col("w").cast("long") * F.col("h").cast("long")).alias(
+            "raw_bytes"
+        ),
+        F.expr(
+            "(1000 * cast(nbytes as bigint))"
+            " div (3 * cast(w as bigint) * cast(h as bigint))"
+        ).alias("ratio_milli"),
+    )
+    return (
+        m.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("nbytes").alias("total_bytes"),
+            F.expr("(1000 * sum(nbytes)) div sum(raw_bytes)").alias(
+                "fleet_ratio_milli"
+            ),
+            F.sum(
+                F.when(F.col("ratio_milli") >= _Q143_CAND_MILLI, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_transcode_candidates"),
+        )
+        .orderBy("fmt")
+    )
