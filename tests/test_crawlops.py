@@ -566,3 +566,104 @@ def test_q142_violations_match_bruteforce_gap_scan(spark, sf_dir):
         assert r.n_violations == sum(1 for g in gaps if g < need_us)
         assert r.min_gap_us == (min(gaps) if gaps else -1)
         assert r.required_delay_s == h % _Q142_DELAYS + 1
+
+
+def test_q144_selection_matches_browser_rule(spark, sf_dir):
+    """The in-row srcset pick equals a plain-Python reimplementation
+    of the browser rule (smallest width >= target, else largest) over
+    the same arithmetic fixture."""
+    import duckdb
+
+    from voz_spark.crawlops import q144_srcset_consolidation
+
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    widths = [320, 480, 800, 1200, 1600]
+    from collections import defaultdict
+
+    pages, urls = defaultdict(int), defaultdict(set)
+    for i in range(n_docs):
+        cands = widths[: i % 4 + 2]
+        target = 360 + (i % 5) * 160
+        geq = [w for w in cands if w >= target]
+        w = min(geq) if geq else max(cands)
+        pages[w] += 1
+        urls[w].add(f"https://cdn.example/i{i}-{w}w.jpg")
+    got = {r.chosen_w: r for r in q144_srcset_consolidation(spark, sf_dir).collect()}
+    assert set(got) == set(pages)
+    for w in pages:
+        assert got[w].n_pages == pages[w]
+        assert got[w].n_urls == len(urls[w])
+
+
+def test_q145_control_origin_never_merges(spark, sf_dir):
+    """Shard copies consolidate under cdn#; the static.other.example
+    control stays a separate family with zero redundancy, and counts
+    match a brute-force recount."""
+    import duckdb
+
+    from voz_spark.crawlops import q145_cdn_shard_consolidation
+
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    from collections import defaultdict
+
+    fam = defaultdict(lambda: defaultdict(set))  # norm -> content -> hosts
+    n_urls = defaultdict(int)
+    for i in range(n_docs):
+        c, shard = i // 7, i % 7
+        host = (
+            "static.other.example"
+            if c % 5 == 2 and shard == 0
+            else f"cdn{shard}.assets.example"
+        )
+        norm = "static.other.example" if host.startswith("static") else "cdn#.assets.example"
+        fam[norm][c].add(host)
+        n_urls[norm] += 1
+    got = {r.norm_host: r for r in q145_cdn_shard_consolidation(spark, sf_dir).collect()}
+    assert set(got) == set(fam)
+    for norm, contents in fam.items():
+        r = got[norm]
+        assert r.n_contents == len(contents)
+        assert r.n_urls == n_urls[norm]
+        assert r.n_redundant_urls == n_urls[norm] - len(contents)
+        assert r.n_multi_host_contents == sum(1 for h in contents.values() if len(h) > 1)
+        assert r.max_raw_hosts == max(len(h) for h in contents.values())
+    assert got["static.other.example"].n_redundant_urls == 0
+    assert got["cdn#.assets.example"].n_redundant_urls > 0
+
+
+def test_q146_savings_match_bruteforce_scan(spark, sf_dir):
+    """The distributed per-URL fingerprint lag equals a plain-Python
+    sort+scan: same unchanged counts and 304-eligible bytes."""
+    from collections import defaultdict
+
+    from voz_spark.crawlops import q146_revisit_savings
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts").collect()
+    by_url = defaultdict(list)
+    for r in ev:
+        u = r.event_id % 997
+        fp = u * 10 + (r.event_id // 101) % 5
+        by_url[u].append((r.ts, r.event_id, fp))
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # fetches, refetches, unchanged, bytes
+    for u, rows in by_url.items():
+        rows.sort()
+        h = u % 23
+        nb = 1000 + u % 50 * 100
+        stats[h][0] += len(rows)
+        stats[h][1] += len(rows) - 1
+        for a, b in zip(rows, rows[1:]):
+            if a[2] == b[2]:
+                stats[h][2] += 1
+                stats[h][3] += nb
+    got = {r.host: r for r in q146_revisit_savings(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for h, (nf, nr, nu, nbytes) in stats.items():
+        r = got[h]
+        assert (r.n_fetches, r.n_refetches, r.n_unchanged) == (nf, nr, nu)
+        assert r.bytes_304_eligible == nbytes
+        assert r.change_rate_milli == (-1 if nr == 0 else 1000 * (nr - nu) // nr)

@@ -433,3 +433,27 @@ def test_q143_totals_reconcile_with_fixture(spark, sf_dir):
         assert r.total_bytes == int(grp["nbytes"].sum())
         assert r.fleet_ratio_milli == 1000 * int(grp["nbytes"].sum()) // int(raw.sum())
         assert r.n_transcode_candidates == int((ratio >= _Q143_CAND_MILLI).sum())
+
+
+def test_q147_planted_orientations_cluster_exactly(spark, sf_dir):
+    """Every planted rotation/flip pairs with its base image via the
+    dihedral canonical key; any extra cluster must be a
+    pattern-sharing near-dup pair (idx % 7 == 3 riding idx-1's
+    pattern) whose pHash coincides bit-exactly — never a random
+    collision between unrelated images."""
+    from voz_spark.imagedup import _Q147_N, q147_dihedral_dedup
+
+    rows = q147_dihedral_dedup(spark, sf_dir).collect()
+    clusters = [tuple(sorted(r.members.split(","))) for r in rows]
+    planted = {
+        (f"img{i - 1:05d}", f"img{i:05d}")
+        for i in range(_Q147_N)
+        if i % 9 == 4
+    }
+    got = set(clusters)
+    assert planted <= got, planted - got
+    for pair in got - planted:
+        assert len(pair) == 2
+        a, b = (int(p[3:]) for p in pair)
+        assert b == a + 1 and b % 7 == 3, pair
+    assert all(r.n_images == 2 for r in rows)

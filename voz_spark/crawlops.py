@@ -2393,3 +2393,306 @@ def q142_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q144: srcset responsive-image consolidation — modern pages declare
+# each image as a `srcset` of width variants ("url 320w, url 800w,
+# ..."); fetching every variant multiplies image bandwidth by the
+# variant count for zero new content. The crawler must PARSE the
+# srcset and pick exactly one candidate per image: the smallest width
+# >= the page's display target, else the largest available (the
+# browser's own selection rule). The reference collects bare <img>
+# src attributes only (src/crawler.py image extraction) and would
+# fetch every variant as an independent URL.
+#
+# Fixture derives arithmetically from `documents`: page i declares
+# k = i%4+2 width variants (a prefix of [320,480,800,1200,1600]) and
+# a display target of 360 + (i%5)*160 — same integer rules in both
+# engines, no materialization needed.
+#
+# Scale shape: selection is IN-ROW — split + transform + array_min
+# over the candidate list, zero shuffles and no explode (the naive
+# plan explodes 5x rows and runs a per-image window). The only
+# exchange is the final bounded-key (|widths|) rollup. The pick is
+# encoded as a sortable string key (direction flip via 999999-w on
+# the under-target branch), the engine's windowless-argmin idiom.
+# ---------------------------------------------------------------------------
+
+_Q144_WIDTHS = "320,480,800,1200,1600"
+
+_Q144_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+s AS (
+  SELECT i, 360 + (i % 5) * 160 AS target,
+         array_to_string([
+           'https://cdn.example/i' || i || '-' ||
+           CAST(([320,480,800,1200,1600])[j+1] AS VARCHAR) || 'w.jpg ' ||
+           CAST(([320,480,800,1200,1600])[j+1] AS VARCHAR) || 'w'
+           FOR j IN range(0, i % 4 + 2)], ', ') AS srcset
+  FROM d
+),
+p AS (
+  SELECT i, list_min([
+           CASE WHEN CAST(regexp_extract(c, '(\\d+)w$', 1) AS INT) >= target
+                THEN '0' || lpad(CAST(CAST(regexp_extract(c, '(\\d+)w$', 1) AS INT) AS VARCHAR), 6, '0')
+                ELSE '1' || lpad(CAST(999999 - CAST(regexp_extract(c, '(\\d+)w$', 1) AS INT) AS VARCHAR), 6, '0')
+           END || string_split(c, ' ')[1]
+           FOR c IN string_split(srcset, ', ')]) AS best
+  FROM s
+),
+c AS (
+  SELECT i, substr(best, 8) AS chosen_url,
+         CAST(regexp_extract(substr(best, 8), '-(\\d+)w\\.jpg$', 1) AS INT) AS chosen_w
+  FROM p
+)
+SELECT chosen_w,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT chosen_url) AS BIGINT) AS n_urls
+FROM c GROUP BY chosen_w ORDER BY chosen_w
+"""
+
+
+@register("q144_srcset_consolidation", oracle=_Q144_ORACLE)
+def q144_srcset_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse srcset variant lists and pick one fetch per image (the
+    browser rule: smallest width >= target, else largest): in-row
+    split + transform + array_min — zero shuffles before the bounded
+    rollup, no explode, no window."""
+    from voz_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    s = d.select(
+        "i",
+        (F.lit(360) + (F.col("i") % 5) * 160).alias("target"),
+        F.expr(
+            "array_join(transform(sequence(0, cast(i % 4 + 1 as int)), j -> "
+            "concat('https://cdn.example/i', i, '-', "
+            "cast(element_at(array(" + _Q144_WIDTHS + "), j + 1) as string), "
+            "'w.jpg ', "
+            "cast(element_at(array(" + _Q144_WIDTHS + "), j + 1) as string), "
+            "'w')), ', ')"
+        ).alias("srcset"),
+    )
+    best = F.expr(
+        r"""array_min(transform(split(srcset, ', '), c ->
+          concat(
+            CASE WHEN cast(regexp_extract(c, '(\\d+)w$', 1) as int) >= target
+                 THEN concat('0', lpad(cast(cast(regexp_extract(c, '(\\d+)w$', 1) as int) as string), 6, '0'))
+                 ELSE concat('1', lpad(cast(999999 - cast(regexp_extract(c, '(\\d+)w$', 1) as int) as string), 6, '0'))
+            END,
+            substring_index(c, ' ', 1))))"""
+    )
+    c = (
+        s.withColumn("best", best)
+        .select(F.expr("substr(best, 8)").alias("chosen_url"))
+        .select(
+            "chosen_url",
+            F.regexp_extract("chosen_url", r"-(\d+)w\.jpg$", 1)
+            .cast("int")
+            .alias("chosen_w"),
+        )
+    )
+    return (
+        c.groupBy("chosen_w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("chosen_url").cast("long").alias("n_urls"),
+        )
+        .orderBy("chosen_w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145: CDN shard-host consolidation — big sites fan the SAME image
+# out over numbered shard hostnames (cdn0..cdn6.assets.example) for
+# browser connection parallelism; a URL-keyed frontier treats every
+# shard copy as new work, multiplying image fetches by the shard
+# count. Collapsing the numeric shard id out of the hostname
+# (cdn3.assets.example -> cdn#.assets.example) merges the copies —
+# while hosts that merely LOOK similar but are different origins
+# (static.other.example) must stay distinct. The reference's
+# filename-keyed image cache (src/image_processor.py:44-56) sees each
+# shard copy as a distinct file.
+#
+# Fixture derives arithmetically from `documents`: URL i serves
+# content c = i div 7 from shard i % 7, except every c % 5 == 2
+# content's shard-0 copy lives on the unrelated origin
+# static.other.example (the negative control normalization must NOT
+# merge into the cdn family).
+#
+# Scale shape: host normalization is an in-row regexp; the family
+# rollup groups on (norm_host, content fingerprint) — one shuffle on
+# a near-unique composite key — and the final per-norm-host rollup is
+# bounded by the host-family count. Both aggregates combine map-side.
+# ---------------------------------------------------------------------------
+
+_Q145_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+u AS (
+  SELECT md5(CAST(i // 7 AS VARCHAR)) AS fp,
+         CASE WHEN (i // 7) % 5 = 2 AND i % 7 = 0 THEN 'static.other.example'
+              ELSE 'cdn' || CAST(i % 7 AS VARCHAR) || '.assets.example' END AS host
+  FROM d
+),
+n AS (SELECT fp, host, regexp_replace(host, '[0-9]+', '#', 'g') AS norm_host FROM u),
+f AS (
+  SELECT norm_host, fp,
+         CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT host) AS BIGINT) AS n_raw_hosts
+  FROM n GROUP BY norm_host, fp
+)
+SELECT norm_host,
+       CAST(COUNT(*) AS BIGINT) AS n_contents,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(SUM(n_urls) - COUNT(*) AS BIGINT) AS n_redundant_urls,
+       CAST(SUM(CASE WHEN n_raw_hosts > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_host_contents,
+       CAST(MAX(n_raw_hosts) AS BIGINT) AS max_raw_hosts
+FROM f GROUP BY norm_host ORDER BY norm_host
+"""
+
+
+@register("q145_cdn_shard_consolidation", oracle=_Q145_ORACLE)
+def q145_cdn_shard_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse numbered CDN shard hostnames and measure the redundant
+    URL load per host family: in-row regexp normalization, one
+    composite-key family shuffle, bounded final rollup."""
+    from voz_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    content = F.expr("i div 7")
+    u = d.select(
+        F.md5(content.cast("string")).alias("fp"),
+        F.when(
+            (content % 5 == 2) & (F.col("i") % 7 == 0),
+            F.lit("static.other.example"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("cdn"),
+                (F.col("i") % 7).cast("string"),
+                F.lit(".assets.example"),
+            )
+        )
+        .alias("host"),
+    )
+    n = u.withColumn(
+        "norm_host", F.regexp_replace("host", "[0-9]+", "#")
+    )
+    fam = n.groupBy("norm_host", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("host").cast("long").alias("n_raw_hosts"),
+    )
+    return (
+        fam.groupBy("norm_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_contents"),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            (F.sum("n_urls") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_redundant_urls"),
+            F.sum(F.when(F.col("n_raw_hosts") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_host_contents"),
+            F.max("n_raw_hosts").cast("long").alias("max_raw_hosts"),
+        )
+        .orderBy("norm_host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q146: conditional-GET revisit savings — recrawls refetch pages that
+# usually have NOT changed; HTTP 304 (If-None-Match / ETag) lets the
+# server skip the body for unchanged content, but only if the crawler
+# tracks per-URL fingerprints across visits and measures how often
+# they repeat. This query computes, per host, how many refetches
+# returned byte-identical content (304-eligible) and the bytes that
+# revisit fingerprinting would have saved — the evidence that decides
+# whether to turn conditional requests on for a host. The reference
+# refetches everything wholesale each run and stores no validators
+# (src/main.py:153-200).
+#
+# Fetch log derives from `events`: URL u = event_id % 997, host =
+# u % 23, per-fetch content tag (event_id div 101) % 5, body size
+# 1000 + (u % 50) * 100 — identical integer rules in both engines.
+#
+# Scale shape: the per-URL visit sequence is a lag window keyed on
+# the URL — partitions are bounded by the recrawl frequency (a URL is
+# fetched O(rounds) times, never O(corpus)); the host rollup is
+# partial-combinable. Production shards the window by (url, epoch).
+# ---------------------------------------------------------------------------
+
+_Q146_ORACLE = """
+WITH f AS (
+  SELECT event_id % 997 AS u, ts, event_id,
+         md5(CAST((event_id % 997) * 10 + (event_id // 101) % 5 AS VARCHAR)) AS fp,
+         1000 + (event_id % 997) % 50 * 100 AS nbytes
+  FROM events
+),
+g AS (
+  SELECT u, fp, nbytes,
+         LAG(fp) OVER (PARTITION BY u ORDER BY ts, event_id) AS prev_fp
+  FROM f
+)
+SELECT u % 23 AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(COUNT(prev_fp) AS BIGINT) AS n_refetches,
+       CAST(SUM(CASE WHEN fp = prev_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(SUM(CASE WHEN fp = prev_fp THEN nbytes ELSE 0 END) AS BIGINT) AS bytes_304_eligible,
+       CAST(CASE WHEN COUNT(prev_fp) = 0 THEN -1
+            ELSE (1000 * (COUNT(prev_fp) - SUM(CASE WHEN fp = prev_fp THEN 1 ELSE 0 END))) // COUNT(prev_fp)
+       END AS BIGINT) AS change_rate_milli
+FROM g GROUP BY u % 23 ORDER BY host
+"""
+
+
+@register("q146_revisit_savings", oracle=_Q146_ORACLE)
+def q146_revisit_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host 304-eligible refetch counts and saved bytes from
+    per-URL fingerprint lag: bounded URL-keyed window, map-side
+    combinable host rollup, integer milli change rate."""
+    from pyspark.sql import Window
+
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    f = ev.select(
+        (F.col("event_id") % 997).alias("u"),
+        "ts",
+        "event_id",
+        F.md5(
+            (
+                (F.col("event_id") % 997) * 10
+                + F.expr("event_id div 101") % 5
+            ).cast("string")
+        ).alias("fp"),
+        (F.lit(1000) + (F.col("event_id") % 997) % 50 * 100).alias("nbytes"),
+    )
+    w = Window.partitionBy("u").orderBy("ts", "event_id")
+    g = f.withColumn("prev_fp", F.lag("fp").over(w))
+    unchanged = F.when(F.col("fp") == F.col("prev_fp"), 1).otherwise(0)
+    agg = (
+        g.groupBy((F.col("u") % 23).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.count("prev_fp").cast("long").alias("n_refetches"),
+            F.sum(unchanged).cast("long").alias("n_unchanged"),
+            F.sum(
+                F.when(F.col("fp") == F.col("prev_fp"), F.col("nbytes")).otherwise(0)
+            )
+            .cast("long")
+            .alias("bytes_304_eligible"),
+        )
+        .withColumn(
+            "change_rate_milli",
+            F.expr(
+                "cast(if(n_refetches = 0, -1,"
+                " (1000 * (n_refetches - n_unchanged)) div n_refetches) as bigint)"
+            ),
+        )
+    )
+    return agg.orderBy("host")

@@ -2036,3 +2036,119 @@ def q143_storage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# ---------------------------------------------------------------------------
+# q147: rotation/flip-invariant image dedup (dihedral canonicalization)
+# — rotated and mirrored re-uploads (phone photos, meme mirror-flips,
+# scan orientations) defeat plain pHash: rotating an image permutes
+# its DCT structure, so the hash changes completely and q61's banded
+# hamming join never pairs them. The fix is canonicalization over the
+# dihedral group D4: hash all 8 orientations (4 rotations x optional
+# mirror) and key each image by the MINIMUM of its 8 variant hashes.
+# D4 closure guarantees a rotated/flipped copy enumerates the SAME 8
+# pixel grids, hence the same hash set and the same canonical key —
+# dedup becomes an exact hash-groupBy, no pair join at all. The
+# reference dedups by filename only (src/image_processor.py:44-56).
+#
+# Fixture: deterministic synthetic images (synth.image_pixels); every
+# idx % 9 == 4 image is a true 90-degree rotation (even idx div 9) or
+# mirror flip (odd) of image idx-1. The 8 variant hashes are computed
+# once (Arrow-batched pandas, np.ascontiguousarray before each hash so
+# memory layout never perturbs float ops) and MATERIALIZED — both
+# engines read the same parquet and reduce with min, so the oracle
+# checks the distributed reduction, not the DCT.
+#
+# Scale shape: 8x in-row work, ZERO extra shuffle vs exact dedup —
+# canonical key is array_min of an in-row array, then one
+# hash-groupBy. Compare q61's banded LSH (4 shuffles + a pair join):
+# orientation dedup is strictly cheaper than near-dup detection.
+# ---------------------------------------------------------------------------
+
+Q147_DIHEDRAL_PATH = "/tmp/voz_spark_q147_dihedral"
+
+_Q147_N = 180
+
+_Q147_ORACLE = f"""
+WITH m AS (
+  SELECT image_id, list_min(hashes) AS canon
+  FROM read_parquet('{Q147_DIHEDRAL_PATH}/*.parquet')
+)
+SELECT canon,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       string_agg(image_id, ',' ORDER BY image_id) AS members
+FROM m GROUP BY canon HAVING COUNT(*) > 1 ORDER BY canon
+"""
+
+
+def _q147_dihedral_builder(spark: SparkSession):
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+        from voz_spark.phash import phash64
+
+        def dihedral_hashes(px):
+            out = []
+            for flip in (False, True):
+                m = px[:, ::-1, :] if flip else px
+                for k in range(4):
+                    out.append(phash64(np.ascontiguousarray(np.rot90(m, k))))
+            return out
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    if idx % 9 == 4:
+                        base = synth.image_pixels(idx - 1)
+                        px = (
+                            np.rot90(base, 1)
+                            if (idx // 9) % 2 == 0
+                            else base[:, ::-1, :]
+                        )
+                    else:
+                        px = synth.image_pixels(idx)
+                    rows.append(
+                        {
+                            "image_id": f"img{idx:05d}",
+                            "hashes": dihedral_hashes(
+                                np.ascontiguousarray(px)
+                            ),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q147_N)
+            .repartition(8)
+            .mapInPandas(gen, "image_id string, hashes array<long>")
+        )
+
+    return build
+
+
+@register("q147_dihedral_dedup", oracle=_Q147_ORACLE)
+def q147_dihedral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orientation-invariant duplicate clusters: canonical key =
+    array_min of the 8 dihedral pHash variants, then ONE hash-groupBy
+    — exact-dedup cost for rotation/mirror robustness."""
+    t = _materialized(
+        spark,
+        Q147_DIHEDRAL_PATH,
+        f"n={_Q147_N};dihedral8;v1",
+        _q147_dihedral_builder(spark),
+    )
+    m = t.select("image_id", F.array_min("hashes").alias("canon"))
+    return (
+        m.groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.array_join(F.sort_array(F.collect_list("image_id")), ",").alias(
+                "members"
+            ),
+        )
+        .where(F.col("n_images") > 1)
+        .orderBy("canon")
+    )
