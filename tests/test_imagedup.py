@@ -457,3 +457,92 @@ def test_q147_planted_orientations_cluster_exactly(spark, sf_dir):
         a, b = (int(p[3:]) for p in pair)
         assert b == a + 1 and b % 7 == 3, pair
     assert all(r.n_images == 2 for r in rows)
+
+
+def test_q149_packing_matches_bruteforce(spark, sf_dir):
+    """Bucket snap and per-shard packing counts equal a pandas recount
+    with the same integer argmin / floor-div rules."""
+    import hashlib
+    from collections import defaultdict
+
+    from voz_spark.imagedup import (
+        _Q149_BATCH,
+        _Q149_BUCKETS,
+        Q143_SIZES_PATH,
+        q149_aspect_bucket_packing,
+    )
+
+    buckets = [int(x) for x in _Q149_BUCKETS.split(",")]
+    pdf = spark.read.parquet(Q143_SIZES_PATH).toPandas()
+    cells = defaultdict(int)
+    for _, r in pdf.iterrows():
+        ratio = 1000 * int(r.w) // int(r.h)
+        bk = min(buckets, key=lambda b: (abs(ratio - b), b))
+        shard = hashlib.md5(r.image_id.encode()).hexdigest()[0]
+        cells[(bk, shard)] += 1
+    got = {r.bucket: r for r in q149_aspect_bucket_packing(spark, sf_dir).collect()}
+    per_bucket = defaultdict(lambda: [0, 0, 0, 0])
+    for (bk, _), cnt in cells.items():
+        s = per_bucket[bk]
+        s[0] += cnt
+        s[1] += cnt // _Q149_BATCH
+        s[2] += cnt % _Q149_BATCH
+        s[3] += 1
+    assert set(got) == set(per_bucket)
+    for bk, (n, full, strag, shards) in per_bucket.items():
+        r = got[bk]
+        assert (r.n_images, r.n_full_batches, r.n_stragglers, r.n_shards) == (
+            n, full, strag, shards,
+        )
+    assert sum(r.n_full_batches for r in got.values()) > 0
+
+
+def test_q150_flags_are_exclusive_and_match_recount(spark, sf_dir):
+    """Gate flags follow the fixture priority (placeholder > empty >
+    generic) and per-source counts equal a plain-Python recount."""
+    from collections import defaultdict
+
+    from voz_spark.imagedup import q150_caption_quality_gate
+    from voz_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    stats = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        i = r.doc_id
+        s = stats[r.source]
+        s[0] += 1
+        if i % 13 == 6:
+            s[1] += 1
+        elif i % 17 == 8:
+            s[2] += 1
+        elif i % 19 == 11:
+            s[3] += 1
+    got = {r.source: r for r in q150_caption_quality_gate(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for src, (n, ph, em, gen) in stats.items():
+        r = got[src]
+        assert (r.n_pairs, r.n_placeholder, r.n_empty, r.n_generic) == (n, ph, em, gen)
+        assert r.n_pass == n - ph - em - gen
+        assert r.pass_rate_milli == 1000 * r.n_pass // n
+
+
+def test_q151_planted_graphics_flag_with_margin(spark, sf_dir):
+    """Every planted 4-color graphic is gated; every real photo clears
+    the threshold with a wide margin (no photo anywhere near 16
+    quantized colors); counts reconcile with the fixture rule."""
+    from voz_spark.imagedup import (
+        _Q151_GRAPHIC_MAX_COLORS,
+        _Q151_N,
+        Q151_COLORSTATS_PATH,
+        q151_graphic_photo_gate,
+    )
+
+    got = {r.fmt: r for r in q151_graphic_photo_gate(spark, sf_dir).collect()}
+    planted = len([i for i in range(_Q151_N) if i % 11 == 7])
+    assert sum(r.n_graphics for r in got.values()) == planted
+    assert sum(r.n_images for r in got.values()) == _Q151_N
+    pdf = spark.read.parquet(Q151_COLORSTATS_PATH).toPandas()
+    photos = pdf[~pdf.image_id.str.slice(3).astype(int).mod(11).eq(7)]
+    assert int(photos.n_quant_colors.min()) > 4 * _Q151_GRAPHIC_MAX_COLORS
+    graphics = pdf[pdf.image_id.str.slice(3).astype(int).mod(11).eq(7)]
+    assert int(graphics.n_quant_colors.max()) <= 4

@@ -216,3 +216,16 @@ def test_stream_stream_join_state_spans_batches(spark, tmp_path):
     rows = sink.select("click_id", "purchase_id", "amount").collect()
     assert len(rows) == 1
     assert (rows[0].click_id, rows[0].purchase_id, rows[0].amount) == (1, 3, 99.0)
+
+
+def test_q148_stream_equals_batch_incremental(spark, sf_dir):
+    """The stream-static band join must emit exactly the pairs the
+    q134 batch job finds — streaming-vs-batch equivalence on the same
+    standing index and delta split."""
+    from voz_spark.imagedup import q134_incremental_image_neardup
+    from voz_spark.streaming import q148_stream_image_banddedup
+
+    s = q148_stream_image_banddedup(spark, sf_dir).collect()
+    b = q134_incremental_image_neardup(spark, sf_dir).collect()
+    assert sorted(map(tuple, s)) == sorted(map(tuple, b))
+    assert len(s) > 0

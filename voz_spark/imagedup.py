@@ -2152,3 +2152,364 @@ def q147_dihedral_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_images") > 1)
         .orderBy("canon")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149: aspect-ratio bucket batch packing — multimodal training stacks
+# images into fixed-shape GPU batches, so the loader first snaps every
+# image to its nearest canonical aspect bucket (the SDXL-style bucket
+# list) and then packs each bucket into batches of B. The planning
+# query is: per bucket, how many images, how many FULL batches, and
+# how many stragglers — computed coordination-free (per-shard packing,
+# the q126 idiom) so 1000 writer tasks can pack without a global rank.
+# The reference stores images flat and has no training-loader concept.
+#
+# Bucket snap is integer argmin over the fixed list: ratio_milli =
+# 1000*w div h, bucket = the list entry minimizing |ratio - bucket|
+# (tie -> smaller bucket), encoded as a sortable-string min — in-row,
+# the q144 windowless-argmin idiom. Packing counts per (bucket,
+# md5-shard) need COUNTS only, not ranks: no window anywhere.
+#
+# Scale shape: one near-unique composite shuffle on (bucket, shard),
+# then a bounded (|buckets|) rollup; both partial-combine. At 10^10
+# images per-shard packing is what the real loader does anyway
+# (each shard maps to a writer task).
+# ---------------------------------------------------------------------------
+
+_Q149_BUCKETS = "500,750,1000,1333,2000"
+_Q149_BATCH = 4  # small so the sandbox fixture exercises full batches; prod uses 32/64
+
+_Q149_ORACLE = f"""
+WITH m AS (
+  SELECT image_id,
+         (1000 * CAST(w AS BIGINT)) // CAST(h AS BIGINT) AS ratio_milli,
+         substr(md5(image_id), 1, 1) AS shard
+  FROM read_parquet('{{path}}/*.parquet')
+),
+b AS (
+  SELECT image_id, shard,
+         CAST(substr(list_min([
+           lpad(CAST(abs(ratio_milli - bk) AS VARCHAR), 7, '0') ||
+           lpad(CAST(bk AS VARCHAR), 6, '0')
+           FOR bk IN [{_Q149_BUCKETS}]]), 8) AS INT) AS bucket
+  FROM m
+),
+s AS (
+  SELECT bucket, shard, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+)
+SELECT bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_images,
+       CAST(SUM(cnt // {_Q149_BATCH}) AS BIGINT) AS n_full_batches,
+       CAST(SUM(cnt % {_Q149_BATCH}) AS BIGINT) AS n_stragglers,
+       CAST(COUNT(*) AS BIGINT) AS n_shards
+FROM s GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "q149_aspect_bucket_packing",
+    oracle=_Q149_ORACLE.format(path=Q143_SIZES_PATH),
+)
+def q149_aspect_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap images to canonical aspect buckets (integer argmin, in-row)
+    and pack per (bucket, md5-shard) into fixed-size batches — counts,
+    no window, coordination-free across writer tasks."""
+    t = _materialized(
+        spark,
+        Q143_SIZES_PATH,
+        f"n={_N_IMAGES};cols=id,fmt,w,h,nbytes;v1",
+        lambda: images_df(spark, _N_IMAGES).select(
+            "image_id",
+            "fmt",
+            "w",
+            "h",
+            F.length("bytes").cast("long").alias("nbytes"),
+        ),
+    )
+    m = t.select(
+        "image_id",
+        F.expr("(1000 * cast(w as bigint)) div cast(h as bigint)").alias(
+            "ratio_milli"
+        ),
+        F.substring(F.md5("image_id"), 1, 1).alias("shard"),
+    )
+    b = m.select(
+        "shard",
+        F.expr(
+            f"""cast(substr(array_min(transform(array({_Q149_BUCKETS}), bk ->
+              concat(lpad(cast(abs(ratio_milli - bk) as string), 7, '0'),
+                     lpad(cast(bk as string), 6, '0')))), 8, 6) as int)"""
+        ).alias("bucket"),
+    )
+    s = b.groupBy("bucket", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        s.groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_images"),
+            F.sum(F.expr(f"cnt div {_Q149_BATCH}")).cast("long").alias("n_full_batches"),
+            F.sum(F.col("cnt") % _Q149_BATCH).cast("long").alias("n_stragglers"),
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150: caption quality gate — LAION-style image-text curation drops
+# pairs whose text side is junk before any model sees them: camera
+# placeholders (IMG_0042), empty alt text, and single generic words
+# carry no supervision signal. The gate is pure in-row string
+# analysis; per-source pass rates tell the pipeline which feeds to
+# renegotiate. The reference stores captions raw (post text next to
+# image links) with no quality notion.
+#
+# Caption fixture derives arithmetically from `documents` (priority:
+# placeholder beats empty beats generic): i % 13 == 6 -> 'IMG_...',
+# else i % 17 == 8 -> '', else i % 19 == 11 -> 'image', else a
+# descriptive sentence — identical rules in both engines, no
+# materialization.
+#
+# Scale shape: every feature is in-row (regexp, split, length); the
+# only exchange is the bounded per-source rollup. Zero joins.
+# ---------------------------------------------------------------------------
+
+_Q150_ORACLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i, source FROM documents
+),
+c AS (
+  SELECT i, source,
+         CASE WHEN i % 13 = 6 THEN 'IMG_' || lpad(CAST(i AS VARCHAR), 6, '0')
+              WHEN i % 17 = 8 THEN ''
+              WHEN i % 19 = 11 THEN 'image'
+              ELSE 'A detailed photo of product ' || CAST(i AS VARCHAR) ||
+                   ' shown from angle ' || CAST(i % 7 AS VARCHAR)
+         END AS caption
+  FROM d
+),
+g AS (
+  SELECT source,
+         CASE WHEN regexp_matches(caption, '^IMG_[0-9]+$') THEN 1 ELSE 0 END AS is_placeholder,
+         CASE WHEN caption = '' THEN 1 ELSE 0 END AS is_empty,
+         CASE WHEN caption <> '' AND NOT regexp_matches(caption, '^IMG_[0-9]+$')
+                   AND len(string_split(caption, ' ')) <= 1 THEN 1 ELSE 0 END AS is_generic
+  FROM c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(is_placeholder) AS BIGINT) AS n_placeholder,
+       CAST(SUM(is_empty) AS BIGINT) AS n_empty,
+       CAST(SUM(is_generic) AS BIGINT) AS n_generic,
+       CAST(COUNT(*) - SUM(is_placeholder) - SUM(is_empty) - SUM(is_generic) AS BIGINT) AS n_pass,
+       CAST((1000 * (COUNT(*) - SUM(is_placeholder) - SUM(is_empty) - SUM(is_generic))) // COUNT(*) AS BIGINT) AS pass_rate_milli
+FROM g GROUP BY source ORDER BY source
+"""
+
+
+@register("q150_caption_quality_gate", oracle=_Q150_ORACLE)
+def q150_caption_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-junk-text gate for image-caption pairs: in-row regexp and
+    word-count features, bounded per-source rollup, integer milli
+    pass rate."""
+    from voz_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i"), "source"
+    )
+    cap = (
+        F.when(
+            F.col("i") % 13 == 6,
+            F.concat(F.lit("IMG_"), F.lpad(F.col("i").cast("string"), 6, "0")),
+        )
+        .when(F.col("i") % 17 == 8, F.lit(""))
+        .when(F.col("i") % 19 == 11, F.lit("image"))
+        .otherwise(
+            F.concat(
+                F.lit("A detailed photo of product "),
+                F.col("i").cast("string"),
+                F.lit(" shown from angle "),
+                (F.col("i") % 7).cast("string"),
+            )
+        )
+    )
+    c = d.select("source", cap.alias("caption"))
+    is_ph = F.when(F.col("caption").rlike("^IMG_[0-9]+$"), 1).otherwise(0)
+    is_em = F.when(F.col("caption") == "", 1).otherwise(0)
+    is_gen = F.when(
+        (F.col("caption") != "")
+        & ~F.col("caption").rlike("^IMG_[0-9]+$")
+        & (F.size(F.split(F.col("caption"), " ")) <= 1),
+        1,
+    ).otherwise(0)
+    g = c.select(
+        "source",
+        is_ph.alias("is_placeholder"),
+        is_em.alias("is_empty"),
+        is_gen.alias("is_generic"),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_placeholder").cast("long").alias("n_placeholder"),
+            F.sum("is_empty").cast("long").alias("n_empty"),
+            F.sum("is_generic").cast("long").alias("n_generic"),
+        )
+        .withColumn(
+            "n_pass",
+            (
+                F.col("n_pairs")
+                - F.col("n_placeholder")
+                - F.col("n_empty")
+                - F.col("n_generic")
+            ).cast("long"),
+        )
+        .withColumn(
+            "pass_rate_milli",
+            F.expr("cast((1000 * n_pass) div n_pairs as bigint)"),
+        )
+        .select(
+            "source", "n_pairs", "n_placeholder", "n_empty", "n_generic",
+            "n_pass", "pass_rate_milli",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151: graphic-vs-photo gate — spacer GIFs, solid-color banners, and
+# flat vector graphics are near-zero-information training images that
+# every pHash-based dedup treats as unique content (each banner IS
+# globally unique). Their content signature is a collapsed color
+# histogram: after 4-bit-per-channel quantization a flat graphic uses
+# a handful of distinct colors while any photograph (sensor noise,
+# gradients) uses hundreds. The per-image statistic runs through the
+# REAL byte path — encode -> codec.decode_image -> quantize -> count —
+# inside Arrow-batched pandas (the q60 decode plumbing), and is
+# MATERIALIZED so the DuckDB oracle checks the distributed gate over
+# the same stats table. The reference validates only decode success +
+# min dimensions (src/image_processor.py:86-104).
+#
+# Fixture: every idx % 11 == 7 image is a 4-color 2x2-block graphic
+# (encoded with the same png codec); all others are the standard
+# noisy synthetic photos.
+#
+# Scale shape: decode cost is per-image map work with zero shuffle;
+# the gate + per-format rollup aggregate is bounded-key. At 10^10
+# images the stats table is the thing to keep, not the pixels.
+# ---------------------------------------------------------------------------
+
+Q151_COLORSTATS_PATH = "/tmp/voz_spark_q151_colorstats"
+
+_Q151_N = 330
+_Q151_GRAPHIC_MAX_COLORS = 16
+
+_Q151_ORACLE = f"""
+WITH s AS (
+  SELECT fmt, n_quant_colors,
+         CASE WHEN n_quant_colors <= {_Q151_GRAPHIC_MAX_COLORS} THEN 1 ELSE 0 END AS is_graphic
+  FROM read_parquet('{Q151_COLORSTATS_PATH}/*.parquet')
+)
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(is_graphic) AS BIGINT) AS n_graphics,
+       CAST((1000 * SUM(is_graphic)) // COUNT(*) AS BIGINT) AS graphic_rate_milli,
+       CAST(MIN(n_quant_colors) AS BIGINT) AS min_colors,
+       CAST(MAX(n_quant_colors) AS BIGINT) AS max_colors
+FROM s GROUP BY fmt ORDER BY fmt
+"""
+
+
+def _q151_colorstats_builder(spark: SparkSession):
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+        from voz_spark.codec import decode_image, png_encode
+
+        def graphic_pixels(idx: int) -> np.ndarray:
+            w, h = synth.image_dims(idx)
+            pal = np.array(
+                [
+                    [
+                        synth.splitmix64(idx * 31 + q * 7 + c) % 256
+                        for c in range(3)
+                    ]
+                    for q in range(4)
+                ],
+                dtype=np.uint8,
+            )
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            px[: h // 2, : w // 2] = pal[0]
+            px[: h // 2, w // 2 :] = pal[1]
+            px[h // 2 :, : w // 2] = pal[2]
+            px[h // 2 :, w // 2 :] = pal[3]
+            return px
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    if idx % 11 == 7:
+                        data, fmt = png_encode(graphic_pixels(idx)), "png"
+                    else:
+                        data, fmt = synth.image_bytes(idx), synth.image_fmt(idx)
+                    px = decode_image(data, fmt)
+                    quant = (px >> 4).reshape(-1, 3)
+                    codes = (
+                        quant[:, 0].astype(np.int64) * 256
+                        + quant[:, 1].astype(np.int64) * 16
+                        + quant[:, 2].astype(np.int64)
+                    )
+                    rows.append(
+                        {
+                            "image_id": f"img{idx:05d}",
+                            "fmt": fmt,
+                            "n_quant_colors": int(np.unique(codes).size),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q151_N)
+            .repartition(8)
+            .mapInPandas(gen, "image_id string, fmt string, n_quant_colors long")
+        )
+
+    return build
+
+
+@register("q151_graphic_photo_gate", oracle=_Q151_ORACLE)
+def q151_graphic_photo_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-graphic detection by quantized color cardinality over the
+    real decode path: per-image map work, bounded per-format rollup,
+    integer milli graphic rate."""
+    t = _materialized(
+        spark,
+        Q151_COLORSTATS_PATH,
+        f"n={_Q151_N};q4bit;v1",
+        _q151_colorstats_builder(spark),
+    )
+    s = t.select(
+        "fmt",
+        "n_quant_colors",
+        F.when(F.col("n_quant_colors") <= _Q151_GRAPHIC_MAX_COLORS, 1)
+        .otherwise(0)
+        .alias("is_graphic"),
+    )
+    return (
+        s.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("is_graphic").cast("long").alias("n_graphics"),
+            F.expr(
+                "cast((1000 * sum(is_graphic)) div count(1) as bigint)"
+            ).alias("graphic_rate_milli"),
+            F.min("n_quant_colors").cast("long").alias("min_colors"),
+            F.max("n_quant_colors").cast("long").alias("max_colors"),
+        )
+        .orderBy("fmt")
+    )

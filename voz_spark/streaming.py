@@ -402,3 +402,99 @@ def q64_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")).alias("lag_sec"),
         F.col("amount").cast("double").alias("amount"),
     ).orderBy("user_id", "click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# q148: STREAMING image band dedup — the stream-STATIC join form of
+# q134's incremental near-dup: newly-crawled images arrive as an
+# unbounded stream, each micro-batch band-joins the STANDING pHash
+# index (a static table broadcast/re-read per batch), verifies exact
+# hamming, and appends confirmed near-dups. This is the shape a live
+# ingest actually deploys (Kafka source -> static Iceberg index);
+# q134 is its nightly-batch equivalent, and the two must agree —
+# which is exactly what the shared oracle checks.
+#
+# Scale notes: stream state is ONLY the (delta_id, base_id) dedup
+# keys (multi-band hits); the standing index never enters stream
+# state — it stays a static relation the planner re-scans (or
+# broadcasts, if small) per micro-batch. Production bounds the pair
+# dedup with dropDuplicatesWithinWatermark keyed on ingest time.
+# ---------------------------------------------------------------------------
+
+
+def _q148_oracle() -> str:
+    from voz_spark.imagedup import _q134_oracle
+
+    return _q134_oracle()
+
+
+@register("q148_stream_image_banddedup", oracle=_q148_oracle())
+def q148_stream_image_banddedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection: delta images stream in, band
+    equi-join the static standing index, exact hamming verify, append
+    — equals the q134 batch job (same oracle)."""
+    from voz_spark.imagedup import (
+        _BANDS,
+        _BUCKET_CAP,
+        _HAMMING_MAX,
+        _N_IMAGES,
+        Q61_PHASH_PATH,
+        _band_expr,
+        _materialized,
+        images_df,
+    )
+
+    # ensure the fixture exists, and build the STATIC standing index
+    p = _materialized(
+        spark,
+        Q61_PHASH_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
+    )
+    half = F.substring(F.md5("image_id"), 1, 1) < "8"
+    stack_args = ", ".join(f"{k}, {_band_expr(k)}" for k in range(_BANDS))
+    bb = p.where(half).selectExpr(
+        "image_id", "phash", f"stack({_BANDS}, {stack_args}) AS (band_id, bucket)"
+    )
+    ok = (
+        bb.groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= _BUCKET_CAP)
+        .select("band_id", "bucket")
+    )
+    static_index = bb.join(ok, ["band_id", "bucket"]).select(
+        "band_id",
+        "bucket",
+        F.col("image_id").alias("base_id"),
+        F.col("phash").alias("ph_b"),
+    )
+
+    # the delta arrives as a stream (file source stands in for Kafka)
+    schema = StructType(
+        [StructField("image_id", StringType()), StructField("phash", LongType())]
+    )
+    delta = (
+        spark.readStream.schema(schema)
+        .parquet(Q61_PHASH_PATH)
+        .where(~(F.substring(F.md5("image_id"), 1, 1) < "8"))
+        .selectExpr(
+            "image_id", "phash", f"stack({_BANDS}, {stack_args}) AS (band_id, bucket)"
+        )
+        .select(
+            "band_id",
+            "bucket",
+            F.col("image_id").alias("delta_id"),
+            F.col("phash").alias("ph_d"),
+        )
+    )
+    pairs = (
+        delta.join(static_index, ["band_id", "bucket"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_d").bitwiseXOR(F.col("ph_b"))).cast("int")
+        )
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .select("delta_id", "base_id", "hamming")
+        .dropDuplicates(["delta_id", "base_id"])
+    )
+    sink = run_to_memory(pairs, "q148_sink", "append", spark)
+    return sink.orderBy("delta_id", "base_id")
