@@ -312,7 +312,12 @@ true primitive-buffer HashAggregate (was silently a SortAggregate —
 two full sorts of the frontier, the largest CPU item), the exact
 anti-join is a SHUFFLE_HASH join (no sort of either side), and
 path/robots columns are shed before the window exchange; N-level
-throughput rose ~21% from these.
+throughput rose ~21% from these. The DRAM diagnosis also drove the
+shuffle codec from lz4 to zstd (voz_spark/session.py): fewer shuffle
+bytes through the saturated memory subsystem bought +20% at 24 cores
+(1.17M -> 1.40M URLs/s measured same-window) at ~10% CPU cost at 6
+cores — the right trade for the many-executor regime the north rule
+models, and the pairs below are measured with it.
 
 ## Job 2 — full crawl round (the north-rule job), local[{pn}] vs local[{p4n}]
 

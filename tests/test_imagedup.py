@@ -546,3 +546,96 @@ def test_q151_planted_graphics_flag_with_margin(spark, sf_dir):
     assert int(photos.n_quant_colors.min()) > 4 * _Q151_GRAPHIC_MAX_COLORS
     graphics = pdf[pdf.image_id.str.slice(3).astype(int).mod(11).eq(7)]
     assert int(graphics.n_quant_colors.max()) <= 4
+
+
+def test_q152_direction_and_bruteforce_parity(spark, sf_dir):
+    """Thumbnail relations equal a plain-Python recount of the same
+    band-hit + hamming + 4x-area rule; every found planted pair points
+    thumb -> original (never reversed); recall over planted pairs is
+    high (band-miss is the only allowed loss)."""
+    from collections import defaultdict
+
+    from voz_spark.imagedup import (
+        _BANDS,
+        _BUCKET_CAP,
+        _HAMMING_MAX,
+        _Q152_AREA_RATIO,
+        _Q152_N,
+        Q152_THUMBS_PATH,
+        q152_thumbnail_pairs,
+    )
+
+    pdf = spark.read.parquet(Q152_THUMBS_PATH).toPandas()
+    info = {r.image_id: (int(r.phash) & 0xFFFFFFFFFFFFFFFF, int(r.w) * int(r.h)) for r in pdf.itertuples()}
+    buckets = defaultdict(list)
+    for iid, (ph, _) in info.items():
+        for k in range(_BANDS):
+            buckets[(k, (ph >> (16 * k)) & 0xFFFF)].append(iid)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > _BUCKET_CAP:
+            continue
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                cand.add((min(a, b), max(a, b)))
+    expect = set()
+    for a, b in cand:
+        ham = bin(info[a][0] ^ info[b][0]).count("1")
+        if ham > _HAMMING_MAX:
+            continue
+        aa, ab = info[a][1], info[b][1]
+        if max(aa, ab) >= _Q152_AREA_RATIO * min(aa, ab):
+            t, o = (a, b) if aa <= ab else (b, a)
+            expect.add((t, o, ham, 1000 * max(aa, ab) // min(aa, ab)))
+    got = {tuple(r) for r in q152_thumbnail_pairs(spark, sf_dir).collect()}
+    assert got == expect
+    planted = {
+        (f"img{i:05d}", f"img{i - 1:05d}") for i in range(_Q152_N) if i % 8 == 5
+    }
+    found_planted = {(t, o) for t, o, _, _ in got if (t, o) in planted}
+    assert len(found_planted) >= 0.9 * len(planted)
+    # direction is never reversed on a planted pair
+    assert not any((o, t) in planted for t, o, _, _ in got)
+
+
+def test_q153_remap_consistent_with_q65_clusters(spark, sf_dir):
+    """Alias count equals sum(n_members - 1) over q65 clusters; no
+    alias is itself a survivor; every target is one."""
+    from voz_spark.imagedup import q65_image_dedup_clusters, q153_dedup_remap
+
+    remap = q153_dedup_remap(spark, sf_dir).collect()
+    clusters = q65_image_dedup_clusters(spark, sf_dir).collect()
+    kept = {r.kept_id for r in clusters}
+    assert len(remap) == sum(r.n_members - 1 for r in clusters)
+    assert not any(r.alias_id in kept for r in remap)
+    assert all(r.kept_id in kept for r in remap)
+    assert len({r.alias_id for r in remap}) == len(remap)
+
+
+def test_q154_matrix_matches_pair_fold(spark, sf_dir):
+    """The source matrix equals a plain fold of the q61 pair list with
+    the same unordered-key and least-size rate rules."""
+    from collections import defaultdict
+
+    from voz_spark.imagedup import (
+        _N_IMAGES,
+        _Q154_SOURCES,
+        q61_phash_neardup,
+        q154_cross_source_dup_matrix,
+    )
+
+    pairs = q61_phash_neardup(spark, sf_dir).collect()
+    fold = defaultdict(int)
+    for r in pairs:
+        sa = int(r.id_a[3:]) % _Q154_SOURCES
+        sb = int(r.id_b[3:]) % _Q154_SOURCES
+        fold[(min(sa, sb), max(sa, sb))] += 1
+    sizes = defaultdict(int)
+    for i in range(_N_IMAGES):
+        sizes[i % _Q154_SOURCES] += 1
+    got = {(r.source_a, r.source_b): r for r in q154_cross_source_dup_matrix(spark, sf_dir).collect()}
+    assert set(got) == set(fold)
+    for (sa, sb), n in fold.items():
+        r = got[(sa, sb)]
+        assert r.n_pairs == n
+        assert r.dup_rate_milli == 1000 * n // min(sizes[sa], sizes[sb])

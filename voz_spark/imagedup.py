@@ -2513,3 +2513,313 @@ def q151_graphic_photo_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+# ---------------------------------------------------------------------------
+# q152: thumbnail-relation detection — sites serve a downscaled copy
+# of every photo next to the original (preview grids, og:image cards);
+# visually they are the same content at a 4x+ area gap. Whole-image
+# near-dup (q61) correctly PAIRS them (pHash is scale-robust by
+# construction), but dedup policy needs the DIRECTION: keep the
+# original, drop the thumbnail, remap references — so the operator
+# classifies each near-dup pair whose area ratio crosses 4x as
+# (thumb -> original). Distinct from q104 (exact-pHash best-res
+# argmax): thumbnails usually differ by a few hash bits, not zero.
+#
+# Fixture: every idx % 8 == 5 image is a REAL 2x2 mean-pooled
+# half-resolution downscale of image idx-1 (pixels, not metadata —
+# the pHash proximity is earned, not asserted).
+#
+# Scale shape: rides the q61 banded-LSH pair machinery (bucket-capped
+# equi-join, exact hamming verify); the area lookup joins back from a
+# per-image projection (broadcastable — it is id+area only), and the
+# direction rule is in-row integer arithmetic.
+# ---------------------------------------------------------------------------
+
+Q152_THUMBS_PATH = "/tmp/voz_spark_q152_thumbs"
+
+_Q152_N = 240
+_Q152_AREA_RATIO = 4
+
+_Q152_ORACLE = f"""
+WITH p AS (
+  SELECT image_id, phash, w, h FROM read_parquet('{Q152_THUMBS_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+  FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+sized AS (
+  SELECT pairs.*,
+         sa.w * sa.h AS area_a, sb.w * sb.h AS area_b
+  FROM pairs
+  JOIN p sa ON sa.image_id = id_a
+  JOIN p sb ON sb.image_id = id_b
+)
+SELECT CASE WHEN area_a <= area_b THEN id_a ELSE id_b END AS thumb_id,
+       CASE WHEN area_a <= area_b THEN id_b ELSE id_a END AS original_id,
+       hamming,
+       CAST((1000 * GREATEST(area_a, area_b)) // LEAST(area_a, area_b) AS BIGINT) AS area_ratio_milli
+FROM sized
+WHERE GREATEST(area_a, area_b) >= {_Q152_AREA_RATIO} * LEAST(area_a, area_b)
+ORDER BY thumb_id, original_id
+"""
+
+
+def _q152_thumbs_builder(spark: SparkSession):
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+        from voz_spark.phash import phash64
+
+        def halfpool(px: np.ndarray) -> np.ndarray:
+            h, w, _ = px.shape
+            h2, w2 = h // 2, w // 2
+            block = px[: h2 * 2, : w2 * 2].astype(np.float64)
+            pooled = block.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3))
+            return np.clip(pooled, 0, 255).astype(np.uint8)
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    if idx % 8 == 5:
+                        px = halfpool(synth.image_pixels(idx - 1))
+                    else:
+                        px = synth.image_pixels(idx)
+                    h, w = px.shape[0], px.shape[1]
+                    rows.append(
+                        {
+                            "image_id": f"img{idx:05d}",
+                            "phash": phash64(px),
+                            "w": w,
+                            "h": h,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q152_N)
+            .repartition(8)
+            .mapInPandas(gen, "image_id string, phash long, w int, h int")
+        )
+
+    return build
+
+
+@register("q152_thumbnail_pairs", oracle=_Q152_ORACLE)
+def q152_thumbnail_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional thumbnail->original relations: banded near-dup
+    pairs (bucket-capped, exact hamming) whose area gap crosses 4x;
+    direction and ratio are in-row integer arithmetic over a
+    broadcast id+area lookup."""
+    p = _materialized(
+        spark,
+        Q152_THUMBS_PATH,
+        f"n={_Q152_N};halfpool;v1",
+        _q152_thumbs_builder(spark),
+    )
+    pairs = _neardup_pairs(p)
+    dims = p.select(
+        "image_id", (F.col("w").cast("long") * F.col("h")).alias("area")
+    )
+    sa = dims.select(F.col("image_id").alias("id_a"), F.col("area").alias("area_a"))
+    sb = dims.select(F.col("image_id").alias("id_b"), F.col("area").alias("area_b"))
+    j = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    big = F.greatest("area_a", "area_b")
+    small = F.least("area_a", "area_b")
+    return (
+        j.where(big >= _Q152_AREA_RATIO * small)
+        .select(
+            F.when(F.col("area_a") <= F.col("area_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("thumb_id"),
+            F.when(F.col("area_a") <= F.col("area_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("original_id"),
+            "hamming",
+            F.expr(
+                f"cast((1000 * greatest(area_a, area_b))"
+                f" div least(area_a, area_b) as bigint)"
+            ).alias("area_ratio_milli"),
+        )
+        .orderBy("thumb_id", "original_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153: dedup survivor REMAP table — dropping near-dup images is only
+# half the job: every document that referenced a dropped copy must be
+# rewritten to point at the kept canonical (otherwise the corpus ships
+# dangling image references). The operator emits the (alias_id ->
+# kept_id) mapping for every non-survivor in every q65 visual cluster
+# — the table a reference-rewriting pass broadcast-joins against the
+# documents. The reference deletes nothing and remaps nothing (its
+# cache only ever grows, src/image_processor.py:44-56).
+#
+# Scale shape: identical machinery to q65 (bucket-capped banded pairs
+# -> distributed CC -> best-resolution survivor), different output
+# grain: alias rows instead of cluster rows. The mapping is
+# cluster-bounded (aliases = members - 1) and the downstream join
+# broadcasts it when clusters are few or hash-joins on alias_id (a
+# unique key, no skew) when not.
+# ---------------------------------------------------------------------------
+
+_Q153_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT image_id, phash, w, h FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.cluster, c.node,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY p.w * p.h DESC, c.node) AS rk
+  FROM comp c JOIN p ON p.image_id = c.node
+),
+kept AS (SELECT cluster, node AS kept_id FROM ranked WHERE rk = 1)
+SELECT r.node AS alias_id, k.kept_id
+FROM ranked r JOIN kept k USING (cluster)
+WHERE r.rk > 1
+ORDER BY alias_id
+"""
+
+
+@register("q153_dedup_remap", oracle=_Q153_ORACLE)
+def q153_dedup_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(alias_id -> kept_id) rewrite map for every non-survivor in the
+    q65 visual clusters: same pair/CC/survivor machinery, alias-row
+    output grain for the downstream reference-rewriting join."""
+    from pyspark.sql import Window
+
+    from voz_spark.graph import connected_components
+
+    p = _materialized(
+        spark,
+        Q65_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,w,h",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "w", "h"),
+    )
+    pairs = _neardup_pairs(p)
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).withColumnRenamed("component", "cluster")
+    sized = cc.join(p, cc["node"] == p["image_id"]).select(
+        "cluster", "node", (F.col("w") * F.col("h")).alias("px")
+    )
+    win = Window.partitionBy("cluster").orderBy(F.col("px").desc(), F.col("node"))
+    ranked = sized.select("cluster", "node", F.row_number().over(win).alias("rk"))
+    kept = ranked.where(F.col("rk") == 1).select(
+        "cluster", F.col("node").alias("kept_id")
+    )
+    return (
+        ranked.where(F.col("rk") > 1)
+        .join(kept, "cluster")
+        .select(F.col("node").alias("alias_id"), "kept_id")
+        .orderBy("alias_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154: cross-source duplication matrix — when two content feeds keep
+# near-duplicating each other, one of them is a mirror/scraper and the
+# curation pipeline should de-prioritize it at the SOURCE level, not
+# pair by pair. The operator rolls the q61 near-dup pairs up to an
+# unordered (source_a, source_b) matrix with a milli duplication rate
+# against the smaller source's size — the feed-level view q87's
+# curation funnel consumes. The reference has one source and no
+# concept of feed provenance.
+#
+# Source attribution derives arithmetically from the image index
+# (source = idx mod 6) — identical in both engines.
+#
+# Scale shape: pair rows fold to the unordered source-pair key with
+# conditional partial sums (the q132 fold — ONE shuffle, no
+# reversed-key self-join); source sizes are a bounded (|S|) aggregate
+# broadcast back.
+# ---------------------------------------------------------------------------
+
+_Q154_SOURCES = 6
+
+_Q154_ORACLE = f"""
+WITH p AS (
+  SELECT image_id, phash FROM read_parquet('{Q61_PHASH_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+attrib AS (
+  SELECT CAST(substr(id_a, 4) AS BIGINT) % {_Q154_SOURCES} AS sa,
+         CAST(substr(id_b, 4) AS BIGINT) % {_Q154_SOURCES} AS sb
+  FROM pairs
+),
+m AS (
+  SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM attrib GROUP BY 1, 2
+),
+sizes AS (
+  SELECT CAST(substr(image_id, 4) AS BIGINT) % {_Q154_SOURCES} AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1
+)
+SELECT source_a, source_b, n_pairs,
+       CAST((1000 * n_pairs) // LEAST(za.n, zb.n) AS BIGINT) AS dup_rate_milli
+FROM m JOIN sizes za ON za.s = source_a JOIN sizes zb ON zb.s = source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("q154_cross_source_dup_matrix", oracle=_Q154_ORACLE)
+def q154_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts folded to the unordered source-pair matrix
+    with milli duplication rate vs the smaller feed: one fold shuffle,
+    bounded source-size lookup broadcast back."""
+    p = _materialized(
+        spark,
+        Q61_PHASH_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
+    )
+    pairs = _neardup_pairs(p)
+    src = lambda c: (F.expr(f"cast(substr({c}, 4) as bigint)") % _Q154_SOURCES)
+    attrib = pairs.select(
+        F.least(src("id_a"), src("id_b")).alias("source_a"),
+        F.greatest(src("id_a"), src("id_b")).alias("source_b"),
+    )
+    m = attrib.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    sizes = p.select(src("image_id").alias("s")).groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    za = sizes.select(F.col("s").alias("source_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("s").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        m.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.expr("cast((1000 * n_pairs) div least(na, nb) as bigint)").alias(
+                "dup_rate_milli"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

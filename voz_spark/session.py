@@ -74,6 +74,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # zstd shuffle/spill codec: at high parallelism this box (and a
+        # real cluster's shuffle fabric) is bytes-bound, not CPU-bound —
+        # measured on the 16M-URL schedule job: lz4 1.17M URLs/s vs
+        # zstd 1.40M at 24 cores (+20%), while at 6 cores zstd costs
+        # ~10% CPU. The engine optimizes for the many-executor regime;
+        # override via extra_conf for single-digit-core deployments.
+        .config("spark.io.compression.codec", "zstd")
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
