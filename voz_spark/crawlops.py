@@ -2696,3 +2696,97 @@ def q146_revisit_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# q156: politeness dispatch planner — the FORWARD twin of q142's
+# backward-looking gap audit: given the queued requests for each host
+# and the host's required crawl-delay, compute each request's EARLIEST
+# legal dispatch time (dispatch >= arrival, and consecutive dispatches
+# per host >= delay apart). This is the per-host token-bucket
+# recurrence every polite fetcher runs sequentially
+#     d_i = max(a_i, d_{i-1} + g)
+# (the reference serializes it as time.sleep between requests,
+# src/crawler.py) — which looks inherently sequential, but unrolls to
+# the closed form
+#     d_i = g*i + max_{j<=i} (a_j - g*j)
+# (induction: max(a_i, g*(i-1) + M_{i-1} + g) = g*i + max(a_i - g*i,
+# M_{i-1}) = g*i + M_i). So the whole plan is ONE shuffle on the host
+# key plus a running-max window — fully parallel across hosts, no
+# iteration, no state. All arithmetic is exact integer MICROSECONDS
+# (unix_micros / epoch_us; BIGINT throughout: g*i <= 5e6 * |host rows|
+# is far inside int64), so the oracle is engine-exact.
+#
+# Scale shape: the window partitions on the host — the same
+# politeness-bounded key as q142, so no partition explodes; the
+# running max is a streaming frame (ROWS UNBOUNDED PRECEDING), O(1)
+# per row. At the 10^10 design point the planner runs per (host,
+# round-batch) after the frontier's per-host top-B cap, so a window
+# partition is at most the politeness budget B.
+# ---------------------------------------------------------------------------
+
+_Q156_H = 11  # host-space modulus (q142's fetch-log rules)
+_Q156_DELAYS = 5  # required gap = host % 5 + 1 seconds
+
+_Q156_ORACLE = f"""
+WITH f AS (
+  SELECT user_id % {_Q156_H} AS host, event_id, epoch_us(ts) AS arr_us,
+         (user_id % {_Q156_H} % {_Q156_DELAYS} + 1) * 1000000 AS gap_us
+  FROM events
+),
+r AS (
+  SELECT host, event_id, arr_us, gap_us,
+         ROW_NUMBER() OVER w - 1 AS i
+  FROM f
+  WINDOW w AS (PARTITION BY host ORDER BY arr_us, event_id)
+),
+d AS (
+  SELECT host, event_id, arr_us, gap_us, i,
+         MAX(arr_us - gap_us * i) OVER
+           (PARTITION BY host ORDER BY arr_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM r
+)
+SELECT CAST(host AS BIGINT) AS host, event_id,
+       CAST(arr_us AS BIGINT) AS arr_us,
+       CAST(gap_us * i + runmax AS BIGINT) AS dispatch_us,
+       CAST(gap_us * i + runmax - arr_us AS BIGINT) AS wait_us
+FROM d
+"""
+
+
+@register("q156_dispatch_plan", oracle=_Q156_ORACLE)
+def q156_dispatch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest legal dispatch time per queued fetch under per-host
+    crawl-delay: the sequential token-bucket recurrence solved in
+    closed form as one host-keyed running-max window (exact integer
+    microseconds, no iteration)."""
+    from pyspark.sql import Window
+
+    from voz_spark.session import load_table
+
+    f = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _Q156_H).cast("long").alias("host"),
+        "event_id",
+        # ts is TIMESTAMP_NTZ: micros since the naive epoch (exactly
+        # DuckDB's epoch_us on a naive timestamp), no TZ dependence
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("arr_us"),
+    )
+    f = f.withColumn(
+        "gap_us", ((F.col("host") % _Q156_DELAYS + 1) * 1_000_000).cast("long")
+    )
+    w = Window.partitionBy("host").orderBy("arr_us", "event_id")
+    r = f.withColumn("i", (F.row_number().over(w) - 1).cast("long"))
+    runmax = F.max(F.col("arr_us") - F.col("gap_us") * F.col("i")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = r.withColumn("dispatch_us", (F.col("gap_us") * F.col("i") + runmax).cast("long"))
+    return d.select(
+        "host",
+        "event_id",
+        "arr_us",
+        "dispatch_us",
+        (F.col("dispatch_us") - F.col("arr_us")).cast("long").alias("wait_us"),
+    )

@@ -2379,3 +2379,119 @@ def q130_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nid", "adc", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q155: HyperLogLog distinct-count registers (Flajolet et al. 2007,
+# "HyperLogLog: the analysis of a near-optimal cardinality estimation
+# algorithm") — the industry-standard mergeable cardinality sketch, in
+# a FULLY deterministic integer-exact formulation so the sketch itself
+# is oracle-checkable bit-for-bit (the q59 KMV discipline, applied to
+# the register family the 10^10-URL seen-set monitor actually wants:
+# per-shard HLL registers union by element-wise MAX, so global
+# frontier cardinality needs O(m) state per shard and never a re-scan).
+#
+# Determinism: 60-bit hash = first 15 hex chars of md5 (shared by both
+# engines); register j = h mod 64, payload w = h div 64 (54 bits);
+# rank = leading-zeros(w)+1 computed EXACTLY as 55 - bitlength(w) via
+# base-2 string length (Spark `conv(w,10,2)`, DuckDB `to_base(w,2)`) —
+# no float log2 anywhere. The harmonic sum stays integer: each
+# register M contributes 2^(55-M), empty registers contribute 2^55, so
+# S = 2^55 * sum(2^-M) is an exact BIGINT (<= 64*2^55 < 2^61). The only
+# float ops are one literal multiply and one division (IEEE-defined,
+# engine-identical). The ln-based linear-counting correction is
+# deliberately NOT applied in-engine — transcendentals are not
+# bit-portable across libms — n_empty ships alongside so a consumer
+# can apply it; n_exact ships for direct error inspection.
+#
+# Scale shape: in-row hash -> (register, rank), ONE partial-combinable
+# max-shuffle on (group, register) — at most 64 rows per group survive
+# the map-side combine — then an O(groups) rollup. No distinct, no
+# window, no per-row Python. Reference analogue: the reference counts
+# uniques by materializing full sets in driver memory
+# (src/data_analyzer.py set() accumulation); this is the bounded-state
+# replacement.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (6 index bits)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # alpha_64 (Flajolet Fig. 3)
+# single-rounding literal shared verbatim by both engines:
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 55)
+
+
+@register(
+    "q155_hll_distinct",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % {_HLL_M} AS register,
+         CASE WHEN h // {_HLL_M} = 0 THEN 55
+              ELSE 55 - length(to_base(h // {_HLL_M}, 2)) END AS m
+  FROM h
+),
+regs AS (
+  SELECT event_type, register, MAX(m) AS m
+  FROM r GROUP BY event_type, register
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY event_type
+),
+e AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       CAST({_HLL_M} - s.n_regs AS BIGINT) AS n_empty,
+       CAST({_HLL_NUM!r} AS DOUBLE) /
+         CAST(s.s_present + ({_HLL_M} - s.n_regs) * (1::BIGINT << 55) AS DOUBLE)
+         AS hll_estimate
+FROM e JOIN s USING (event_type)
+""",
+)
+def q155_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via deterministic 64-register
+    HyperLogLog (exact count + empty-register count alongside): one
+    partial-combinable max-shuffle, O(64) surviving rows per group."""
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    r = h.select(
+        "event_type",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("register"),
+        F.when(F.shiftright(F.col("h"), 6) == 0, F.lit(55))
+        .otherwise(
+            F.lit(55)
+            - F.length(F.conv(F.shiftright(F.col("h"), 6).cast("string"), 10, 2))
+        )
+        .cast("int")
+        .alias("m"),
+    )
+    regs = r.groupBy("event_type", "register").agg(F.max("m").alias("m"))
+    s = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    e = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return e.join(s, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("n_empty"),
+        (
+            F.lit(_HLL_NUM)
+            / (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("n_regs")) * F.lit(1 << 55)
+            ).cast("double")
+        ).alias("hll_estimate"),
+    )
