@@ -667,3 +667,99 @@ def test_q146_savings_match_bruteforce_scan(spark, sf_dir):
         assert (r.n_fetches, r.n_refetches, r.n_unchanged) == (nf, nr, nu)
         assert r.bytes_304_eligible == nbytes
         assert r.change_rate_milli == (-1 if nr == 0 else 1000 * (nr - nu) // nr)
+
+
+# ---------------------------------------------------------------- q157
+
+
+def test_q157_hrw_matches_pure_python_and_moves_only_to_new_shard(spark, sf_dir):
+    """The rendezvous assignment must equal a pure-Python HRW mirror
+    host-by-host, and on a K -> K+1 grow every moved host must land on
+    the NEW shard (the minimal-disruption property), with total churn
+    near 1/(K+1)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from voz_spark.crawlops import _Q157_HOSTS, _Q157_K
+    from voz_spark.session import load_table
+
+    def hrw(host: int, k: int) -> int:
+        keys = [hashlib.md5(f"{host}:{s}".encode()).hexdigest() for s in range(k)]
+        return keys.index(max(keys))
+
+    hosts = sorted(
+        r["host"]
+        for r in load_table(spark, sf_dir, "events")
+        .select((F.col("event_id") % _Q157_HOSTS).alias("host"))
+        .distinct()
+        .collect()
+    )
+    a16 = {h: hrw(h, _Q157_K) for h in hosts}
+    a17 = {h: hrw(h, _Q157_K + 1) for h in hosts}
+    moved = [h for h in hosts if a16[h] != a17[h]]
+    # minimal disruption: movers go ONLY to the new shard
+    assert all(a17[h] == _Q157_K for h in moved)
+    # expected churn is |hosts|/(K+1); allow generous slack on a small N
+    exp = len(hosts) / (_Q157_K + 1)
+    assert 0.3 * exp <= len(moved) <= 2.5 * exp
+
+    from voz_spark.crawlops import q157_fetch_shard_routing
+
+    rows = q157_fetch_shard_routing(spark, sf_dir).collect()
+    got = {r["shard"]: (r["n_hosts"], r["n_moved_on_grow"]) for r in rows}
+    from collections import Counter
+
+    n_hosts = Counter(a16.values())
+    n_moved = Counter(a16[h] for h in moved)
+    assert got == {s: (n_hosts[s], n_moved.get(s, 0)) for s in n_hosts}
+
+
+# ---------------------------------------------------------------- q158
+
+
+def test_q158_pools_match_union_find(spark, sf_dir):
+    """The star-contraction pools must equal a plain union-find over
+    the same host<->IP edge rule, and the h % 7 == 0 bridge hosts must
+    actually merge adjacent triples (some pool spans > 3 hosts)."""
+    from pyspark.sql import functions as F
+
+    from voz_spark.crawlops import _Q158_IP_OFFSET, q158_ip_pool_politeness
+    from voz_spark.session import load_table
+
+    hs = [
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for h in hs:
+        union(h, h // 3 + _Q158_IP_OFFSET)
+        if h % 7 == 0:
+            union(h, (h + 5) // 3 + _Q158_IP_OFFSET)
+    comp: dict[int, list[int]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    want = {
+        min(members): (
+            sum(1 for n in members if n < _Q158_IP_OFFSET),
+            sum(1 for n in members if n >= _Q158_IP_OFFSET),
+        )
+        for members in comp.values()
+    }
+    rows = q158_ip_pool_politeness(spark, sf_dir).collect()
+    got = {r["pool_id"]: (r["n_hosts"], r["n_ips"]) for r in rows}
+    assert got == want
+    assert max(h for h, _ in got.values()) > 3  # bridges really chain

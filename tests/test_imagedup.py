@@ -639,3 +639,38 @@ def test_q154_matrix_matches_pair_fold(spark, sf_dir):
         r = got[(sa, sb)]
         assert r.n_pairs == n
         assert r.dup_rate_milli == 1000 * n // min(sizes[sa], sizes[sb])
+
+
+# ---------------------------------------------------------------- q159
+
+
+def test_q159_collage_plants_flagged_and_naturals_clean(spark, sf_dir):
+    """Every idx % 9 == 4 plant must flag as 'grid' (1 distinct tile),
+    every idx % 9 == 7 as 'banded' (2), and flagged naturals — images
+    whose quadrants genuinely collapse — must be confirmed by
+    recomputing the quadrant hashes from the pixels."""
+    from voz_spark import synth
+    from voz_spark.imagedup import _Q159_N_IMAGES, q159_collage_detection
+    from voz_spark.phash import phash64
+
+    rows = q159_collage_detection(spark, sf_dir).collect()
+    got = {r["image_id"]: (r["n_distinct_tiles"], r["collage_kind"]) for r in rows}
+    grids = [synth.image_row(i)["image_id"] for i in range(_Q159_N_IMAGES) if i % 9 == 4]
+    bands = [synth.image_row(i)["image_id"] for i in range(_Q159_N_IMAGES) if i % 9 == 7]
+    for iid in grids:
+        assert got.get(iid) == (1, "grid"), iid
+    for iid in bands:
+        assert got.get(iid) == (2, "banded"), iid
+    # anything flagged beyond the plants must truly have <= 2 distinct
+    # quadrant hashes of its NATURAL pixels
+    ids = {synth.image_row(i)["image_id"]: i for i in range(_Q159_N_IMAGES)}
+    for iid in set(got) - set(grids) - set(bands):
+        px = synth.image_pixels(ids[iid])
+        h, w = px.shape[0], px.shape[1]
+        qs = {
+            phash64(px[: h // 2, : w // 2]),
+            phash64(px[: h // 2, w // 2 :]),
+            phash64(px[h // 2 :, : w // 2]),
+            phash64(px[h // 2 :, w // 2 :]),
+        }
+        assert len(qs) <= 2, iid

@@ -2790,3 +2790,205 @@ def q156_dispatch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dispatch_us",
         (F.col("dispatch_us") - F.col("arr_us")).cast("long").alias("wait_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q157: rendezvous (highest-random-weight) fetch-shard routing — at the
+# 10^10 design point, per-host politeness state (token buckets, robots
+# cache, connection pools) must live ON the fetcher executor that owns
+# the host, so hosts need a STABLE host->shard assignment that (a) is
+# computable in-row with no coordination and (b) barely changes when
+# the fetcher fleet resizes. Modulo hashing fails (b): growing K to
+# K+1 reassigns ~K/(K+1) of all hosts, invalidating almost every
+# politeness state in the fleet. Rendezvous hashing (Thaler &
+# Ravishankar 1998, "Using name-based mappings to increase hit rates")
+# assigns each host to argmax_s md5(host||':'||s) — provably exactly
+# 1/(K+1) of hosts move when a shard is added, and ONLY onto the new
+# shard, never between survivors. This query computes the K=16
+# assignment (per-shard host/URL load, i.e. the balance evidence) and
+# the K->K+1 churn per shard (the minimal-disruption evidence). The
+# reference is a single sequential fetcher (src/crawler.py) and never
+# faces the problem.
+#
+# Host load derives from `events`: host = event_id % 997, URL weight =
+# fetch count per host — identical integer rules in both engines; the
+# md5-hex winner is compared lexicographically (identical ASCII
+# ordering in both engines, ties impossible short of an md5 collision).
+#
+# Scale shape: ONE shuffle (the distinct-host rollup); the K keys are
+# an in-row array transform over the already-aggregated host table
+# (O(hosts*K), hosts ~1e7-8 at design point, embarrassingly parallel);
+# the final per-shard rollup has K=16 groups. No window, no join, no
+# per-row Python.
+# ---------------------------------------------------------------------------
+
+_Q157_HOSTS = 997
+_Q157_K = 16  # fetcher shards before the resize
+
+_Q157_ORACLE = f"""
+WITH hosts AS (
+  SELECT event_id % {_Q157_HOSTS} AS host, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM events GROUP BY 1
+),
+keyed AS (
+  SELECT host, n_urls,
+    list_transform(range(0, {_Q157_K}),
+      s -> md5(CAST(host AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS k16,
+    list_transform(range(0, {_Q157_K + 1}),
+      s -> md5(CAST(host AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS k17
+  FROM hosts
+),
+r AS (
+  SELECT host, n_urls,
+         list_position(k16, list_max(k16)) - 1 AS shard,
+         list_position(k17, list_max(k17)) - 1 AS shard_after_grow
+  FROM keyed
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN shard_after_grow <> shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_on_grow
+FROM r GROUP BY shard ORDER BY shard
+"""
+
+
+@register("q157_fetch_shard_routing", oracle=_Q157_ORACLE)
+def q157_fetch_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash host->fetcher-shard assignment: per-shard host
+    and URL load at K shards plus the churn a K->K+1 fleet resize
+    would cause (provably only onto the new shard). One distinct-host
+    shuffle; keys are an in-row array transform."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % _Q157_HOSTS).alias("host")
+    )
+    hosts = ev.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+
+    def keys(n):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s: F.md5(
+                F.concat(F.col("host").cast("string"), F.lit(":"), s.cast("string"))
+            ),
+        )
+
+    keyed = hosts.select(
+        "host", "n_urls", keys(_Q157_K).alias("k16"), keys(_Q157_K + 1).alias("k17")
+    )
+    r = keyed.select(
+        "host",
+        "n_urls",
+        (F.array_position(F.col("k16"), F.array_max("k16")) - 1).alias("shard"),
+        (F.array_position(F.col("k17"), F.array_max("k17")) - 1).alias(
+            "shard_after_grow"
+        ),
+    )
+    return (
+        r.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("shard_after_grow") != F.col("shard"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_moved_on_grow"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158: IP-pool politeness merging — per-HOST politeness is not enough:
+# virtual hosting puts many hostnames on one server IP, and a polite
+# crawler must budget per ORIGIN SERVER or it hammers shared hosting
+# with (hosts-on-IP x per-host-rate) requests (the standard Mercator /
+# Heritrix refinement; the reference crawls one host and never faces
+# it). Hosts sharing ANY resolved IP must share one budget pool, and
+# IP sharing is transitive (host A and C never share an IP but both
+# share one with B -> one pool), so pools are the CONNECTED COMPONENTS
+# of the bipartite host<->IP graph. This query builds the pools and
+# reports each pool's size — the fan-in evidence that decides the
+# pooled crawl-delay.
+#
+# The resolution table derives from `documents`: host h = doc index,
+# primary IP = h div 3 (DNS-level co-hosting in triples), plus for
+# h % 7 == 0 a secondary IP (h + 5) div 3 (multi-homed hosts that
+# BRIDGE adjacent triples into longer chains) — identical integer
+# rules in both engines. IP nodes are offset by 10^6 to keep the node
+# space disjoint; every component contains a host, so the pool id is
+# the component minimum (= smallest member host).
+#
+# Scale shape: the edge list is one in-row projection (<= 2 edges per
+# host); components contract in O(log^2 n) shuffles via the engine's
+# alternating-star CC (graph.py — the q70 machinery, NOT per-round
+# label propagation whose round count is the chain diameter); the
+# pool rollup is one bounded aggregate. The DuckDB oracle closes
+# reachability with a recursive CTE over the same edges.
+# ---------------------------------------------------------------------------
+
+_Q158_IP_OFFSET = 1_000_000
+
+_Q158_ORACLE = f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(doc_id AS BIGINT) AS h FROM documents
+),
+edges AS (
+  SELECT h, h // 3 + {_Q158_IP_OFFSET} AS ip FROM d
+  UNION ALL
+  SELECT h, (h + 5) // 3 + {_Q158_IP_OFFSET} AS ip FROM d WHERE h % 7 = 0
+),
+sym AS (
+  SELECT h AS u, ip AS v FROM edges
+  UNION ALL
+  SELECT ip AS u, h AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT CAST(component AS BIGINT) AS pool_id,
+       CAST(SUM(CASE WHEN node < {_Q158_IP_OFFSET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hosts,
+       CAST(SUM(CASE WHEN node >= {_Q158_IP_OFFSET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ips
+FROM comp GROUP BY component ORDER BY pool_id
+"""
+
+
+@register("q158_ip_pool_politeness", oracle=_Q158_ORACLE)
+def q158_ip_pool_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness pools = connected components of the bipartite
+    host<->resolved-IP graph (transitive virtual-host sharing): pool
+    id is the smallest member host; reports per-pool host and IP
+    fan-in. Star-contraction CC, O(log^2 n) rounds."""
+    from voz_spark.graph import connected_components
+    from voz_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("h")
+    )
+    primary = d.select(
+        F.col("h").alias("u"),
+        (F.expr("h div 3") + F.lit(_Q158_IP_OFFSET)).alias("v"),
+    )
+    secondary = d.where(F.col("h") % 7 == 0).select(
+        F.col("h").alias("u"),
+        (F.expr("(h + 5) div 3") + F.lit(_Q158_IP_OFFSET)).alias("v"),
+    )
+    cc = connected_components(primary.unionByName(secondary))
+    return (
+        cc.groupBy(F.col("component").cast("long").alias("pool_id"))
+        .agg(
+            F.sum(F.when(F.col("node") < _Q158_IP_OFFSET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hosts"),
+            F.sum(F.when(F.col("node") >= _Q158_IP_OFFSET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ips"),
+        )
+        .orderBy("pool_id")
+    )

@@ -2823,3 +2823,141 @@ def q154_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q159: repeated-tile collage / mosaic detection — scraped galleries
+# are full of images that are GRIDS of one repeated cell (tiled
+# wallpapers, sprite fills, 2x2 social-preview collages of the same
+# photo): they carry one cell of real signal but a full image's
+# training weight, and whole-image pHash treats each grid size as a
+# distinct image so near-dup passes (q60/q61) miss them entirely. The
+# detector is intra-image: hash the 4 quadrants (the q129 tile rule)
+# and flag images whose quadrants collapse to <= 2 distinct pHashes —
+# 1 = full 2x2 self-tiling, 2 = half-mirrored/banded frames. The
+# reference stores every downloaded image as-is (src/image_processor.py)
+# with no content introspection.
+#
+# Fixture (write-once _materialized, q129 discipline): real decoded
+# pixels; every idx % 9 == 4 image is REBUILT as a 2x2 tiling of its
+# top-left quadrant (all 4 tile hashes equal), every idx % 9 == 7 as a
+# left-half duplication (tiles collapse to 2 distinct values); the
+# rest keep their natural quadrants. The DuckDB oracle applies the
+# identical <= 2 rule to the same parquet rows — full value-hash
+# check.
+#
+# Scale shape: the ideal 100 TB operator — per-image work only: 4 rows
+# per image, ONE image-keyed shuffle whose groups are exactly 4 rows
+# (partial count-distinct combines map-side), no join, no window, no
+# candidate generation. At 10^10 images this is a single
+# embarrassingly parallel pass.
+# ---------------------------------------------------------------------------
+
+Q159_TILES_PATH = "/tmp/voz_spark_q159_tiles"
+
+_Q159_N_IMAGES = 360
+_Q159_MAX_DISTINCT = 2  # <= 2 distinct quadrant hashes => grid/banded
+
+
+_Q159_ORACLE = f"""
+WITH t AS (
+  SELECT image_id, tile_idx, tile_hash
+  FROM read_parquet('{Q159_TILES_PATH}/*.parquet')
+),
+g AS (
+  SELECT image_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         CAST(COUNT(DISTINCT tile_hash) AS BIGINT) AS n_distinct_tiles
+  FROM t GROUP BY image_id
+)
+SELECT image_id, n_tiles, n_distinct_tiles,
+       CASE WHEN n_distinct_tiles = 1 THEN 'grid' ELSE 'banded' END AS collage_kind
+FROM g
+WHERE n_distinct_tiles <= {_Q159_MAX_DISTINCT}
+ORDER BY image_id
+"""
+
+
+def _q159_tiles_builder(spark: SparkSession):
+    """Quadrant-pHash table with planted collages: idx % 9 == 4 images
+    become a 2x2 self-tiling of their top-left quadrant; idx % 9 == 7
+    images duplicate their left half; others keep natural pixels."""
+
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+        from voz_spark.phash import phash64
+
+        def quad_hashes(px):
+            h, w = px.shape[0], px.shape[1]
+            out = []
+            for ti, (ys, xs) in enumerate(
+                [
+                    (slice(0, h // 2), slice(0, w // 2)),
+                    (slice(0, h // 2), slice(w // 2, w)),
+                    (slice(h // 2, h), slice(0, w // 2)),
+                    (slice(h // 2, h), slice(w // 2, w)),
+                ]
+            ):
+                out.append((ti, phash64(px[ys, xs])))
+            return out
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    px = synth.image_pixels(idx)
+                    h, w = px.shape[0], px.shape[1]
+                    if idx % 9 == 4:
+                        # 2x2 grid of the top-left quadrant (even dims
+                        # by construction, so quadrant slices are the
+                        # exact repeated cell)
+                        px = np.tile(px[: h // 2, : w // 2], (2, 2, 1))
+                    elif idx % 9 == 7:
+                        # left half duplicated across the width
+                        px = np.tile(px[:, : w // 2], (1, 2, 1))
+                    iid = synth.image_row(idx)["image_id"]
+                    for ti, th in quad_hashes(px):
+                        rows.append(
+                            {"image_id": iid, "tile_idx": ti, "tile_hash": th}
+                        )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q159_N_IMAGES)
+            .repartition(8)
+            .mapInPandas(gen, "image_id string, tile_idx int, tile_hash long")
+        )
+
+    return build
+
+
+@register("q159_collage_detection", oracle=_Q159_ORACLE)
+def q159_collage_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-image repeated-tile collage detector: images whose 4
+    quadrant pHashes collapse to <= 2 distinct values (1 = 2x2 grid,
+    2 = banded/mirrored). One 4-row-group shuffle, no joins."""
+    t = _materialized(
+        spark,
+        Q159_TILES_PATH,
+        f"n={_Q159_N_IMAGES};quad-phash;grid=9:4;band=9:7;v1",
+        _q159_tiles_builder(spark),
+    )
+    g = t.groupBy("image_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
+        F.countDistinct("tile_hash").cast("long").alias("n_distinct_tiles"),
+    )
+    return (
+        g.where(F.col("n_distinct_tiles") <= _Q159_MAX_DISTINCT)
+        .select(
+            "image_id",
+            "n_tiles",
+            "n_distinct_tiles",
+            F.when(F.col("n_distinct_tiles") == 1, F.lit("grid"))
+            .otherwise(F.lit("banded"))
+            .alias("collage_kind"),
+        )
+        .orderBy("image_id")
+    )
