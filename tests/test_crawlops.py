@@ -763,3 +763,52 @@ def test_q158_pools_match_union_find(spark, sf_dir):
     got = {r["pool_id"]: (r["n_hosts"], r["n_ips"]) for r in rows}
     assert got == want
     assert max(h for h, _ in got.values()) > 3  # bridges really chain
+
+
+# ---------------------------------------------------------------- q160
+
+
+def test_q160_matches_sequential_greedy(spark, sf_dir):
+    """The window formulation must equal a sequential per-host greedy
+    walk (take in arrival order while cumulative bytes fit), and every
+    host with deferrals must have scheduled bytes within one URL's
+    size of its budget (no early stop)."""
+    from pyspark.sql import functions as F
+
+    from voz_spark.crawlops import _Q160_HOSTS, q160_byte_budget_round
+    from voz_spark.session import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.col("ts").cast("string").alias("ts"))
+        .collect()
+    )
+    queues: dict[int, list[tuple[str, int, int]]] = {}
+    for r in rows:
+        e = r["event_id"]
+        queues.setdefault(e % _Q160_HOSTS, []).append(
+            (r["ts"], e, 1000 + e % 50 * 100)
+        )
+    want = {}
+    for host, q in queues.items():
+        budget = (host % 4 + 1) * 100_000
+        cum = n_sched = bytes_sched = 0
+        for _, _, b in sorted(q):
+            cum += b
+            if cum <= budget:
+                n_sched += 1
+                bytes_sched += b
+        want[host] = (budget, n_sched, len(q) - n_sched, bytes_sched)
+    got = {
+        r["host"]: (
+            r["budget_bytes"],
+            r["n_scheduled"],
+            r["n_deferred"],
+            r["bytes_scheduled"],
+        )
+        for r in q160_byte_budget_round(spark, sf_dir).collect()
+    }
+    assert got == want
+    for host, (budget, n, nd, by) in got.items():
+        if nd > 0:
+            assert budget - by < 1000 + 49 * 100  # packed to within max URL size

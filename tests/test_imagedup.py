@@ -674,3 +674,39 @@ def test_q159_collage_plants_flagged_and_naturals_clean(spark, sf_dir):
             phash64(px[h // 2 :, w // 2 :]),
         }
         assert len(qs) <= 2, iid
+
+
+# ---------------------------------------------------------------- q161
+
+
+def test_q161_blur_plants_flagged_with_margin(spark, sf_dir):
+    """Flagged set must be EXACTLY the idx % 8 == 5 blur plants, every
+    plant must score under a third of the gate, and every natural must
+    score over 3x the gate (the separation the gate constant claims)."""
+    from voz_spark import synth
+    from voz_spark.imagedup import (
+        _Q161_GATE_MILLI,
+        _Q161_N_IMAGES,
+        Q161_STATS_PATH,
+        q161_blur_gate,
+    )
+
+    got = {
+        r["image_id"]: r["sharpness_milli"]
+        for r in q161_blur_gate(spark, sf_dir).collect()
+    }
+    plants = {
+        synth.image_row(i)["image_id"]
+        for i in range(_Q161_N_IMAGES)
+        if i % 8 == 5
+    }
+    assert set(got) == plants
+    assert all(v < _Q161_GATE_MILLI // 3 for v in got.values())
+    # naturals carry >= 3x the gate's energy (read the full stat table)
+    full = {
+        r["image_id"]: 1000 * r["lap_energy"] // r["n_px"]
+        for r in spark.read.parquet(Q161_STATS_PATH).collect()
+    }
+    for iid, score in full.items():
+        if iid not in plants:
+            assert score > 3 * _Q161_GATE_MILLI, (iid, score)

@@ -2992,3 +2992,94 @@ def q158_ip_pool_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pool_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q160: byte-budgeted round planning — politeness caps a host's REQUEST
+# count, but the crawl's real constraint at the 10^10 design point is
+# BANDWIDTH: each round may pull only so many bytes per host (egress
+# fairness, origin-side rate limits quoted in bytes, storage ingest
+# caps). Given the queued URLs with size estimates (Content-Length
+# from a HEAD or the previous visit, q146's validator table), schedule
+# each host's queue IN ARRIVAL ORDER until the cumulative estimated
+# bytes exceed the host's byte budget; the rest defer to the next
+# round. Prefix-sum-until-cap, NOT a knapsack: order is contractual
+# (priority was already settled by the frontier sort) so the plan is a
+# running sum + a filter, deterministic and incremental. The reference
+# downloads every discovered image unconditionally (src/image_processor.py)
+# and has no notion of a byte budget.
+#
+# Fetch queue derives from `events`: host = event_id % 23, est_bytes =
+# 1000 + (event_id % 50) * 100, arrival order (ts, event_id); host
+# budget = (host % 4 + 1) * 100_000 bytes — identical integer rules in
+# both engines.
+#
+# Scale shape: ONE host-keyed window whose running sum is a streaming
+# frame (O(1)/row) and whose partitions are politeness-bounded (a
+# host's queue, never the corpus); the rollup is partial-combinable.
+# All arithmetic BIGINT.
+# ---------------------------------------------------------------------------
+
+_Q160_HOSTS = 23
+
+_Q160_ORACLE = f"""
+WITH q AS (
+  SELECT event_id % {_Q160_HOSTS} AS host, event_id, ts,
+         1000 + event_id % 50 * 100 AS est_bytes
+  FROM events
+),
+c AS (
+  SELECT host, event_id, est_bytes,
+         (host % 4 + 1) * 100000 AS budget_bytes,
+         SUM(est_bytes) OVER (PARTITION BY host ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_bytes
+  FROM q
+)
+SELECT CAST(host AS BIGINT) AS host,
+       CAST(MAX(budget_bytes) AS BIGINT) AS budget_bytes,
+       CAST(SUM(CASE WHEN cum_bytes <= budget_bytes THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scheduled,
+       CAST(SUM(CASE WHEN cum_bytes <= budget_bytes THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_deferred,
+       CAST(SUM(CASE WHEN cum_bytes <= budget_bytes THEN est_bytes ELSE 0 END) AS BIGINT)
+         AS bytes_scheduled
+FROM c GROUP BY host ORDER BY host
+"""
+
+
+@register("q160_byte_budget_round", oracle=_Q160_ORACLE)
+def q160_byte_budget_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandwidth-capped round plan: per-host prefix-sum-until-budget
+    over the arrival-ordered queue (streaming window frame on the
+    politeness-bounded host key), then a combinable rollup of
+    scheduled/deferred counts and bytes."""
+    from pyspark.sql import Window
+
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    q = ev.select(
+        (F.col("event_id") % _Q160_HOSTS).alias("host"),
+        "event_id",
+        "ts",
+        (F.lit(1000) + F.col("event_id") % 50 * 100).cast("long").alias("est_bytes"),
+    ).withColumn("budget_bytes", ((F.col("host") % 4 + 1) * 100_000).cast("long"))
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = q.withColumn("cum_bytes", F.sum("est_bytes").over(w))
+    sched = F.col("cum_bytes") <= F.col("budget_bytes")
+    return (
+        c.groupBy(F.col("host").cast("long").alias("host"))
+        .agg(
+            F.max("budget_bytes").cast("long").alias("budget_bytes"),
+            F.sum(F.when(sched, 1).otherwise(0)).cast("long").alias("n_scheduled"),
+            F.sum(F.when(sched, 0).otherwise(1)).cast("long").alias("n_deferred"),
+            F.sum(F.when(sched, F.col("est_bytes")).otherwise(0))
+            .cast("long")
+            .alias("bytes_scheduled"),
+        )
+        .orderBy("host")
+    )

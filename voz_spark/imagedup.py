@@ -2961,3 +2961,121 @@ def q159_collage_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q161: blur gate (variance-of-Laplacian sharpness) — the standard
+# image-quality pre-filter in LAION-style multimodal curation: heavily
+# blurred images (defocused photos, upscaled thumbnails, privacy
+# blurs) carry almost no training signal but pass every dedup and
+# caption gate. Sharpness = mean squared response of the discrete
+# 4-neighbour Laplacian over the grayscale interior — blur is a
+# low-pass filter, so the high-frequency Laplacian energy collapses
+# (measured on this corpus: naturals >= 315k milli, double-box-blurred
+# plants <= 36k; the 100k gate has >3x margin on BOTH sides). All
+# arithmetic is integer-exact: gray = (r+g+b) div 3, energy = sum of
+# squared int Laplacian (BIGINT), score = 1000*energy div pixels — so
+# the DuckDB oracle is bit-identical. The reference saves whatever
+# bytes arrive (src/image_processor.py) with no quality introspection.
+#
+# Fixture (write-once _materialized, q151 discipline): REAL decoded
+# pixels; every idx % 8 == 5 image is double 3x3-integer-box-blurred
+# before stats — the Arrow-batched pandas decode+stat pass IS the
+# measured operator, the parquet table exists so DuckDB can check the
+# gate on identical rows.
+#
+# Scale shape: per-image work only — mapInPandas decode+stat (no
+# shuffle at all), then an in-row gate + ORDER BY. At 10^10 images the
+# stat pass is embarrassingly parallel; the gate is a filter.
+# ---------------------------------------------------------------------------
+
+Q161_STATS_PATH = "/tmp/voz_spark_q161_blur"
+
+_Q161_N_IMAGES = 360
+_Q161_GATE_MILLI = 100_000  # naturals >= 315k, blurred plants <= 36k
+
+
+_Q161_ORACLE = f"""
+SELECT image_id,
+       CAST(1000 * lap_energy // n_px AS BIGINT) AS sharpness_milli
+FROM read_parquet('{Q161_STATS_PATH}/*.parquet')
+WHERE 1000 * lap_energy // n_px < {_Q161_GATE_MILLI}
+ORDER BY image_id
+"""
+
+
+def _q161_stats_builder(spark: SparkSession):
+    """Per-image integer Laplacian-energy stats over real decoded
+    pixels; idx % 8 == 5 images are double box-blurred plants."""
+
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+
+        def gray(px):
+            return (
+                px[:, :, 0].astype(np.int64) + px[:, :, 1] + px[:, :, 2]
+            ) // 3
+
+        def box3(g):
+            out = g.copy()
+            s = (
+                g[:-2, :-2] + g[:-2, 1:-1] + g[:-2, 2:]
+                + g[1:-1, :-2] + g[1:-1, 1:-1] + g[1:-1, 2:]
+                + g[2:, :-2] + g[2:, 1:-1] + g[2:, 2:]
+            )
+            out[1:-1, 1:-1] = s // 9
+            return out
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    g = gray(synth.image_pixels(idx))
+                    if idx % 8 == 5:
+                        g = box3(box3(g))
+                    c = g[1:-1, 1:-1]
+                    lap = (
+                        4 * c
+                        - g[:-2, 1:-1]
+                        - g[2:, 1:-1]
+                        - g[1:-1, :-2]
+                        - g[1:-1, 2:]
+                    )
+                    rows.append(
+                        {
+                            "image_id": synth.image_row(idx)["image_id"],
+                            "lap_energy": int((lap**2).sum()),
+                            "n_px": int(lap.size),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q161_N_IMAGES)
+            .repartition(8)
+            .mapInPandas(gen, "image_id string, lap_energy long, n_px long")
+        )
+
+    return build
+
+
+@register("q161_blur_gate", oracle=_Q161_ORACLE)
+def q161_blur_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpness gate: images whose integer milli variance-of-Laplacian
+    falls below the 100k gate (blur collapses high-frequency energy).
+    Shuffle-free decode+stat pass, in-row gate."""
+    t = _materialized(
+        spark,
+        Q161_STATS_PATH,
+        f"n={_Q161_N_IMAGES};lap-energy;blur=8:5;v1",
+        _q161_stats_builder(spark),
+    )
+    score = F.expr("1000 * lap_energy div n_px").cast("long")
+    return (
+        t.select("image_id", score.alias("sharpness_milli"))
+        .where(F.col("sharpness_milli") < _Q161_GATE_MILLI)
+        .orderBy("image_id")
+    )
