@@ -812,3 +812,65 @@ def test_q160_matches_sequential_greedy(spark, sf_dir):
     for host, (budget, n, nd, by) in got.items():
         if nd > 0:
             assert budget - by < 1000 + 49 * 100  # packed to within max URL size
+
+
+# ---------------------------------------------------------------- q162
+
+
+def test_q162_verdicts_and_bruteforce_recount(spark, sf_dir):
+    """The mined verdicts must be exactly page=content-bearing,
+    utm/ref=neutral, and the group counts must match a brute-force
+    Python recount of the identical URL-synth rule. For page — whose
+    fingerprint varies 1:1 with its value — every multi-value group
+    must violate."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from voz_spark.crawlops import q162_tracking_param_mining
+    from voz_spark.session import load_table
+
+    us = [
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events").select("event_id").collect()
+    ]
+    groups: dict[tuple, tuple[set, set]] = {}
+    for u in us:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        path = f"p{u % 97}"
+        page, utm = str(h % 4), str(h // 4 % 7)
+        has_ref, ref = (h // 28) % 3 == 0, str(h // 84 % 5)
+        fp = hashlib.md5(f"{path}:{page}".encode()).hexdigest()
+        tail = f"&ref={ref}" if has_ref else ""
+        ex = [
+            ("page", page, f"{path}?utm={utm}{tail}"),
+            ("utm", utm, f"{path}?page={page}{tail}"),
+        ]
+        if has_ref:
+            ex.append(("ref", ref, f"{path}?page={page}&utm={utm}"))
+        for param, val, stripped in ex:
+            vs, fs = groups.setdefault((param, stripped), (set(), set()))
+            vs.add(val)
+            fs.add(fp)
+    want = {}
+    for (param, _), (vs, fs) in groups.items():
+        n, m, v = want.get(param, (0, 0, 0))
+        want[param] = (
+            n + 1,
+            m + (len(vs) > 1),
+            v + (len(vs) > 1 and len(fs) > 1),
+        )
+    rows = q162_tracking_param_mining(spark, sf_dir).collect()
+    got = {
+        r["param"]: (r["n_groups"], r["n_multi_value_groups"], r["n_violating_groups"])
+        for r in rows
+    }
+    assert got == want
+    verdicts = {r["param"]: r["verdict"] for r in rows}
+    assert verdicts == {
+        "page": "content-bearing",
+        "utm": "neutral",
+        "ref": "neutral",
+    }
+    page = next(r for r in rows if r["param"] == "page")
+    assert page["n_violating_groups"] == page["n_multi_value_groups"] > 0

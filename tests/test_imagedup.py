@@ -710,3 +710,36 @@ def test_q161_blur_plants_flagged_with_margin(spark, sf_dir):
     for iid, score in full.items():
         if iid not in plants:
             assert score > 3 * _Q161_GATE_MILLI, (iid, score)
+
+
+# ---------------------------------------------------------------- q163
+
+
+def test_q163_bars_found_with_exact_crop(spark, sf_dir):
+    """Every letterbox plant must flag as 'letterbox' with crop_h
+    shrunk by exactly 2*(h//4) (pillarbox symmetrically), the flagged
+    set must be exactly the plants, and the crop rectangle must never
+    be empty."""
+    from voz_spark import synth
+    from voz_spark.imagedup import _Q163_N_IMAGES, q163_letterbox_detection
+
+    rows = q163_letterbox_detection(spark, sf_dir).collect()
+    got = {r["image_id"]: r for r in rows}
+    letters = {i for i in range(_Q163_N_IMAGES) if i % 7 == 2}
+    pillars = {i for i in range(_Q163_N_IMAGES) if i % 7 == 5}
+    ids = {i: synth.image_row(i)["image_id"] for i in range(_Q163_N_IMAGES)}
+    assert set(got) == {ids[i] for i in letters | pillars}
+    for i in letters:
+        r = got[ids[i]]
+        h, w = r["h"], r["w"]
+        assert r["bar_kind"] == "letterbox"
+        assert r["top_rows"] == r["bottom_rows"] == h // 4
+        assert r["crop_h"] == h - 2 * (h // 4) and r["crop_w"] <= w
+        assert r["crop_h"] > 0 and r["crop_w"] > 0
+    for i in pillars:
+        r = got[ids[i]]
+        w = r["w"]
+        assert r["bar_kind"] == "pillarbox"
+        assert r["left_cols"] == r["right_cols"] == w // 4
+        assert r["crop_w"] == w - 2 * (w // 4)
+        assert r["crop_h"] > 0 and r["crop_w"] > 0

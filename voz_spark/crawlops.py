@@ -3083,3 +3083,161 @@ def q160_byte_budget_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q162: tracking-parameter mining — q117's canonicalizer strips a
+# FIXED list of tracking params (utm_*, fbclid, ...), but the long
+# tail of session/affiliate junk is site-specific and must be LEARNED
+# from the crawl itself: a query parameter is content-neutral iff,
+# among URLs identical except for that parameter, the fetched content
+# fingerprint never varies. This query mines that evidence per
+# parameter: explode each URL into (param, stripped-URL-without-it)
+# rows, group by (param, stripped), and count groups where the
+# parameter's value varies but the fingerprint does not (neutral) vs
+# varies WITH it (content-bearing). Neutral verdicts feed the
+# canonicalizer's strip list; content-bearing params (pagination etc.)
+# must never be stripped. The reference hardcodes nothing of the sort
+# — it crawls one forum whose URLs it fully controls.
+#
+# URL synth from `events` (identical integer rules both engines):
+# 60-bit md5 pseudo-digits give INDEPENDENT param values (a direct
+# modulus of event_id would entangle path and params and leave every
+# stripped group single-valued): path p = event_id % 97, page = h % 4
+# (content-bearing: fp = md5(path:page)), utm = (h div 4) % 7 and an
+# optional ref = (h div 84) % 5 when (h div 28) % 3 = 0 (both
+# neutral). Params keep a canonical order [page, utm, ref].
+#
+# Scale shape: explode is <= 3 rows per URL (bounded by a URL's param
+# count); ONE shuffle on (param, stripped) whose groups are
+# near-duplicate URL families (politeness-bounded in practice); the
+# per-param rollup has O(|params|) groups. The engine side is fully
+# generic array machinery (filter/transform/array_join over the
+# params list) — only the fixture knows the param names.
+# ---------------------------------------------------------------------------
+
+_Q162_ORACLE = """
+WITH h AS (
+  SELECT event_id AS u,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+         'p' || CAST(event_id % 97 AS VARCHAR) AS path
+  FROM events
+),
+d AS (
+  SELECT u, path,
+         CAST(h % 4 AS VARCHAR) AS page,
+         CAST((h // 4) % 7 AS VARCHAR) AS utm,
+         (h // 28) % 3 = 0 AS has_ref,
+         CAST((h // 84) % 5 AS VARCHAR) AS ref,
+         md5(path || ':' || CAST(h % 4 AS VARCHAR)) AS fp
+  FROM h
+),
+ex AS (
+  SELECT 'page' AS param, page AS val, fp,
+         path || '?' || 'utm=' || utm ||
+           CASE WHEN has_ref THEN '&ref=' || ref ELSE '' END AS stripped
+  FROM d
+  UNION ALL
+  SELECT 'utm', utm, fp,
+         path || '?' || 'page=' || page ||
+           CASE WHEN has_ref THEN '&ref=' || ref ELSE '' END
+  FROM d
+  UNION ALL
+  SELECT 'ref', ref, fp,
+         path || '?' || 'page=' || page || '&utm=' || utm
+  FROM d WHERE has_ref
+),
+g AS (
+  SELECT param, stripped,
+         COUNT(DISTINCT val) AS nv, COUNT(DISTINCT fp) AS nf
+  FROM ex GROUP BY 1, 2
+)
+SELECT param,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_value_groups,
+       CAST(SUM(CASE WHEN nv > 1 AND nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CASE WHEN SUM(CASE WHEN nv > 1 AND nf > 1 THEN 1 ELSE 0 END) > 0
+            THEN 'content-bearing' ELSE 'neutral' END AS verdict
+FROM g GROUP BY param ORDER BY param
+"""
+
+
+@register("q162_tracking_param_mining", oracle=_Q162_ORACLE)
+def q162_tracking_param_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn which query parameters are content-neutral (strippable by
+    the canonicalizer) vs content-bearing: per (param, URL-stripped-
+    of-it) group, does the fingerprint vary with the value? Generic
+    array filter/transform machinery, <= |params| rows per URL."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    h = ev.select(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+        F.concat(F.lit("p"), (F.col("event_id") % 97).cast("string")).alias("path"),
+    )
+    pstruct = lambda name, val: F.struct(  # noqa: E731
+        F.lit(name).alias("name"), val.cast("string").alias("val")
+    )
+    empty = F.array().cast("array<struct<name:string,val:string>>")
+    d = h.select(
+        "path",
+        F.md5(
+            F.concat(F.col("path"), F.lit(":"), (F.col("h") % 4).cast("string"))
+        ).alias("fp"),
+        F.concat(
+            F.array(
+                pstruct("page", F.col("h") % 4),
+                pstruct("utm", F.expr("(h div 4) % 7")),
+            ),
+            F.when(
+                F.expr("(h div 28) % 3") == 0,
+                F.array(pstruct("ref", F.expr("(h div 84) % 5"))),
+            ).otherwise(empty),
+        ).alias("params"),
+    )
+    ex = d.select(
+        "path",
+        "fp",
+        "params",
+        F.explode("params").alias("pr"),
+    ).select(
+        F.col("pr.name").alias("param"),
+        F.col("pr.val").alias("val"),
+        "fp",
+        F.concat(
+            F.col("path"),
+            F.lit("?"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.col("params"), lambda y: y["name"] != F.col("pr.name")
+                    ),
+                    lambda y: F.concat(y["name"], F.lit("="), y["val"]),
+                ),
+                "&",
+            ),
+        ).alias("stripped"),
+    )
+    g = ex.groupBy("param", "stripped").agg(
+        F.countDistinct("val").alias("nv"), F.countDistinct("fp").alias("nf")
+    )
+    viol = F.when((F.col("nv") > 1) & (F.col("nf") > 1), 1).otherwise(0)
+    return (
+        g.groupBy("param")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("nv") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi_value_groups"),
+            F.sum(viol).cast("long").alias("n_violating_groups"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_violating_groups") > 0, F.lit("content-bearing")).otherwise(
+                F.lit("neutral")
+            ),
+        )
+        .orderBy("param")
+    )

@@ -3079,3 +3079,144 @@ def q161_blur_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sharpness_milli") < _Q161_GATE_MILLI)
         .orderBy("image_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163: letterbox / pillarbox border detection — video thumbnails and
+# re-posted screenshots arrive wrapped in constant-color bars (black
+# letterbox top/bottom, pillarbox left/right). The bars (a) waste
+# training pixels, (b) shift the aspect-ratio bucket (q149) so the
+# image trains at the WRONG resolution, and (c) defeat pHash dedup
+# against the unbarred original because the DCT sees the bars. The
+# detector is per-image: count the consecutive uniform-color rows from
+# the top/bottom and uniform columns from the left/right edges of the
+# real decoded pixels, flag images with >= 4 bar lines on an opposing
+# pair, and emit the crop rectangle that recovers the content. All
+# counts are exact integers. The reference stores thumbnails as
+# served (src/image_processor.py) and never inspects borders.
+#
+# Fixture (write-once _materialized): every idx % 7 == 2 image gets
+# constant bars of h//4 rows top+bottom (letterbox), every idx % 7 ==
+# 5 gets w//4 columns left+right (pillarbox); others keep natural
+# pixels. The builder's numpy edge-scan IS the measured decode+stat
+# operator; the stats land in parquet so DuckDB applies the identical
+# gate to identical rows.
+#
+# Scale shape: per-image work only — shuffle-free mapInPandas
+# decode+scan, in-row gate + crop arithmetic, ORDER BY. Embarrassingly
+# parallel at 10^10 images.
+# ---------------------------------------------------------------------------
+
+Q163_STATS_PATH = "/tmp/voz_spark_q163_borders"
+
+_Q163_N_IMAGES = 360
+_Q163_MIN_BAR_LINES = 4  # flag when an opposing pair has >= 4 bar lines
+
+
+_Q163_ORACLE = f"""
+WITH s AS (
+  SELECT * FROM read_parquet('{Q163_STATS_PATH}/*.parquet')
+)
+SELECT image_id, h, w, top_rows, bottom_rows, left_cols, right_cols,
+       CASE WHEN top_rows + bottom_rows >= left_cols + right_cols
+            THEN 'letterbox' ELSE 'pillarbox' END AS bar_kind,
+       CAST(h - top_rows - bottom_rows AS BIGINT) AS crop_h,
+       CAST(w - left_cols - right_cols AS BIGINT) AS crop_w
+FROM s
+WHERE top_rows + bottom_rows >= {_Q163_MIN_BAR_LINES}
+   OR left_cols + right_cols >= {_Q163_MIN_BAR_LINES}
+ORDER BY image_id
+"""
+
+
+def _q163_stats_builder(spark: SparkSession):
+    """Per-image uniform-border counts over real decoded pixels;
+    idx % 7 == 2 images get letterbox bars, idx % 7 == 5 pillarbox."""
+
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+
+        def uniform_run(lines):
+            """Count leading lines that are each a single constant color."""
+            n = 0
+            for line in lines:
+                if (line == line[0]).all():
+                    n += 1
+                else:
+                    break
+            return n
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    px = synth.image_pixels(idx).copy()
+                    h, w = px.shape[0], px.shape[1]
+                    if idx % 7 == 2:
+                        px[: h // 4, :, :] = 16
+                        px[h - h // 4 :, :, :] = 16
+                    elif idx % 7 == 5:
+                        px[:, : w // 4, :] = 16
+                        px[:, w - w // 4 :, :] = 16
+                    flat = px.reshape(h, w * px.shape[2])
+                    flat_t = np.transpose(px, (1, 0, 2)).reshape(w, h * px.shape[2])
+                    rows.append(
+                        {
+                            "image_id": synth.image_row(idx)["image_id"],
+                            "h": h,
+                            "w": w,
+                            "top_rows": uniform_run(flat),
+                            "bottom_rows": uniform_run(flat[::-1]),
+                            "left_cols": uniform_run(flat_t),
+                            "right_cols": uniform_run(flat_t[::-1]),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q163_N_IMAGES)
+            .repartition(8)
+            .mapInPandas(
+                gen,
+                "image_id string, h long, w long, top_rows long,"
+                " bottom_rows long, left_cols long, right_cols long",
+            )
+        )
+
+    return build
+
+
+@register("q163_letterbox_detection", oracle=_Q163_ORACLE)
+def q163_letterbox_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-color letterbox/pillarbox bars from exact uniform-edge
+    runs over real pixels, with the recovering crop rectangle.
+    Shuffle-free decode+scan, in-row gate."""
+    t = _materialized(
+        spark,
+        Q163_STATS_PATH,
+        f"n={_Q163_N_IMAGES};border-runs;letter=7:2;pillar=7:5;v1",
+        _q163_stats_builder(spark),
+    )
+    tb = F.col("top_rows") + F.col("bottom_rows")
+    lr = F.col("left_cols") + F.col("right_cols")
+    return (
+        t.where((tb >= _Q163_MIN_BAR_LINES) | (lr >= _Q163_MIN_BAR_LINES))
+        .select(
+            "image_id",
+            "h",
+            "w",
+            "top_rows",
+            "bottom_rows",
+            "left_cols",
+            "right_cols",
+            F.when(tb >= lr, F.lit("letterbox"))
+            .otherwise(F.lit("pillarbox"))
+            .alias("bar_kind"),
+            (F.col("h") - tb).cast("long").alias("crop_h"),
+            (F.col("w") - lr).cast("long").alias("crop_w"),
+        )
+        .orderBy("image_id")
+    )
