@@ -530,3 +530,39 @@ def test_q133_round_robin_head_properties(spark, sf_dir):
         assert by_pos[r.global_pos].rk == (r.global_pos - 1) // n + 1
     for s, rks in per_src.items():
         assert sorted(rks) == list(range(1, _Q133_R + 1)), s
+
+
+def test_q165_split_leakage_matches_independent_recompute(spark, sf_dir):
+    """Straddling clusters recomputed independently in Python (hashlib
+    md5 split rule + repost augmentation) equal the Spark result."""
+    import hashlib
+
+    import duckdb
+
+    from voz_spark.dataprep import q165_split_leakage_audit
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+
+    def split(doc_id: int) -> str:
+        hs = hashlib.md5(str(doc_id).encode()).hexdigest()[4:8]
+        return "train" if hs < "cccc" else ("val" if hs < "e666" else "test")
+
+    clusters: dict[str, list[int]] = {}
+    for doc_id, text in docs:
+        th = hashlib.md5(text.encode()).hexdigest()
+        clusters.setdefault(th, []).append(doc_id)
+        if doc_id % 13 == 0:
+            clusters.setdefault(th, []).append(doc_id + 1_000_000)
+    want = {}
+    for th, ids in clusters.items():
+        n_train = sum(1 for i in ids if split(i) == "train")
+        n_eval = len(ids) - n_train
+        if n_train > 0 and n_eval > 0:
+            want[th] = (len(ids), n_train, n_eval, min(i for i in ids if split(i) != "train"))
+    got = {
+        r["text_hash"]: (r["n_docs"], r["n_train"], r["n_eval"], r["first_leaked_eval_doc"])
+        for r in q165_split_leakage_audit(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

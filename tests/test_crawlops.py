@@ -874,3 +874,19 @@ def test_q162_verdicts_and_bruteforce_recount(spark, sf_dir):
     }
     page = next(r for r in rows if r["param"] == "page")
     assert page["n_violating_groups"] == page["n_multi_value_groups"] > 0
+
+
+def test_q166_template_verdicts(spark, sf_dir):
+    """The three planted URL families land in the three verdict
+    classes: calendar trap (constant fingerprint under unbounded
+    digit URLs), sort-order redundancy (~6 URLs per listing), real
+    content (1 URL per fingerprint)."""
+    from voz_spark.crawlops import q166_url_template_mining
+
+    rows = {r["template"]: r for r in q166_url_template_mining(spark, sf_dir).collect()}
+    assert set(rows) == {"/cal/{d}/{d}/{d}", "/forum/t{d}/p{d}", "/list/{d}/sort-{d}"}
+    assert rows["/cal/{d}/{d}/{d}"]["verdict"] == "trap"
+    assert rows["/cal/{d}/{d}/{d}"]["n_fingerprints"] == 1
+    assert rows["/forum/t{d}/p{d}"]["verdict"] == "content"
+    assert rows["/forum/t{d}/p{d}"]["n_urls"] == rows["/forum/t{d}/p{d}"]["n_fingerprints"]
+    assert rows["/list/{d}/sort-{d}"]["verdict"] == "redundant"

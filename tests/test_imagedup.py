@@ -743,3 +743,26 @@ def test_q163_bars_found_with_exact_crop(spark, sf_dir):
         assert r["left_cols"] == r["right_cols"] == w // 4
         assert r["crop_w"] == w - 2 * (w // 4)
         assert r["crop_h"] > 0 and r["crop_w"] > 0
+
+
+def test_q164_exposure_gate_flags_exactly_the_planted_images(spark, sf_dir):
+    """Every idx%9==4 fixture image is flagged 'over', every idx%9==7
+    'under', and no natural image is flagged at all (the gate band has
+    >3x margin on both sides)."""
+    from voz_spark import synth
+    from voz_spark.imagedup import _Q164_N, q164_exposure_gate
+
+    rows = q164_exposure_gate(spark, sf_dir).collect()
+    got = {r["image_id"]: r["exposure"] for r in rows}
+    want = {}
+    for idx in range(_Q164_N):
+        if idx % 9 == 4:
+            want[synth.image_id(idx)] = "over"
+        elif idx % 9 == 7:
+            want[synth.image_id(idx)] = "under"
+    assert got == want
+    for r in rows:
+        if r["exposure"] == "over":
+            assert r["mean_luma_milli"] > 176_000 and r["bright_milli"] >= 0
+        else:
+            assert r["mean_luma_milli"] < 80_000

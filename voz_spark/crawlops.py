@@ -3241,3 +3241,134 @@ def q162_tracking_param_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("param")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166: URL path-template mining — the structural complement of q162
+# (which learns strippable QUERY params) and q99 (which detects traps
+# by per-host depth/fanout): generalize each URL path by collapsing
+# digit runs ('/cal/2026/8/19' -> '/cal/{d}/{d}/{d}') and judge each
+# TEMPLATE by how much distinct content its URL population actually
+# serves. A calendar trap mints unbounded URLs that all render the
+# same empty grid (urls-per-fingerprint explodes); sort-order
+# variants serve each listing ~6 ways (redundant); real content
+# templates sit near 1 URL per fingerprint. The verdict drives the
+# frontier's template-level admission policy — a capability the
+# reference (one hand-picked forum) never needs.
+#
+# URL synth from `events` (identical integer rules both engines,
+# q162's md5 pseudo-digit idiom): e % 3 == 0 -> calendar trap page
+# (constant fingerprint), else e % 7 == 1 -> listing sort variant
+# (fingerprint of the listing only), else forum thread page
+# (fingerprint of the full path).
+#
+# Scale shape: scan -> project (regexp template + md5 fp) -> one hash
+# aggregate keyed by template (bounded by the template vocabulary,
+# thousands at web scale, not URL count) with distinct-counting
+# partials -> in-row verdict. The regexp is a single linear pass per
+# URL, JVM-codegen'd; no joins, no windows, no Python.
+# ---------------------------------------------------------------------------
+
+_Q166_ORACLE = """
+WITH h AS (
+  SELECT event_id AS e,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+u AS (
+  SELECT CASE
+           WHEN e % 3 = 0 THEN
+             '/cal/' || CAST(2000 + h % 40 AS VARCHAR)
+               || '/' || CAST(1 + (h // 40) % 12 AS VARCHAR)
+               || '/' || CAST(1 + (h // 480) % 28 AS VARCHAR)
+           WHEN e % 7 = 1 THEN
+             '/list/' || CAST(e % 20 AS VARCHAR) || '/sort-' || CAST(h % 6 AS VARCHAR)
+           ELSE
+             '/forum/t' || CAST(e % 50 AS VARCHAR) || '/p' || CAST(h % 4 AS VARCHAR)
+         END AS path,
+         CASE
+           WHEN e % 3 = 0 THEN md5('cal-empty')
+           WHEN e % 7 = 1 THEN md5('/list/' || CAST(e % 20 AS VARCHAR))
+           ELSE md5('/forum/t' || CAST(e % 50 AS VARCHAR) || '/p' || CAST(h % 4 AS VARCHAR))
+         END AS fp
+  FROM h
+),
+g AS (
+  SELECT regexp_replace(path, '[0-9]+', '{d}', 'g') AS template,
+         CAST(COUNT(DISTINCT path) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints
+  FROM u GROUP BY 1
+)
+SELECT template, n_urls, n_fingerprints,
+       CAST(1000 * n_urls // n_fingerprints AS BIGINT) AS urls_per_fp_milli,
+       CASE WHEN 1000 * n_urls // n_fingerprints <= 1500 THEN 'content'
+            WHEN 1000 * n_urls // n_fingerprints <= 20000 THEN 'redundant'
+            ELSE 'trap' END AS verdict
+FROM g ORDER BY template
+"""
+
+
+@register("q166_url_template_mining", oracle=_Q166_ORACLE)
+def q166_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judge URL path templates (digit runs collapsed to {d}) by
+    distinct-URLs-per-distinct-fingerprint: content vs redundant vs
+    crawler trap. One bounded-key hash aggregate, no joins."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    b = ev.select(
+        F.col("event_id").alias("e"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    path = (
+        F.when(
+            F.col("e") % 3 == 0,
+            F.concat(
+                F.lit("/cal/"),
+                s(F.lit(2000) + F.col("h") % 40),
+                F.lit("/"),
+                s(F.lit(1) + F.expr("h div 40") % 12),
+                F.lit("/"),
+                s(F.lit(1) + F.expr("h div 480") % 28),
+            ),
+        )
+        .when(
+            F.col("e") % 7 == 1,
+            F.concat(F.lit("/list/"), s(F.col("e") % 20), F.lit("/sort-"), s(F.col("h") % 6)),
+        )
+        .otherwise(
+            F.concat(F.lit("/forum/t"), s(F.col("e") % 50), F.lit("/p"), s(F.col("h") % 4))
+        )
+    )
+    fp = (
+        F.when(F.col("e") % 3 == 0, F.md5(F.lit("cal-empty")))
+        .when(
+            F.col("e") % 7 == 1,
+            F.md5(F.concat(F.lit("/list/"), s(F.col("e") % 20))),
+        )
+        .otherwise(
+            F.md5(F.concat(F.lit("/forum/t"), s(F.col("e") % 50), F.lit("/p"), s(F.col("h") % 4)))
+        )
+    )
+    u = b.select(path.alias("path"), fp.alias("fp"))
+    g = (
+        u.groupBy(F.regexp_replace("path", "[0-9]+", "{d}").alias("template"))
+        .agg(
+            F.countDistinct("path").cast("long").alias("n_urls"),
+            F.countDistinct("fp").cast("long").alias("n_fingerprints"),
+        )
+    )
+    ratio = F.expr("1000 * n_urls div n_fingerprints").cast("long")
+    return (
+        g.select("template", "n_urls", "n_fingerprints", ratio.alias("urls_per_fp_milli"))
+        .withColumn(
+            "verdict",
+            F.when(F.col("urls_per_fp_milli") <= 1500, F.lit("content"))
+            .when(F.col("urls_per_fp_milli") <= 20000, F.lit("redundant"))
+            .otherwise(F.lit("trap")),
+        )
+        .orderBy("template")
+    )

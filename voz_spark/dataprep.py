@@ -2495,3 +2495,93 @@ def q155_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165: train/eval split-leakage audit — the gate that q58 (hash
+# split) and q20 (exact dedup) individually cannot provide: a
+# duplicate CLUSTER whose members land on BOTH sides of the split
+# leaks eval content into training and silently inflates eval scores
+# (the "contamination" failure mode of Lee et al. 2022 §5, applied to
+# the split boundary instead of an external benchmark — q75 covers the
+# external case). The audit groups the corpus by content hash, tags
+# each member with its q58 split (a pure function of md5(doc_id)), and
+# emits every cluster that straddles train and val/test, with the
+# leaked eval doc ids' min as the actionable survivor hint.
+#
+# Corpus: documents plus a deterministic "repost" layer (every
+# doc_id % 13 == 0 document re-enters under doc_id + 1,000,000 —
+# the same rule on both engines), modelling quote-reposts whose new
+# ids draw independent split assignments. The reference's forum world
+# has exactly this shape: quoted posts duplicate content under new
+# post ids (src/post_parser.py quote blocks).
+#
+# Scale shape: one hash aggregate keyed by the content hash (the q20
+# shuffle), constant agg payload, then an in-row straddle filter. No
+# joins, no windows; at 10^10 docs the only shuffle is the dedup
+# shuffle the pipeline already pays.
+# ---------------------------------------------------------------------------
+
+_Q165_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+),
+s AS (
+  SELECT doc_id, md5(text) AS text_hash,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 5, 4) < 'cccc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 5, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM aug
+),
+c AS (
+  SELECT text_hash,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         MIN(CASE WHEN split <> 'train' THEN doc_id END) AS first_leaked_eval_doc
+  FROM s GROUP BY text_hash
+)
+SELECT text_hash, n_docs, n_train, n_eval,
+       CAST(first_leaked_eval_doc AS BIGINT) AS first_leaked_eval_doc
+FROM c
+WHERE n_train > 0 AND n_eval > 0
+ORDER BY text_hash
+"""
+
+
+@register("q165_split_leakage_audit", oracle=_Q165_ORACLE)
+def q165_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters straddling the q58 train/eval split boundary
+    (eval-set contamination): one content-hash aggregate over the
+    repost-augmented corpus, in-row straddle filter."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    hsplit = F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4)
+    s = aug.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.when(hsplit < "cccc", "train")
+        .when(hsplit < "e666", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    is_eval = F.col("split") != "train"
+    return (
+        s.groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(~is_eval, 1).otherwise(0)).cast("long").alias("n_train"),
+            F.sum(F.when(is_eval, 1).otherwise(0)).cast("long").alias("n_eval"),
+            F.min(F.when(is_eval, F.col("doc_id"))).cast("long").alias(
+                "first_leaked_eval_doc"
+            ),
+        )
+        .where((F.col("n_train") > 0) & (F.col("n_eval") > 0))
+        .orderBy("text_hash")
+    )

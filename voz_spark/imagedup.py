@@ -3220,3 +3220,124 @@ def q163_letterbox_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q164: exposure gate — mean-luma + clipped-tail detection, the third
+# leg of the image-quality tripod (q161 blur = frequency domain, q151
+# graphic = color cardinality, q164 exposure = luminance domain).
+# Over/under-exposed crawl images (night shots, washed-out scans,
+# flash blowouts) survive dedup and caption gates but train the model
+# on near-empty luminance signal. The statistic is the integer mean
+# luma (gray = (r+g+b) div 3) plus the exact pixel counts in the
+# crushed-shadow (luma <= 24) and blown-highlight (luma >= 232) tails;
+# the gate flags images whose milli mean luma leaves [80000, 176000].
+# All arithmetic is integer-exact so the DuckDB oracle is
+# bit-identical. The reference saves whatever bytes arrive
+# (src/image_processor.py) with no exposure introspection.
+#
+# Fixture (write-once _materialized, q161 discipline): REAL synthetic
+# pixels; every idx % 9 == 4 image is pushed toward white with the
+# integer curve px -> 255 - (255 - px) div 4 (mean ~223, >3x gate
+# margin) and every idx % 9 == 7 toward black with px -> px div 4
+# (mean ~32); naturals sit at ~128 — safely inside the band.
+#
+# Scale shape: per-image decode+stat map work with ZERO shuffle, then
+# an in-row gate + ORDER BY. Embarrassingly parallel at 10^10 images;
+# the stats table (4 ints/image) is what a production pipeline keeps.
+# ---------------------------------------------------------------------------
+
+Q164_STATS_PATH = "/tmp/voz_spark_q164_exposure"
+
+_Q164_N = 360
+_Q164_UNDER_MILLI = 80_000
+_Q164_OVER_MILLI = 176_000
+
+_Q164_ORACLE = f"""
+SELECT image_id,
+       CAST(1000 * luma_sum // n_px AS BIGINT) AS mean_luma_milli,
+       CAST(1000 * n_dark // n_px AS BIGINT) AS dark_milli,
+       CAST(1000 * n_bright // n_px AS BIGINT) AS bright_milli,
+       CASE WHEN 1000 * luma_sum // n_px < {_Q164_UNDER_MILLI}
+            THEN 'under' ELSE 'over' END AS exposure
+FROM read_parquet('{Q164_STATS_PATH}/*.parquet')
+WHERE 1000 * luma_sum // n_px < {_Q164_UNDER_MILLI}
+   OR 1000 * luma_sum // n_px > {_Q164_OVER_MILLI}
+ORDER BY image_id
+"""
+
+
+def _q164_stats_builder(spark: SparkSession):
+    """Per-image integer luma stats over real synthetic pixels;
+    idx % 9 == 4 images are over-exposed, idx % 9 == 7 under-exposed
+    (integer curves, see module comment)."""
+
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    px = synth.image_pixels(idx).astype(np.int64)
+                    if idx % 9 == 4:
+                        px = 255 - (255 - px) // 4
+                    elif idx % 9 == 7:
+                        px = px // 4
+                    luma = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                    rows.append(
+                        {
+                            "image_id": synth.image_row(idx)["image_id"],
+                            "luma_sum": int(luma.sum()),
+                            "n_dark": int((luma <= 24).sum()),
+                            "n_bright": int((luma >= 232).sum()),
+                            "n_px": int(luma.size),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_Q164_N)
+            .repartition(8)
+            .mapInPandas(
+                gen,
+                "image_id string, luma_sum long, n_dark long, n_bright long, n_px long",
+            )
+        )
+
+    return build
+
+
+@register("q164_exposure_gate", oracle=_Q164_ORACLE)
+def q164_exposure_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure gate: images whose integer milli mean luma leaves the
+    [80k, 176k] band, with exact crushed-shadow / blown-highlight
+    pixel fractions. Shuffle-free decode+stat pass, in-row gate."""
+    t = _materialized(
+        spark,
+        Q164_STATS_PATH,
+        f"n={_Q164_N};luma;over=9:4;under=9:7;v1",
+        _q164_stats_builder(spark),
+    )
+    mean_milli = F.expr("1000 * luma_sum div n_px").cast("long")
+    return (
+        t.select(
+            "image_id",
+            mean_milli.alias("mean_luma_milli"),
+            F.expr("1000 * n_dark div n_px").cast("long").alias("dark_milli"),
+            F.expr("1000 * n_bright div n_px").cast("long").alias("bright_milli"),
+        )
+        .where(
+            (F.col("mean_luma_milli") < _Q164_UNDER_MILLI)
+            | (F.col("mean_luma_milli") > _Q164_OVER_MILLI)
+        )
+        .withColumn(
+            "exposure",
+            F.when(F.col("mean_luma_milli") < _Q164_UNDER_MILLI, F.lit("under"))
+            .otherwise(F.lit("over")),
+        )
+        .orderBy("image_id")
+    )
