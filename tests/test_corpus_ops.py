@@ -566,3 +566,39 @@ def test_q165_split_leakage_matches_independent_recompute(spark, sf_dir):
         for r in q165_split_leakage_audit(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------- q173
+
+
+def test_q173_containment_classes_on_planted_corpus(spark):
+    """A verbatim copy must score near-identical, a contiguous excerpt
+    must score contained (high containment, LOW jaccard — the case
+    q26's symmetric score misses), and a partial overlap must stay
+    overlap. Scores are exact integer milli."""
+    from voz_spark.dataprep import containment_pairs
+
+    w = [f"w{i}x" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w[:20])),          # base: 18 shingles
+            (2, " ".join(w[:20])),          # verbatim copy
+            (3, " ".join(w[:10])),          # contiguous excerpt: 8 shingles, all in base
+            (4, " ".join(w[12:32])),        # shifted window: partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs).collect()}
+    dup = rows[(1, 2)]
+    assert (dup["containment_milli"], dup["jaccard_milli"], dup["relation"]) == (
+        1000, 1000, "near-identical",
+    )
+    exc = rows[(1, 3)]
+    assert exc["n_inter"] == 8 and exc["n_a"] == 18 and exc["n_b"] == 8
+    assert exc["containment_milli"] == 1000
+    assert exc["jaccard_milli"] == 1000 * 8 // 18  # 444 — jaccard misses it
+    assert exc["relation"] == "contained"
+    ov = rows[(1, 4)]
+    # docs 1 and 4 share shingles w12..w17-start: 6 shingles
+    assert ov["n_inter"] == 6 and ov["relation"] == "overlap"
+    assert ov["containment_milli"] == 1000 * 6 // 18

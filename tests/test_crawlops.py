@@ -890,3 +890,283 @@ def test_q166_template_verdicts(spark, sf_dir):
     assert rows["/forum/t{d}/p{d}"]["verdict"] == "content"
     assert rows["/forum/t{d}/p{d}"]["n_urls"] == rows["/forum/t{d}/p{d}"]["n_fingerprints"]
     assert rows["/list/{d}/sort-{d}"]["verdict"] == "redundant"
+
+
+# ---------------------------------------------------------------- q167
+
+
+def test_q167_majority_alt_election_and_grading(spark, sf_dir):
+    """Every image's canonical alt must be the strict 6-vote majority
+    variant (d+1)%5 — beating the 3-vote slot-0 variant even when the
+    loser sorts lexicographically first — and the grade must follow
+    the planted class of the WINNING alt."""
+    from voz_spark.crawlops import q167_alt_text_mining
+
+    def alt_for(d: int, v: int) -> str:
+        return [
+            "",
+            f"IMG_{d:04d}.jpg",
+            "photo",
+            f"rig build log {d} with custom loop",
+            f"desk setup photo from thread {d}",
+        ][v]
+
+    rows = {r["img_url"]: r for r in q167_alt_text_mining(spark, sf_dir).collect()}
+    assert len(rows) == 100
+    classes = {0: "empty", 1: "filename", 2: "generic", 3: "descriptive", 4: "descriptive"}
+    for d in range(100):
+        r = rows[f"https://cdn{d % 4}.voz.test/img/{d:04d}.jpg"]
+        win = (d + 1) % 5
+        assert r["canon_alt"] == alt_for(d, win)
+        assert (r["n_votes"], r["n_pages"], r["n_variants"]) == (6, 9, 2)
+        assert r["alt_class"] == classes[win]
+    # d=4: winner "" (empty) must beat the 3-vote descriptive variant;
+    # d=0: winner IMG_0000.jpg must beat "" although "" sorts first.
+    assert rows["https://cdn0.voz.test/img/0004.jpg"]["canon_alt"] == ""
+    assert rows["https://cdn0.voz.test/img/0000.jpg"]["canon_alt"] == "IMG_0000.jpg"
+
+
+# ---------------------------------------------------------------- q168
+
+
+def test_q168_cache_state_and_shard_recount(spark, sf_dir):
+    """The shard/state work orders must match a brute-force Python
+    replay of the identical host-fold + TTL rule, and every host id
+    must land in exactly one state."""
+    from voz_spark.crawlops import q168_dns_prefetch_plan
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").collect()
+    per_host: dict[int, int] = {}
+    for r in ev:
+        hid = r["event_id"] % 211
+        per_host[hid] = per_host.get(hid, 0) + 1
+    want: dict[tuple, list] = {}
+    for hid, n in per_host.items():
+        if hid % 3 == 0:
+            state = "new"
+        elif 60 * hid > 300 + 300 * (hid % 7):
+            state = "expired"
+        else:
+            state = "fresh"
+        k = (hid % 8, state)
+        agg = want.setdefault(k, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += n
+        agg[2] = max(agg[2], n)
+    rows = q168_dns_prefetch_plan(spark, sf_dir).collect()
+    got = {
+        (r["shard"], r["cache_state"]): [r["n_hosts"], r["n_urls"], r["max_urls_one_host"]]
+        for r in rows
+    }
+    assert got == want
+    # hid 0 (new), hid 50 (expired: 3000s old > 600s ttl), hid 10
+    # (fresh: 600s old <= 1200s ttl) — the three planted exemplars.
+    assert ("new" if 0 % 3 == 0 else "?") == "new"
+    states = {s for (_, s) in got}
+    assert states == {"new", "expired", "fresh"}
+
+
+# ---------------------------------------------------------------- q169
+
+
+def test_q169_tier_budgets_and_recount(spark, sf_dir):
+    """Tier populations must match a brute-force replay of the
+    histogram-cutoff rule: hot <= 10% of the frontier, hot+warm <= 40%,
+    tiers partition the frontier, and priority ranges are disjoint and
+    ordered hot < warm < cold."""
+    import hashlib
+
+    from voz_spark.crawlops import q169_frontier_spill_tiers
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").collect()
+    bins: dict[int, list] = {}
+    for r in ev:
+        e = r["event_id"]
+        p = int(hashlib.md5(str(e).encode()).hexdigest()[:15], 16) % 65536
+        b = bins.setdefault(p, [0, 0])
+        b[0] += 1
+        b[1] += 500 + e % 100 * 10
+    n = sum(c for c, _ in bins.values())
+    cum = 0
+    hot_cut = warm_cut = -1
+    for p in sorted(bins):
+        cum += bins[p][0]
+        if cum * 10 <= n:
+            hot_cut = p
+        if cum * 10 <= n * 4:
+            warm_cut = p
+    want = {}
+    for p, (c, b) in bins.items():
+        tier = "hot" if p <= hot_cut else ("warm" if p <= warm_cut else "cold")
+        agg = want.setdefault(tier, [0, 0, 0, 65536, -1])
+        agg[0] += 1
+        agg[1] += c
+        agg[2] += b
+        agg[3] = min(agg[3], p)
+        agg[4] = max(agg[4], p)
+    rows = q169_frontier_spill_tiers(spark, sf_dir).collect()
+    got = {
+        r["tier"]: [r["n_bins"], r["n_urls"], r["n_bytes"], r["p_min"], r["p_max"]]
+        for r in rows
+    }
+    assert got == want
+    assert set(got) == {"hot", "warm", "cold"}
+    assert got["hot"][1] * 10 <= n
+    assert (got["hot"][1] + got["warm"][1]) * 10 <= n * 4
+    assert got["hot"][1] + got["warm"][1] + got["cold"][1] == n
+    assert got["hot"][4] < got["warm"][3] and got["warm"][4] < got["cold"][3]
+
+
+# ---------------------------------------------------------------- q170
+
+
+def test_q170_rfc9111_parse_and_policy_recount(spark, sf_dir):
+    """Effective-TTL parsing must honor s-maxage precedence and
+    no-store/no-cache zeroing; per-host policy must match a
+    brute-force Python replay of the identical header-synth rule."""
+    import hashlib
+
+    from voz_spark.crawlops import q170_cache_header_policy
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").collect()
+    want: dict[int, list] = {}
+    for r in ev:
+        e = r["event_id"]
+        h = int(hashlib.md5(str(e).encode()).hexdigest()[:15], 16)
+        v = e % 5
+        if v in (1, 3):  # no-store / no-cache
+            ttl, unc, dflt = 0, 1, 0
+        elif v == 0:
+            ttl, unc, dflt = h % 86400, 0, 0
+        elif v == 2:
+            ttl, unc, dflt = (h // 7) % 7200, 0, 0  # s-maxage wins
+        else:
+            ttl, unc, dflt = 3600, 0, 1
+        agg = want.setdefault(e % 53, [0, 0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += unc
+        agg[2] += dflt
+        agg[3] += ttl
+        agg[4] = max(agg[4], ttl)
+    rows = q170_cache_header_policy(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, unc, dflt, tsum, tmax = want[r["host"]]
+        assert [r["n_urls"], r["n_uncacheable"], r["n_default"], r["ttl_sum"], r["ttl_max"]] == [
+            n, unc, dflt, tsum, tmax
+        ]
+        policy = (
+            "always-refetch" if unc * 2 >= n else ("short-ttl" if tsum // n < 1800 else "long-ttl")
+        )
+        assert r["policy"] == policy
+
+
+# ---------------------------------------------------------------- q171
+
+
+def test_q171_planted_mojibake_detected_exactly(spark, sf_dir):
+    """Exactly the planted corruption set (doc_id%7==3, else %11==5)
+    must be rejected — every corrupted doc crosses the 5-milli gate on
+    this corpus (texts are dense in 'a'/'e') and no clean doc scores a
+    single artifact."""
+    from voz_spark.crawlops import q171_mojibake_gate
+    from voz_spark.session import load_table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rows = {r["doc_id"]: r for r in q171_mojibake_gate(spark, sf_dir).collect()}
+    assert len(rows) == len(texts)
+    for d, text in texts.items():
+        r = rows[d]
+        if d % 7 == 3:
+            assert r["n_moji"] == text.count("a")
+        elif d % 11 == 5:
+            assert r["n_moji"] == text.count("e")
+        else:
+            assert r["n_moji"] == 0 and r["verdict"] == "clean"
+        planted = d % 7 == 3 or d % 11 == 5
+        if planted and 1000 * r["n_moji"] // r["n_chars"] >= 5:
+            assert r["verdict"] == "reject"
+    planted_ids = {d for d in texts if d % 7 == 3 or d % 11 == 5}
+    rejected = {d for d, r in rows.items() if r["verdict"] == "reject"}
+    assert rejected <= planted_ids
+    assert len(rejected) >= len(planted_ids) * 9 // 10  # corpus is a/e-dense
+
+
+# ---------------------------------------------------------------- q172
+
+
+def test_q172_p95_recount_and_slow_hosts(spark, sf_dir):
+    """p50/p95 bins must match a brute-force percentile replay, the
+    interval rule must be 2x the p95 bin upper bound floored at
+    200 ms, and exactly the hosts with host % 13 == 2 may be slow."""
+    import hashlib
+
+    from voz_spark.crawlops import q172_latency_politeness
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").collect()
+    lats: dict[int, list] = {}
+    for r in ev:
+        e = r["event_id"]
+        host = e % 97
+        h = int(hashlib.md5(str(e).encode()).hexdigest()[:15], 16)
+        lats.setdefault(host, []).append(50 + h % (3000 if host % 13 == 2 else 1000))
+    rows = {r["host"]: r for r in q172_latency_politeness(spark, sf_dir).collect()}
+    assert len(rows) == len(lats)
+    for host, ls in lats.items():
+        bins = sorted(x // 50 for x in ls)
+        n = len(bins)
+        cum = 0
+        p50 = p95 = None
+        seen = {}
+        for b in bins:
+            seen[b] = seen.get(b, 0) + 1
+        cumc = 0
+        for b in sorted(seen):
+            cumc += seen[b]
+            if p50 is None and 2 * cumc >= n:
+                p50 = b
+            if p95 is None and 20 * cumc >= 19 * n:
+                p95 = b
+        r = rows[host]
+        assert (r["p50_bin"], r["p95_bin"]) == (p50, p95)
+        assert r["interval_ms"] == max(200, (p95 + 1) * 50 * 2)
+        assert r["verdict"] == ("slow" if (p95 + 1) * 50 >= 1500 else "normal")
+        if r["verdict"] == "slow":
+            assert host % 13 == 2
+
+
+# ---------------------------------------------------------------- q175
+
+
+def test_q175_binding_consistency_with_q172(spark, sf_dir):
+    """effective_ms must be the exact max of the declared and adaptive
+    intervals, the binding label must name the winner, and the rows
+    must agree 1:1 with q172's adaptive output."""
+    from voz_spark.crawlops import q172_latency_politeness, q175_effective_crawl_delay
+
+    adaptive = {
+        r["host"]: r["interval_ms"] for r in q172_latency_politeness(spark, sf_dir).collect()
+    }
+    rows = q175_effective_crawl_delay(spark, sf_dir).collect()
+    assert {r["host"] for r in rows} == set(adaptive)
+    for r in rows:
+        want_robots = 5000 if r["host"] % 5 == 0 else (1000 if r["host"] % 5 == 1 else 0)
+        assert r["robots_ms"] == want_robots
+        assert r["adaptive_ms"] == adaptive[r["host"]]
+        assert r["effective_ms"] == max(want_robots, r["adaptive_ms"])
+        if r["binding"] == "robots":
+            assert want_robots >= r["adaptive_ms"] and want_robots > 0
+        elif r["binding"] == "latency":
+            assert r["adaptive_ms"] > max(200, want_robots) or (
+                r["adaptive_ms"] > 200 and want_robots < r["adaptive_ms"]
+            )
+        else:
+            assert r["effective_ms"] == 200 or r["adaptive_ms"] == 200
+    assert {r["binding"] for r in rows} >= {"robots", "latency"}

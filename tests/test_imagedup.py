@@ -766,3 +766,27 @@ def test_q164_exposure_gate_flags_exactly_the_planted_images(spark, sf_dir):
             assert r["mean_luma_milli"] > 176_000 and r["bright_milli"] >= 0
         else:
             assert r["mean_luma_milli"] < 80_000
+
+
+# ---------------------------------------------------------------- q174
+
+
+def test_q174_burst_sessionize_replay(spark, sf_dir):
+    """Bursts must match the planted layout exactly: 60 bursts, sizes
+    1 + (k % 5), survivor = first shot, span = n_shots - 1 seconds,
+    and per-camera burst_seq increments in shot order."""
+    from voz_spark.imagedup import q174_burst_clusters
+
+    rows = q174_burst_clusters(spark, sf_dir).collect()
+    assert len(rows) == 60
+    by_survivor = {r["survivor"]: r for r in rows}
+    for k in range(60):
+        cam = f"cam{k % 8}"
+        r = by_survivor[f"{cam}-{k:04d}-0"]
+        assert r["camera"] == cam
+        assert r["n_shots"] == 1 + k % 5
+        assert r["span_s"] == r["n_shots"] - 1
+        assert r["burst_start"] == 1_700_000_000 + k * 600
+    for cam in {r["camera"] for r in rows}:
+        seqs = sorted(r["burst_seq"] for r in rows if r["camera"] == cam)
+        assert seqs == list(range(1, len(seqs) + 1))

@@ -3372,3 +3372,671 @@ def q166_url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("template")
     )
+
+
+# ---------------------------------------------------------------------------
+# q167: alt-text mining — the image-caption HARVEST step an
+# image+caption dataset pipeline runs over raw HTML: pull every
+# `<img src alt>` tag out of the fetched pages, canonicalize per
+# image URL (the same image is embedded on many pages, often with
+# DIFFERENT alt strings), elect the majority alt as the canonical
+# caption candidate, and grade it (empty / filename / generic /
+# descriptive) so the curation funnel can keep only caption-worthy
+# pairs. The reference takes captions only from the one forum's post
+# text next to each image (src/image_processor.py:44-80); it has no
+# alt-attribute harvest at all — this is the LAION-style acquisition
+# path for (image, caption) rows.
+#
+# Scale shape: tag extraction is an in-row regexp_extract_all +
+# explode (JVM codegen; pages never shuffle their HTML — only the
+# ~100-byte tag strings move). The vote is one hash aggregate keyed
+# by (img_url, alt) — near-unique, no skew — and the election window
+# partitions on img_url over the AGGREGATE, bounded by the alt-variant
+# count per image (a handful), never by page count. Grading is in-row.
+# ---------------------------------------------------------------------------
+
+Q167_PAGES_PATH = "/tmp/voz_spark_q167_imgpages"
+_Q167_N = 300
+
+
+def _img_page_rows() -> list[dict]:
+    """Deterministic img-tag corpus: 300 pages x 3 tags over a 100-image
+    universe (d = (i + 37t) % 100), so each image recurs on exactly 9
+    pages. The alt string rotates through five planted classes —
+    empty, filename-ish, generic, and two competing descriptive
+    variants — with slot 0 casting 3 votes for variant d%5 and slots
+    1-2 casting 6 votes for variant (d+1)%5: every image gets a REAL
+    contested election with a strict 6-vs-3 majority winner."""
+    rows = []
+    for i in range(_Q167_N):
+        tags = []
+        for t in range(3):
+            d = (i + 37 * t) % 100
+            v = (d + (1 if t else 0)) % 5
+            alt = [
+                "",
+                f"IMG_{d:04d}.jpg",
+                "photo",
+                f"rig build log {d} with custom loop",
+                f"desk setup photo from thread {d}",
+            ][v]
+            tags.append(
+                f'<img src="https://cdn{d % 4}.voz.test/img/{d:04d}.jpg" alt="{alt}">'
+            )
+        rows.append(
+            {
+                "url": f"https://h{i % 7}.voz.test/t/{i:03d}",
+                "html": "<html><body>" + "".join(tags) + "</body></html>",
+            }
+        )
+    return rows
+
+
+_Q167_ORACLE = f"""
+WITH t AS (
+  SELECT url, unnest(regexp_extract_all(html, '<img [^>]*>')) AS tag
+  FROM read_parquet('{Q167_PAGES_PATH}/*.parquet')
+),
+x AS (
+  SELECT regexp_extract(tag, 'src="([^"]*)"', 1) AS img_url,
+         regexp_extract(tag, 'alt="([^"]*)"', 1) AS alt
+  FROM t
+),
+g AS (SELECT img_url, alt, COUNT(*) AS n FROM x GROUP BY 1, 2),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY img_url ORDER BY n DESC, alt) AS rk,
+         SUM(n) OVER (PARTITION BY img_url) AS n_pages,
+         COUNT(*) OVER (PARTITION BY img_url) AS n_variants
+  FROM g
+)
+SELECT img_url, alt AS canon_alt,
+       CAST(n AS BIGINT) AS n_votes,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_variants AS BIGINT) AS n_variants,
+       CASE WHEN alt = '' THEN 'empty'
+            WHEN regexp_matches(alt, '^[A-Z]+_[0-9]+[.](jpg|png)$') THEN 'filename'
+            WHEN length(alt) < 8 THEN 'generic'
+            ELSE 'descriptive' END AS alt_class
+FROM r WHERE rk = 1 ORDER BY img_url
+"""
+
+
+@register("q167_alt_text_mining", oracle=_Q167_ORACLE)
+def q167_alt_text_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical alt-text election per image URL with quality grading:
+    in-row tag regexp + one (img, alt) vote aggregate + a variant-
+    bounded election window; the HTML itself never shuffles."""
+    from pyspark.sql import Window
+
+    pages = _materialized(
+        spark,
+        Q167_PAGES_PATH,
+        f"n={_Q167_N};v2",
+        lambda: spark.createDataFrame(_pdf(_img_page_rows())),
+    )
+    tags = pages.select(
+        F.explode(F.regexp_extract_all("html", F.lit("<img [^>]*>"), 0)).alias("tag")
+    )
+    x = tags.select(
+        F.regexp_extract("tag", 'src="([^"]*)"', 1).alias("img_url"),
+        F.regexp_extract("tag", 'alt="([^"]*)"', 1).alias("alt"),
+    )
+    g = x.groupBy("img_url", "alt").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("img_url")
+    r = (
+        g.withColumn(
+            "rk",
+            F.row_number().over(w.orderBy(F.col("n").desc(), F.col("alt"))),
+        )
+        .withColumn("n_pages", F.sum("n").over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(w))
+    )
+    alt_class = (
+        F.when(F.col("alt") == "", F.lit("empty"))
+        .when(F.col("alt").rlike("^[A-Z]+_[0-9]+[.](jpg|png)$"), F.lit("filename"))
+        .when(F.length("alt") < 8, F.lit("generic"))
+        .otherwise(F.lit("descriptive"))
+    )
+    return (
+        r.filter(F.col("rk") == 1)
+        .select(
+            "img_url",
+            F.col("alt").alias("canon_alt"),
+            F.col("n").cast("long").alias("n_votes"),
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.col("n_variants").cast("long").alias("n_variants"),
+            alt_class.alias("alt_class"),
+        )
+        .orderBy("img_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168: DNS prefetch planning — before a fetch round dispatches, every
+# scheduled host must resolve; naive per-fetch resolution hammers
+# resolvers with |URLs| lookups when only |hosts| are needed (and at
+# 10^10 URLs, |hosts| is ~10^7 — three orders smaller). This query
+# folds the frontier to per-host demand, replays the resolver cache's
+# TTL rule to split hosts into fresh / expired / never-resolved, and
+# emits per-resolver-shard work orders with the earliest fetch
+# deadline each shard must beat. The reference resolves implicitly
+# inside requests.get, once per fetch (src/crawler.py).
+#
+# Cache state derives from the host id by integer rules identical in
+# both engines: hid % 3 == 0 -> never resolved ('new'); else the
+# cached entry is (hid % 500) minutes old with a TTL of
+# 300 + (hid % 7) * 300 s -> 'expired' when age exceeds TTL, else
+# 'fresh'.
+#
+# Scale shape: ONE hash aggregate keyed by host folds the frontier
+# (count + min fetch ts partial-combine map-side, so the shuffle
+# carries |hosts| rows, not |URLs|); cache state and shard are then
+# in-row expressions and the final rollup groups on the bounded
+# (shard, state) domain. No joins, no windows, no Python.
+# ---------------------------------------------------------------------------
+
+_Q168_ORACLE = """
+WITH h AS (
+  SELECT event_id % 211 AS hid, COUNT(*) AS n_urls, MIN(ts) AS first_fetch
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT hid, n_urls, first_fetch,
+         CASE WHEN hid % 3 = 0 THEN 'new'
+              WHEN 60 * hid > 300 + 300 * (hid % 7) THEN 'expired'
+              ELSE 'fresh' END AS cache_state
+  FROM h
+)
+SELECT CAST(hid % 8 AS BIGINT) AS shard, cache_state,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(MAX(n_urls) AS BIGINT) AS max_urls_one_host,
+       MIN(first_fetch) AS first_deadline
+FROM c GROUP BY 1, 2 ORDER BY shard, cache_state
+"""
+
+
+@register("q168_dns_prefetch_plan", oracle=_Q168_ORACLE)
+def q168_dns_prefetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-resolver-shard DNS work orders: frontier folded to host
+    grain (one partial-combining aggregate), TTL cache-state replay
+    in-row, bounded (shard, state) rollup with fetch deadlines."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    h = ev.groupBy((F.col("event_id") % 211).alias("hid")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("ts").alias("first_fetch"),
+    )
+    state = (
+        F.when(F.col("hid") % 3 == 0, F.lit("new"))
+        .when(60 * F.col("hid") > 300 + 300 * (F.col("hid") % 7), F.lit("expired"))
+        .otherwise(F.lit("fresh"))
+    )
+    return (
+        h.withColumn("cache_state", state)
+        .groupBy((F.col("hid") % 8).cast("long").alias("shard"), "cache_state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.max("n_urls").cast("long").alias("max_urls_one_host"),
+            F.min("first_fetch").alias("first_deadline"),
+        )
+        .orderBy("shard", "cache_state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169: frontier spill tiers — a 10^10-URL frontier does not fit in
+# executor memory; only the slice the next rounds will actually fetch
+# belongs on the fast tier. This query places every frontier URL into
+# hot (next round: top 10% by priority) / warm (rounds after: next
+# 30%) / cold (spill: the rest) WITHOUT ever globally sorting the
+# frontier: it builds a bounded priority HISTOGRAM (the 64Ki-bucket
+# packed-priority domain), takes a running count over that tiny bin
+# table, derives the two cutoff priorities as scalars, and classifies
+# bins — the exact-threshold top-B idea (frontier.py's per-host
+# batching) lifted to storage placement. The reference holds its whole
+# frontier as a Python list in RAM (src/main.py).
+#
+# Scale shape: one hash aggregate keyed by the 16-bit priority bucket
+# (bounded 65,536 keys regardless of frontier size; count + bytes
+# partial-combine), a window over the BIN table only (never the
+# frontier), two scalar cutoffs broadcast back, and a 3-row rollup.
+# The frontier itself is touched by exactly one exchange — the
+# histogram shuffle. Budgets are integer fractions of the total (10%
+# / 40% cumulative) so every scale factor exercises all three tiers.
+# ---------------------------------------------------------------------------
+
+_Q169_ORACLE = """
+WITH f AS (
+  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 65536 AS p,
+         500 + event_id % 100 * 10 AS nbytes
+  FROM events
+),
+g AS (SELECT p, COUNT(*) AS c, SUM(nbytes) AS b FROM f GROUP BY 1),
+w AS (SELECT *, SUM(c) OVER (ORDER BY p) AS cum, SUM(c) OVER () AS n FROM g),
+cut AS (
+  SELECT MAX(CASE WHEN cum * 10 <= n THEN p END) AS hot_cut,
+         MAX(CASE WHEN cum * 10 <= n * 4 THEN p END) AS warm_cut
+  FROM w
+)
+SELECT CASE WHEN p <= COALESCE(hot_cut, -1) THEN 'hot'
+            WHEN p <= COALESCE(warm_cut, -1) THEN 'warm'
+            ELSE 'cold' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(c) AS BIGINT) AS n_urls,
+       CAST(SUM(b) AS BIGINT) AS n_bytes,
+       CAST(MIN(p) AS BIGINT) AS p_min,
+       CAST(MAX(p) AS BIGINT) AS p_max
+FROM w, cut GROUP BY 1 ORDER BY p_min
+"""
+
+
+@register("q169_frontier_spill_tiers", oracle=_Q169_ORACLE)
+def q169_frontier_spill_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/warm/cold frontier placement via a bounded priority
+    histogram: the frontier shuffles once (bin aggregate); the running
+    count, cutoffs, and tier rollup all happen on the 64Ki-row bin
+    table."""
+    from pyspark.sql import Window
+
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    f = ev.select(
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 65536
+        ).alias("p"),
+        (F.lit(500) + F.col("event_id") % 100 * 10).alias("nbytes"),
+    )
+    g = f.groupBy("p").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("nbytes").alias("b")
+    )
+    # Window over the BIN table (<= 65,536 rows), never the frontier.
+    w = g.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("p"))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy()))
+    cut = w.agg(
+        F.max(F.when(F.col("cum") * 10 <= F.col("n"), F.col("p"))).alias("hot_cut"),
+        F.max(F.when(F.col("cum") * 10 <= F.col("n") * 4, F.col("p"))).alias("warm_cut"),
+    )
+    tier = (
+        F.when(F.col("p") <= F.coalesce(F.col("hot_cut"), F.lit(-1)), F.lit("hot"))
+        .when(F.col("p") <= F.coalesce(F.col("warm_cut"), F.lit(-1)), F.lit("warm"))
+        .otherwise(F.lit("cold"))
+    )
+    return (
+        w.crossJoin(F.broadcast(cut))
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("c").cast("long").alias("n_urls"),
+            F.sum("b").cast("long").alias("n_bytes"),
+            F.min("p").cast("long").alias("p_min"),
+            F.max("p").cast("long").alias("p_max"),
+        )
+        .orderBy("p_min")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170: cache-header freshness policy — q100 learns recrawl tiers from
+# OBSERVED content change; this query learns them from what the server
+# DECLARES: parse Cache-Control (no-store / no-cache / max-age /
+# s-maxage, with s-maxage taking shared-cache precedence per RFC 9111
+# §5.2.2.10) into an effective TTL per fetched URL, then roll up a
+# per-host refetch policy. Servers that declare everything uncacheable
+# get 'always-refetch'; short declared lifetimes get 'short-ttl'. The
+# reference sends every request cold and ignores response headers
+# entirely (src/crawler.py).
+#
+# Header synth from `events` (identical string rules both engines):
+# e % 5 picks the variant — bare max-age, no-store, public max-age +
+# s-maxage, no-cache, absent header (heuristic 3600 s default).
+#
+# Scale shape: header parsing is in-row regexp (the '(^|[ ,])max-age='
+# guard keeps max-age from matching inside s-maxage — JVM codegen,
+# no UDF); the only exchange is the bounded per-host rollup, fully
+# partial-combining. No joins, no windows.
+# ---------------------------------------------------------------------------
+
+_Q170_ORACLE = """
+WITH h AS (
+  SELECT event_id AS e,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+u AS (
+  SELECT e % 53 AS host,
+         CASE e % 5
+           WHEN 0 THEN 'max-age=' || CAST(h % 86400 AS VARCHAR)
+           WHEN 1 THEN 'no-store'
+           WHEN 2 THEN 'public, max-age=' || CAST(h % 3600 AS VARCHAR)
+                    || ', s-maxage=' || CAST((h // 7) % 7200 AS VARCHAR)
+           WHEN 3 THEN 'no-cache'
+           ELSE ''
+         END AS cc
+  FROM h
+),
+p AS (
+  SELECT host, cc,
+         CASE
+           WHEN cc LIKE '%no-store%' OR cc LIKE '%no-cache%' THEN 0
+           WHEN regexp_extract(cc, 's-maxage=([0-9]+)', 1) <> ''
+             THEN CAST(regexp_extract(cc, 's-maxage=([0-9]+)', 1) AS BIGINT)
+           WHEN regexp_extract(cc, '(^|[ ,])max-age=([0-9]+)', 2) <> ''
+             THEN CAST(regexp_extract(cc, '(^|[ ,])max-age=([0-9]+)', 2) AS BIGINT)
+           ELSE 3600
+         END AS ttl,
+         CASE WHEN cc LIKE '%no-store%' OR cc LIKE '%no-cache%' THEN 1 ELSE 0 END AS unc,
+         CASE WHEN cc = '' THEN 1 ELSE 0 END AS dflt
+  FROM u
+)
+SELECT CAST(host AS BIGINT) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(unc) AS BIGINT) AS n_uncacheable,
+       CAST(SUM(dflt) AS BIGINT) AS n_default,
+       CAST(SUM(ttl) AS BIGINT) AS ttl_sum,
+       CAST(MAX(ttl) AS BIGINT) AS ttl_max,
+       CASE WHEN SUM(unc) * 2 >= COUNT(*) THEN 'always-refetch'
+            WHEN SUM(ttl) // COUNT(*) < 1800 THEN 'short-ttl'
+            ELSE 'long-ttl' END AS policy
+FROM p GROUP BY 1 ORDER BY host
+"""
+
+
+@register("q170_cache_header_policy", oracle=_Q170_ORACLE)
+def q170_cache_header_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host refetch policy from declared Cache-Control freshness:
+    in-row RFC 9111 parse (s-maxage precedence, no-store/no-cache =>
+    TTL 0, absent => 3600 default), one bounded host rollup."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    b = ev.select(
+        F.col("event_id").alias("e"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    cc = (
+        F.when(F.col("e") % 5 == 0, F.concat(F.lit("max-age="), s(F.col("h") % 86400)))
+        .when(F.col("e") % 5 == 1, F.lit("no-store"))
+        .when(
+            F.col("e") % 5 == 2,
+            F.concat(
+                F.lit("public, max-age="),
+                s(F.col("h") % 3600),
+                F.lit(", s-maxage="),
+                s(F.expr("h div 7") % 7200),
+            ),
+        )
+        .when(F.col("e") % 5 == 3, F.lit("no-cache"))
+        .otherwise(F.lit(""))
+    )
+    u = b.select((F.col("e") % 53).alias("host"), cc.alias("cc"))
+    smax = F.regexp_extract("cc", "s-maxage=([0-9]+)", 1)
+    mage = F.regexp_extract("cc", "(^|[ ,])max-age=([0-9]+)", 2)
+    uncache = F.col("cc").contains("no-store") | F.col("cc").contains("no-cache")
+    ttl = (
+        F.when(uncache, F.lit(0))
+        .when(smax != "", smax.cast("long"))
+        .when(mage != "", mage.cast("long"))
+        .otherwise(F.lit(3600))
+    )
+    p = u.select(
+        "host",
+        ttl.alias("ttl"),
+        F.when(uncache, 1).otherwise(0).alias("unc"),
+        F.when(F.col("cc") == "", 1).otherwise(0).alias("dflt"),
+    )
+    g = p.groupBy(F.col("host").cast("long").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("unc").cast("long").alias("n_uncacheable"),
+        F.sum("dflt").cast("long").alias("n_default"),
+        F.sum("ttl").cast("long").alias("ttl_sum"),
+        F.max("ttl").cast("long").alias("ttl_max"),
+    )
+    policy = (
+        F.when(F.col("n_uncacheable") * 2 >= F.col("n_urls"), F.lit("always-refetch"))
+        .when(F.expr("ttl_sum div n_urls") < 1800, F.lit("short-ttl"))
+        .otherwise(F.lit("long-ttl"))
+    )
+    return g.withColumn("policy", policy).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# q171: mojibake gate — web text is full of double-encoding damage
+# (UTF-8 bytes re-decoded as Latin-1: 'á' -> 'Ã¡', ''' -> 'â€™',
+# NBSP -> 'Â '); training on it teaches the model to emit the
+# artifacts. This gate counts the three classic mojibake lead
+# sequences per document and rejects documents whose artifact density
+# crosses an integer milli threshold. Corruption is PLANTED by
+# deterministic in-row rules (the q165 repost-augmentation idiom) so
+# both engines score the identical corrupted corpus: doc_id % 7 == 3
+# re-encodes every 'a', else doc_id % 11 == 5 re-encodes every 'e'.
+# The reference stores whatever bytes the page served (it never
+# audits encoding; src/thread_crawler.py).
+#
+# Scale shape: corruption, counting (length-difference folds — no
+# regex backtracking, no explode) and the verdict are all in-row;
+# the ONLY exchange is the display sort. Counting by length diff is
+# O(|text|) single-pass and JVM-codegen'd.
+# ---------------------------------------------------------------------------
+
+_Q171_ORACLE = """
+WITH c AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 3 THEN replace(text, 'a', 'Ã¡')
+              WHEN doc_id % 11 = 5 THEN replace(text, 'e', 'â€™')
+              ELSE text END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, length(t) AS n_chars,
+         (length(t) - length(replace(t, 'Ã', '')))
+         + (length(t) - length(replace(t, 'â€', ''))) // 2
+         + (length(t) - length(replace(t, 'Â', ''))) AS n_moji
+  FROM c
+)
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_moji AS BIGINT) AS n_moji,
+       CAST(1000 * n_moji // n_chars AS BIGINT) AS moji_milli,
+       CASE WHEN 1000 * n_moji // n_chars >= 5 THEN 'reject' ELSE 'clean' END AS verdict
+FROM m ORDER BY doc_id
+"""
+
+
+@register("q171_mojibake_gate", oracle=_Q171_ORACLE)
+def q171_mojibake_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mojibake density and reject/clean verdict: planted
+    double-encoding corruption, length-difference artifact counting,
+    integer milli gate — all in-row, zero shuffles before the sort."""
+    from voz_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = (
+        F.when(F.col("doc_id") % 7 == 3, F.regexp_replace("text", "a", "Ã¡"))
+        .when(F.col("doc_id") % 11 == 5, F.regexp_replace("text", "e", "â€™"))
+        .otherwise(F.col("text"))
+    )
+    c = docs.select("doc_id", "source", t.alias("t"))
+    n_moji = (
+        (F.length("t") - F.length(F.regexp_replace("t", "Ã", "")))
+        + F.expr("(length(t) - length(regexp_replace(t, 'â€', ''))) div 2")
+        + (F.length("t") - F.length(F.regexp_replace("t", "Â", "")))
+    )
+    m = c.select(
+        "doc_id",
+        "source",
+        F.length("t").cast("long").alias("n_chars"),
+        n_moji.cast("long").alias("n_moji"),
+    )
+    milli = F.expr("1000 * n_moji div n_chars").cast("long")
+    return m.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "n_moji",
+        milli.alias("moji_milli"),
+        F.when(milli >= 5, F.lit("reject")).otherwise(F.lit("clean")).alias("verdict"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q172: latency-adaptive politeness — q125 reacts to ERRORS (suspend /
+# slow / healthy from status streaks); this query adapts to server
+# SPEED before errors ever appear: fold the fetch log into per-host
+# 50 ms latency histograms, read p50/p95 off the cumulative bin counts
+# (the q118 histogram-quantile idiom, keyed per host), and set the
+# polite inter-request interval to 2x the p95 upper bound, floored at
+# 200 ms — slow servers automatically get gentler pacing, which is
+# what keeps them answering at all. The reference hard-codes one
+# global sleep regardless of server behaviour (src/crawler.py).
+#
+# Latency synth from `events`: host = e % 97; baseline 50 + (h % 1000)
+# ms, hosts with host % 13 == 2 run 3x-tailed (50 + h % 3000) — the
+# planted slow set. p95 is integer-exact: smallest bin with
+# 20*cum >= 19*n.
+#
+# Scale shape: one (host, bin) hash aggregate folds the fetch log
+# (partial-combining; the shuffle carries |hosts| x |bins| <= 97 x 61
+# rows here, bounded by hosts x 61 at any scale); the quantile window
+# runs per host over <= 61 bins, never over fetches. Adaptation rule
+# is in-row on the per-host rollup.
+# ---------------------------------------------------------------------------
+
+_Q172_ORACLE = """
+WITH f AS (
+  SELECT event_id % 97 AS host,
+         50 + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % (CASE WHEN event_id % 97 % 13 = 2 THEN 3000 ELSE 1000 END) AS lat
+  FROM events
+),
+g AS (SELECT host, lat // 50 AS bin, COUNT(*) AS c FROM f GROUP BY 1, 2),
+w AS (
+  SELECT *, SUM(c) OVER (PARTITION BY host ORDER BY bin) AS cum,
+            SUM(c) OVER (PARTITION BY host) AS n
+  FROM g
+)
+SELECT CAST(host AS BIGINT) AS host,
+       CAST(MAX(n) AS BIGINT) AS n_fetches,
+       CAST(MIN(CASE WHEN 2 * cum >= n THEN bin END) AS BIGINT) AS p50_bin,
+       CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin END) AS BIGINT) AS p95_bin,
+       CAST(GREATEST(200, (MIN(CASE WHEN 20 * cum >= 19 * n THEN bin END) + 1) * 50 * 2)
+            AS BIGINT) AS interval_ms,
+       CASE WHEN (MIN(CASE WHEN 20 * cum >= 19 * n THEN bin END) + 1) * 50 >= 1500
+            THEN 'slow' ELSE 'normal' END AS verdict
+FROM w GROUP BY host ORDER BY host
+"""
+
+
+@register("q172_latency_politeness", oracle=_Q172_ORACLE)
+def q172_latency_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host p50/p95 latency from 50 ms histogram bins and the
+    2x-p95 adaptive politeness interval (200 ms floor): one bounded
+    (host, bin) aggregate, per-host window over <= 61 bins."""
+    from pyspark.sql import Window
+
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    host = F.col("event_id") % 97
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    lat = F.lit(50) + h % F.when(host % 13 == 2, 3000).otherwise(1000)
+    f = ev.select(host.alias("host"), lat.alias("lat"))
+    g = f.groupBy("host", F.expr("lat div 50").alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("host")
+    b = g.withColumn("cum", F.sum("c").over(w.orderBy("bin"))).withColumn(
+        "n", F.sum("c").over(w)
+    )
+    p95 = F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("bin")))
+    out = b.groupBy(F.col("host").cast("long").alias("host")).agg(
+        F.max("n").cast("long").alias("n_fetches"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("bin")))
+        .cast("long")
+        .alias("p50_bin"),
+        p95.cast("long").alias("p95_bin"),
+        F.greatest(F.lit(200), (p95 + 1) * 50 * 2).cast("long").alias("interval_ms"),
+        F.when((p95 + 1) * 50 >= 1500, F.lit("slow"))
+        .otherwise(F.lit("normal"))
+        .alias("verdict"),
+    )
+    return out.orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# q175: effective crawl-delay — the politeness interval a fetcher must
+# actually honor is the MAX of what the server DECLARES (robots.txt
+# Crawl-delay) and what its observed speed DEMANDS (q172's 2x-p95
+# adaptation), floored at 200 ms. This query composes the two: q172's
+# latency rollup joined (broadcast — |hosts| rows) against the
+# declared-delay table, with a 'binding' column naming which
+# constraint won — the number ops tune when a host crawls too slowly.
+# Declared delays synth by host % 5 (0 -> 5 s, 1 -> 1 s, else none).
+#
+# Scale shape: everything downstream of q172's bounded histogram is
+# per-host rows (|hosts|, not fetches); the merge is in-row. The
+# DuckDB oracle wraps the IDENTICAL q172 SQL as a CTE — composition
+# parity, not re-derivation.
+# ---------------------------------------------------------------------------
+
+_Q175_ORACLE = f"""
+WITH q172 AS ({_Q172_ORACLE}),
+m AS (
+  SELECT host, n_fetches, interval_ms AS adaptive_ms,
+         CAST(CASE host % 5 WHEN 0 THEN 5000 WHEN 1 THEN 1000 ELSE 0 END AS BIGINT)
+           AS robots_ms
+  FROM q172
+)
+SELECT host, n_fetches, robots_ms, adaptive_ms,
+       GREATEST(robots_ms, adaptive_ms) AS effective_ms,
+       CASE WHEN robots_ms >= adaptive_ms AND robots_ms > 0 THEN 'robots'
+            WHEN adaptive_ms > 200 THEN 'latency'
+            ELSE 'floor' END AS binding
+FROM m ORDER BY host
+"""
+
+
+@register("q175_effective_crawl_delay", oracle=_Q175_ORACLE)
+def q175_effective_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max of declared (robots Crawl-delay) and adaptive (q172 2x-p95)
+    politeness per host, with the binding constraint named — in-row
+    merge over q172's bounded per-host rollup."""
+    q = q172_latency_politeness(spark, sf_dir).select(
+        "host", "n_fetches", F.col("interval_ms").alias("adaptive_ms")
+    )
+    robots = (
+        F.when(F.col("host") % 5 == 0, 5000)
+        .when(F.col("host") % 5 == 1, 1000)
+        .otherwise(0)
+        .cast("long")
+    )
+    m = q.withColumn("robots_ms", robots)
+    return (
+        m.select(
+            "host",
+            "n_fetches",
+            "robots_ms",
+            "adaptive_ms",
+            F.greatest("robots_ms", "adaptive_ms").alias("effective_ms"),
+            F.when(
+                (F.col("robots_ms") >= F.col("adaptive_ms")) & (F.col("robots_ms") > 0),
+                F.lit("robots"),
+            )
+            .when(F.col("adaptive_ms") > 200, F.lit("latency"))
+            .otherwise(F.lit("floor"))
+            .alias("binding"),
+        )
+        .orderBy("host")
+    )

@@ -492,6 +492,8 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
             "n_inter",
+            "na",
+            "nb",
             (
                 F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
             ).alias("jaccard"),
@@ -2584,4 +2586,92 @@ def q165_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_train") > 0) & (F.col("n_eval") > 0))
         .orderBy("text_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173: shingle containment — Jaccard (q26) is blind to ASYMMETRIC
+# duplication: a long page quoting a short post wholesale scores a low
+# Jaccard (the union is dominated by the long side) yet the short doc
+# is 100% contained. Containment |A∩B| / min(|A|,|B|) catches exactly
+# the quote-inclusion / page-wrapping duplication a forum crawl is
+# full of (the reference's quote blocks: src/thread_crawler.py).
+# Rides q26's rare-shingle candidate generation, so the pair space
+# stays bounded; all scores are integer milli — no float compares.
+#
+# Scale shape: identical to q26 (the rare-shingle df<=10 filter runs
+# BEFORE the pair join, so fan-out is <= df² per shingle; the exact
+# intersection is linear in |cand| x shingles-per-doc) plus one in-row
+# LEAST and two integer divisions. The relation verdict is in-row.
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b, containment_milli,
+    jaccard_milli, relation) for every rare-shingle candidate pair —
+    exposed as a helper so tests can feed planted corpora."""
+    p = _jaccard_pairs(d)
+    cont = F.expr("1000 * n_inter div least(na, nb)").cast("long")
+    jacc = F.expr("1000 * n_inter div (na + nb - n_inter)").cast("long")
+    return p.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        cont.alias("containment_milli"),
+        jacc.alias("jaccard_milli"),
+        F.when(jacc >= 500, F.lit("near-identical"))
+        .when(cont >= 900, F.lit("contained"))
+        .otherwise(F.lit("overlap"))
+        .alias("relation"),
+    )
+
+
+@register(
+    "q173_shingle_containment",
+    oracle=f"""
+WITH sh AS ({_shingles_sql()}),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM ds GROUP BY shingle HAVING COUNT(*) <= 10
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ds a JOIN rare r ON a.shingle = r.shingle
+            JOIN ds b ON b.shingle = r.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+s AS (
+  SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+         CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         CAST(1000 * i.n_inter // LEAST(sa.n, sb.n) AS BIGINT) AS containment_milli,
+         CAST(1000 * i.n_inter // (sa.n + sb.n - i.n_inter) AS BIGINT) AS jaccard_milli
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT *, CASE WHEN jaccard_milli >= 500 THEN 'near-identical'
+               WHEN containment_milli >= 900 THEN 'contained'
+               ELSE 'overlap' END AS relation
+FROM s
+ORDER BY containment_milli DESC, doc_a, doc_b
+LIMIT 100
+""",
+)
+def q173_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 asymmetric-duplication pairs by integer-milli shingle
+    containment, with near-identical / contained / overlap verdicts —
+    q26's bounded candidate machinery, quote-inclusion semantics."""
+    return (
+        containment_pairs(T(spark, sf_dir, "documents"))
+        .orderBy(F.desc("containment_milli"), "doc_a", "doc_b")
+        .limit(100)
     )

@@ -3341,3 +3341,94 @@ def q164_exposure_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q174: burst-photo clustering — cameras fire 3-5 near-identical
+# frames per shutter press; a photo corpus keeps ONE per burst or the
+# training set oversamples whatever people burst-shoot. Pixels are
+# unnecessary: EXIF (camera, timestamp) sessionization finds bursts
+# exactly — same camera, inter-shot gap <= 2 s — which is the q13
+# event-sessionize idiom applied to photo metadata (gap -> island
+# cumsum). The reference has no burst concept (one forum's attachments,
+# src/image_processor.py).
+#
+# Fixture: 60 planted bursts of 1 + (k % 5) shots across 8 cameras,
+# shots 1 s apart, bursts 600 s apart — image ids are time-ordered
+# within a burst so the survivor (first shot) is MIN(image_id).
+#
+# Scale shape: the lag/cumsum windows partition per CAMERA — bounded
+# by one device's shot history, never the corpus — and the burst
+# rollup is a partial-combining hash aggregate on (camera, burst_seq).
+# At corpus scale the window shards further by (camera, day) with
+# boundary rows, exactly like q146's (url, epoch) note.
+# ---------------------------------------------------------------------------
+
+Q174_SHOTS_PATH = "/tmp/voz_spark_q174_shots"
+_Q174_BURSTS = 60
+
+
+def _shot_rows() -> list[dict]:
+    rows = []
+    for k in range(_Q174_BURSTS):
+        cam = f"cam{k % 8}"
+        base = 1_700_000_000 + k * 600
+        for j in range(1 + k % 5):
+            rows.append(
+                {
+                    "image_id": f"{cam}-{k:04d}-{j}",
+                    "camera": cam,
+                    "ts": base + j,
+                }
+            )
+    return rows
+
+
+_Q174_ORACLE = f"""
+WITH s AS (
+  SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY camera ORDER BY ts, image_id) <= 2
+                 THEN 0 ELSE 1 END AS new_burst
+  FROM read_parquet('{Q174_SHOTS_PATH}/*.parquet')
+),
+b AS (
+  SELECT *, SUM(new_burst) OVER (PARTITION BY camera ORDER BY ts, image_id) AS burst_seq
+  FROM s
+)
+SELECT camera, CAST(burst_seq AS BIGINT) AS burst_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_shots,
+       CAST(MIN(ts) AS BIGINT) AS burst_start,
+       CAST(MAX(ts) - MIN(ts) AS BIGINT) AS span_s,
+       MIN(image_id) AS survivor
+FROM b GROUP BY camera, burst_seq ORDER BY camera, burst_seq
+"""
+
+
+@register("q174_burst_clusters", oracle=_Q174_ORACLE)
+def q174_burst_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF burst sessionization: per-camera gap<=2s islands via
+    lag + cumsum windows (bounded per device), burst rollup with the
+    first shot as survivor."""
+    from pyspark.sql import Window
+
+    t = _materialized(
+        spark,
+        Q174_SHOTS_PATH,
+        f"bursts={_Q174_BURSTS};v1",
+        lambda: spark.createDataFrame(pd.DataFrame(_shot_rows())),
+    )
+    w = Window.partitionBy("camera").orderBy("ts", "image_id")
+    s = t.withColumn(
+        "new_burst",
+        F.when(F.col("ts") - F.lag("ts").over(w) <= 2, 0).otherwise(1),
+    )
+    b = s.withColumn("burst_seq", F.sum("new_burst").over(w))
+    return (
+        b.groupBy("camera", F.col("burst_seq").cast("long").alias("burst_seq"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shots"),
+            F.min("ts").cast("long").alias("burst_start"),
+            (F.max("ts") - F.min("ts")).cast("long").alias("span_s"),
+            F.min("image_id").alias("survivor"),
+        )
+        .orderBy("camera", "burst_seq")
+    )
