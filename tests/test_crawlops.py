@@ -1170,3 +1170,37 @@ def test_q175_binding_consistency_with_q172(spark, sf_dir):
         else:
             assert r["effective_ms"] == 200 or r["adaptive_ms"] == 200
     assert {r["binding"] for r in rows} >= {"robots", "latency"}
+
+
+# ---------------------------------------------------------------- q177
+
+
+def test_q177_drain_math_recount(spark, sf_dir):
+    """Queue stats and rounds-to-drain must match a brute-force replay;
+    verdicts must follow the drain thresholds exactly."""
+    import hashlib
+
+    from voz_spark.crawlops import q177_frontier_age_audit
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").collect()
+    agg: dict[int, list] = {}
+    for r in ev:
+        e = r["event_id"]
+        host = e % 67
+        age = int(hashlib.md5(str(e).encode()).hexdigest()[:15], 16) % 100000
+        a = agg.setdefault(host, [0, 0, 0])
+        a[0] += 1
+        a[1] = max(a[1], age)
+        a[2] += age
+    rows = {r["host"]: r for r in q177_frontier_age_audit(spark, sf_dir).collect()}
+    assert len(rows) == len(agg)
+    for host, (n, oldest, s) in agg.items():
+        r = rows[host]
+        budget = 50 + host % 5 * 150
+        drain = (n + budget - 1) // budget
+        assert (r["n_queued"], r["oldest_s"], r["mean_age_s"]) == (n, oldest, s // n)
+        assert (r["budget_per_round"], r["drain_rounds"]) == (budget, drain)
+        assert r["verdict"] == (
+            "starving" if drain > 100 else ("backlogged" if drain > 10 else "healthy")
+        )

@@ -790,3 +790,26 @@ def test_q174_burst_sessionize_replay(spark, sf_dir):
     for cam in {r["camera"] for r in rows}:
         seqs = sorted(r["burst_seq"] for r in rows if r["camera"] == cam)
         assert seqs == list(range(1, len(seqs) + 1))
+
+
+# ---------------------------------------------------------------- q176
+
+
+def test_q176_confusion_counts_against_independent_truth(spark, sf_dir):
+    """n_truth must equal the planted-pair count derived independently
+    from the synth rule; every hit must be a planted pair (precision
+    1.000 on this corpus — random cosine fields don't collide under
+    hamming<=10); recall must be high but is allowed to miss pairs
+    whose rescale+renoise pushed the hash past the threshold."""
+    from voz_spark.imagedup import _N_IMAGES, q176_dedup_eval
+
+    want_truth = sum(1 for i in range(1, _N_IMAGES) if i % 7 == 3)
+    rows = q176_dedup_eval(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_truth"] == want_truth == 80
+    assert r["n_hit"] <= r["n_pred"] and r["n_hit"] <= r["n_truth"]
+    assert r["precision_milli"] == 1000  # zero false positives
+    assert r["recall_milli"] >= 900
+    assert r["precision_milli"] == 1000 * r["n_hit"] // r["n_pred"]
+    assert r["recall_milli"] == 1000 * r["n_hit"] // r["n_truth"]

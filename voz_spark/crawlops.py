@@ -4040,3 +4040,91 @@ def q175_effective_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177: frontier age audit — politeness throttling means a host's
+# queue DRAINS at a fixed rate no matter how fast discovery fills it;
+# when fill outruns drain the host's URLs age forever and the crawl
+# silently stops covering it. This query folds the queued frontier to
+# per-host (depth, age) stats, computes rounds-to-drain against the
+# host's politeness budget, and flags starving hosts — the signal
+# that drives budget bumps (q102 apportions budget; this audits
+# whether the apportionment keeps up). The reference's queue is one
+# in-memory list with no aging concept (src/main.py).
+#
+# Queue synth from `events`: host = e % 67, enqueue age in seconds
+# = h % 100000; per-host budget/round = 50 + (host % 5) * 150 —
+# identical integer rules both engines.
+#
+# Scale shape: ONE partial-combining host aggregate folds the queue
+# (count / min / max / sum age partials); drain math and the verdict
+# are in-row on the |hosts| rollup. No joins, no windows.
+# ---------------------------------------------------------------------------
+
+_Q177_ORACLE = """
+WITH q AS (
+  SELECT event_id % 67 AS host,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100000 AS age_s
+  FROM events
+),
+h AS (
+  SELECT host, COUNT(*) AS n_queued, MAX(age_s) AS oldest_s,
+         SUM(age_s) // COUNT(*) AS mean_age_s
+  FROM q GROUP BY host
+)
+SELECT CAST(host AS BIGINT) AS host,
+       CAST(n_queued AS BIGINT) AS n_queued,
+       CAST(oldest_s AS BIGINT) AS oldest_s,
+       CAST(mean_age_s AS BIGINT) AS mean_age_s,
+       CAST(50 + host % 5 * 150 AS BIGINT) AS budget_per_round,
+       CAST((n_queued + 50 + host % 5 * 150 - 1) // (50 + host % 5 * 150) AS BIGINT)
+         AS drain_rounds,
+       CASE WHEN (n_queued + 50 + host % 5 * 150 - 1) // (50 + host % 5 * 150) > 100
+              THEN 'starving'
+            WHEN (n_queued + 50 + host % 5 * 150 - 1) // (50 + host % 5 * 150) > 10
+              THEN 'backlogged'
+            ELSE 'healthy' END AS verdict
+FROM h ORDER BY host
+"""
+
+
+@register("q177_frontier_age_audit", oracle=_Q177_ORACLE)
+def q177_frontier_age_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host queue depth/age and rounds-to-drain vs politeness
+    budget, with starving/backlogged/healthy verdicts: one bounded
+    host fold, in-row drain math."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    q = ev.select(
+        (F.col("event_id") % 67).alias("host"),
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 100000
+        ).alias("age_s"),
+    )
+    h = q.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_queued"),
+        F.max("age_s").alias("oldest_s"),
+        F.expr("sum(age_s) div count(1)").alias("mean_age_s"),
+    )
+    budget = F.lit(50) + F.col("host") % 5 * 150
+    drain = F.expr("(n_queued + 50 + host % 5 * 150 - 1) div (50 + host % 5 * 150)")
+    return (
+        h.select(
+            F.col("host").cast("long").alias("host"),
+            F.col("n_queued").cast("long").alias("n_queued"),
+            F.col("oldest_s").cast("long").alias("oldest_s"),
+            F.col("mean_age_s").cast("long").alias("mean_age_s"),
+            budget.cast("long").alias("budget_per_round"),
+            drain.cast("long").alias("drain_rounds"),
+            F.when(drain > 100, F.lit("starving"))
+            .when(drain > 10, F.lit("backlogged"))
+            .otherwise(F.lit("healthy"))
+            .alias("verdict"),
+        )
+        .orderBy("host")
+    )

@@ -3432,3 +3432,79 @@ def q174_burst_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("camera", "burst_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# q176: dedup-eval harness — a dedup pipeline you cannot MEASURE is a
+# dedup pipeline you cannot tune: band count, bucket cap, and hamming
+# threshold all trade recall against candidate volume, and the only
+# honest way to pick them is precision/recall against known truth.
+# The synthetic corpus PLANTS its near-duplicates (every idx % 7 == 3
+# image re-renders the previous image's pattern at a new resolution
+# with fresh noise — synth.image_pattern_idx), so truth pairs are
+# derivable from the image id alone; this query scores q61's banded-
+# LSH + hamming pipeline against them in integer milli. The reference
+# never evaluates its dedup (URL-cache hit rate is all it sees,
+# src/image_processor.py).
+#
+# Scale shape: prediction is exactly q61's machinery (one shuffle on
+# the band key, capped buckets); truth is an in-row id parse; the
+# confusion counts are three 1-row aggregates cross-joined — O(1)
+# rows after the pair join regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_Q176_ORACLE = f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{Q61_PHASH_PATH}/*.parquet')),
+{_capped_pairs_sql()},
+pred AS (
+  SELECT id_a, id_b FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+ids AS (SELECT image_id, CAST(substr(image_id, 4) AS BIGINT) AS i FROM p),
+truth AS (
+  SELECT 'img' || lpad(CAST(i - 1 AS VARCHAR), 10, '0') AS id_a, image_id AS id_b
+  FROM ids WHERE i % 7 = 3 AND i > 0
+),
+hit AS (SELECT pred.* FROM pred SEMI JOIN truth USING (id_a, id_b))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+       (SELECT CAST(1000 * COUNT(*) AS BIGINT) FROM hit)
+         // (SELECT COUNT(*) FROM pred) AS precision_milli,
+       (SELECT CAST(1000 * COUNT(*) AS BIGINT) FROM hit)
+         // (SELECT COUNT(*) FROM truth) AS recall_milli
+"""
+
+
+@register("q176_dedup_eval", oracle=_Q176_ORACLE)
+def q176_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the q61 banded-pHash near-dup pipeline
+    against the corpus's planted rescale/re-noise duplicates: truth
+    from an in-row id parse, confusion counts as O(1) cross-joined
+    aggregates."""
+    p = _materialized(
+        spark,
+        Q61_PHASH_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
+    )
+    pred = _neardup_pairs(p).select("id_a", "id_b")
+    ids = p.select(F.substring("image_id", 4, 10).cast("long").alias("i"), "image_id")
+    truth = ids.where((F.col("i") % 7 == 3) & (F.col("i") > 0)).select(
+        F.concat(F.lit("img"), F.lpad((F.col("i") - 1).cast("string"), 10, "0")).alias(
+            "id_a"
+        ),
+        F.col("image_id").alias("id_b"),
+    )
+    hit = pred.join(truth, ["id_a", "id_b"], "left_semi")
+    stats = (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+        .crossJoin(pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    )
+    return stats.select(
+        "n_truth",
+        "n_pred",
+        "n_hit",
+        F.expr("1000 * n_hit div n_pred").cast("long").alias("precision_milli"),
+        F.expr("1000 * n_hit div n_truth").cast("long").alias("recall_milli"),
+    )
