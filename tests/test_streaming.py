@@ -229,3 +229,92 @@ def test_q148_stream_equals_batch_incremental(spark, sf_dir):
     b = q134_incremental_image_neardup(spark, sf_dir).collect()
     assert sorted(map(tuple, s)) == sorted(map(tuple, b))
     assert len(s) > 0
+
+
+def test_q178_stream_dispatch_equals_batch_closed_form(spark, sf_dir):
+    """The stateful online dispatcher must reproduce q156's batch
+    closed form row-for-row over the real events stream (8 time-ordered
+    micro-batches)."""
+    import os
+
+    from voz_spark.crawlops import q156_dispatch_plan
+    from voz_spark.streaming import _Q178_FILES, _q178_source_dir, q178_stream_dispatch
+
+    src = _q178_source_dir(sf_dir)
+    files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(files) == _Q178_FILES
+    got = {
+        (r["host"], r["event_id"]): (r["arr_us"], r["dispatch_us"], r["wait_us"])
+        for r in q178_stream_dispatch(spark, sf_dir).collect()
+    }
+    want = {
+        (r["host"], r["event_id"]): (r["arr_us"], r["dispatch_us"], r["wait_us"])
+        for r in q156_dispatch_plan(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_q178_dense_burst_waits_and_cross_batch_state(spark, tmp_path):
+    """Under a planted burst (arrivals far denser than the politeness
+    gap) the dispatcher must QUEUE: dispatch times step by exactly the
+    gap, waits grow monotonically within the burst, and the chain must
+    span micro-batch boundaries (state carry), matching a sequential
+    Python fold exactly."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from voz_spark.streaming import EVENTS_SCHEMA, dispatch_stream, run_to_memory
+
+    # 60 requests, 2 hosts (user_id 0/1), arrivals every 100 ms —
+    # far denser than the 1 s (host 0) / 2 s (host 1) gaps.
+    base = 1_700_000_000_000_000
+    rows = pd.DataFrame(
+        {
+            "event_id": range(60),
+            "ts": pd.to_datetime(
+                [(base + i * 100_000) for i in range(60)], unit="us"
+            ).astype("datetime64[us]"),
+            "user_id": [i % 2 for i in range(60)],
+            "event_type": "fetch",
+            "value": 0.0,
+            "props": "",
+        }
+    )
+    src = str(tmp_path / "burst")
+    os.makedirs(src)
+    for k in range(3):  # 3 time-ordered files -> 3 micro-batches
+        piece = rows.iloc[k * 20 : (k + 1) * 20]
+        p = os.path.join(src, f"{k:03d}.parquet")
+        pq.write_table(pa.Table.from_pandas(piece, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = {
+        r["event_id"]: r
+        for r in run_to_memory(dispatch_stream(ev), "q178_burst", "append", spark).collect()
+    }
+    assert len(got) == 60
+    # sequential fold per host (the ground truth recurrence)
+    last: dict[int, int] = {}
+    for i in range(60):
+        host = i % 2
+        gap = (host % 5 + 1) * 1_000_000
+        arr = base + i * 100_000
+        d = arr if host not in last else max(arr, last[host] + gap)
+        last[host] = d
+        r = got[i]
+        assert (r["host"], r["arr_us"], r["dispatch_us"], r["wait_us"]) == (
+            host, arr, d, d - arr,
+        )
+    # binding: the tail of each burst waits, and waits grow
+    waits0 = [got[i]["wait_us"] for i in range(0, 60, 2)]
+    waits1 = [got[i]["wait_us"] for i in range(1, 60, 2)]
+    assert waits0 == sorted(waits0) and waits0[-1] > 0
+    assert waits1 == sorted(waits1) and waits1[-1] > waits0[-1]
+    # cross-batch carry: rows in the 2nd and 3rd files (event_id >= 20)
+    # are still queue-constrained by batch-0 arrivals
+    assert got[20]["wait_us"] > 0 and got[59]["wait_us"] > 0

@@ -498,3 +498,145 @@ def q148_stream_image_banddedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_to_memory(pairs, "q148_sink", "append", spark)
     return sink.orderBy("delta_id", "base_id")
+
+
+# ---------------------------------------------------------------------------
+# q178: STREAMING politeness dispatcher — the stateful ONLINE form of
+# q156's batch closed form. q156 proves the token-bucket recurrence
+#     d_i = max(a_i, d_{i-1} + gap)
+# unrolls to one window (the plan a ROUND planner wants); a LIVE
+# fetcher cannot wait for the round to close — it must assign dispatch
+# times as requests arrive. This operator runs the recurrence as a
+# custom stateful streaming op (applyInPandasWithState): state is the
+# O(1) last-dispatch micro-timestamp per host, each micro-batch folds
+# its arrivals in (arr_us, event_id) order, and the output must equal
+# the batch closed form BIT-EXACTLY — which is precisely what the
+# shared q156 DuckDB oracle checks. Streaming-vs-batch equivalence is
+# the gate (the q46-q48 discipline applied to the crawl's own core).
+#
+# The stream source is the events file split into time-contiguous
+# ordered files (maxFilesPerTrigger=1 -> micro-batches arrive in
+# event-time order, the Kafka-with-ordered-partitions stand-in).
+# Batches are time-disjoint and the per-batch fold sorts by
+# (arr_us, event_id), so the cross-batch composition reproduces the
+# global order exactly.
+#
+# Scale shape: state is ONE int64 per host (politeness-bounded key
+# domain — |hosts|, never |requests|); each micro-batch shuffles on
+# the host key only. The Python fold is per (host, batch) and linear;
+# the BATCH planner (q156) remains the declarative fast path — this
+# operator exists for the online deployment.
+# ---------------------------------------------------------------------------
+
+Q178_STREAM_DIR = "/tmp/voz_spark_q178_stream"
+_Q178_FILES = 8
+
+
+def _q178_source_dir(sf_dir: str) -> str:
+    """Write-once: events sorted by (ts, event_id), split into
+    time-contiguous parquet files whose names AND mtimes increase in
+    event-time order, so the file source replays them as ordered
+    micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    out = os.path.join(Q178_STREAM_DIR, os.path.basename(os.path.dirname(src)) or "sf")
+    marker = os.path.join(out, "_VOZ_FIXTURE")
+    want = f"v1:files={_Q178_FILES};src={src}"
+    try:
+        with open(marker) as fh:
+            if fh.read() == want:
+                return out
+    except OSError:
+        pass
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(src)
+    import numpy as np
+
+    order = np.lexsort(
+        (t.column("event_id").to_numpy(), t.column("ts").to_numpy())
+    )
+    t = t.take(pa.array(order))
+    n = t.num_rows
+    bounds = [n * k // _Q178_FILES for k in range(_Q178_FILES + 1)]
+    for k in range(_Q178_FILES):
+        piece = t.slice(bounds[k], bounds[k + 1] - bounds[k])
+        p = os.path.join(out, f"{k:03d}.parquet")
+        pq.write_table(piece, p)
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return out
+
+
+_DISPATCH_OUT = (
+    "host bigint, event_id bigint, arr_us bigint, dispatch_us bigint, wait_us bigint"
+)
+_DISPATCH_STATE = StructType([StructField("last_dispatch_us", LongType())])
+
+
+def _dispatch_fold(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Token-bucket fold: d = max(arrival, last + gap), one int64 of
+    state per host, arrivals processed in (arr_us, event_id) order."""
+    (host,) = key
+    gap = (host % 5 + 1) * 1_000_000
+    last = state.get[0] if state.exists else None
+    pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values(
+        ["arr_us", "event_id"], kind="mergesort"
+    )
+    out = []
+    for arr in pdf["arr_us"].to_numpy():
+        d = int(arr) if last is None else max(int(arr), last + gap)
+        out.append(d)
+        last = d
+    state.update((int(last),))
+    yield pd.DataFrame(
+        {
+            "host": host,
+            "event_id": pdf["event_id"].to_numpy(),
+            "arr_us": pdf["arr_us"].to_numpy(),
+            "dispatch_us": out,
+            "wait_us": [d - int(a) for d, a in zip(out, pdf["arr_us"].to_numpy())],
+        }
+    )
+
+
+def dispatch_stream(events: DataFrame, n_hosts: int = 11) -> DataFrame:
+    """Per-host politeness dispatch times as a custom stateful
+    streaming operator (state: last dispatch per host)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    f = events.select(
+        (F.col("user_id") % n_hosts).alias("host"),
+        "event_id",
+        F.unix_micros("ts").alias("arr_us"),
+    )
+    return f.groupBy("host").applyInPandasWithState(
+        _dispatch_fold,
+        outputStructType=_DISPATCH_OUT,
+        stateStructType=_DISPATCH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _q178_oracle() -> str:
+    from voz_spark.crawlops import _Q156_ORACLE
+
+    return _Q156_ORACLE
+
+
+@register("q178_stream_dispatch", oracle=_q178_oracle())
+def q178_stream_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q156's politeness dispatch computed ONLINE by a stateful
+    streaming operator over time-ordered micro-batches — bit-exact
+    against the batch closed form's oracle."""
+    src = _q178_source_dir(sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = run_to_memory(dispatch_stream(ev), "q178_sink", "append", spark)
+    return sink.select("host", "event_id", "arr_us", "dispatch_us", "wait_us")
