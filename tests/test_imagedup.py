@@ -813,3 +813,27 @@ def test_q176_confusion_counts_against_independent_truth(spark, sf_dir):
     assert r["recall_milli"] >= 900
     assert r["precision_milli"] == 1000 * r["n_hit"] // r["n_pred"]
     assert r["recall_milli"] == 1000 * r["n_hit"] // r["n_truth"]
+
+
+# ---------------------------------------------------------------- q179
+
+
+def test_q179_curve_consistent_with_q176_operating_point(spark, sf_dir):
+    """The PR curve's cumulative counts at hamming <= 10 must equal
+    q176's single-point confusion counts; recall must be nondecreasing
+    in the threshold and the banded-recall ceiling must match q176's
+    recall at the top of the curve."""
+    from voz_spark.imagedup import _HAMMING_MAX, q176_dedup_eval, q179_dedup_pr_curve
+
+    curve = q179_dedup_pr_curve(spark, sf_dir).collect()
+    point = q176_dedup_eval(spark, sf_dir).collect()[0]
+    recalls = [r["recall_milli"] for r in curve]
+    assert recalls == sorted(recalls)
+    at_op = [r for r in curve if r["hamming"] <= _HAMMING_MAX][-1]
+    assert at_op["cum_pred"] == point["n_pred"]
+    assert at_op["cum_hit"] == point["n_hit"]
+    assert at_op["recall_milli"] == point["recall_milli"]
+    # every cum_pred step equals its bin count
+    for prev, cur in zip(curve, curve[1:]):
+        assert cur["cum_pred"] == prev["cum_pred"] + cur["n_pairs"]
+        assert cur["cum_hit"] >= prev["cum_hit"]

@@ -3508,3 +3508,107 @@ def q176_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000 * n_hit div n_pred").cast("long").alias("precision_milli"),
         F.expr("1000 * n_hit div n_truth").cast("long").alias("recall_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179: dedup PR curve — q176 scores ONE operating point (hamming <=
+# 10); tuning needs the whole precision/recall frontier. Re-running
+# the pipeline per threshold is |thresholds| pair joins; this query
+# gets the ENTIRE curve from one: compute exact hamming per banded
+# candidate once, label each pair against the planted truth, fold to
+# a <= 64-row hamming histogram, and read cumulative precision/recall
+# per threshold off a running sum over that histogram. Recall here is
+# banded recall — pairs the band rule never surfaces are invisible at
+# every threshold, which is itself the number that tells you whether
+# to add bands (documented honesty, not a bug).
+#
+# Scale shape: one band-key shuffle + pair distinct (exactly q61's
+# plan, threshold-free); the truth label is a broadcastable semi-join
+# on the planted-pair ids; everything after is a 64-row histogram,
+# its running-sum window, and a 1-row truth count cross-joined back.
+# Curve cost ~= single-threshold cost, independent of |thresholds|.
+# ---------------------------------------------------------------------------
+
+_Q179_ORACLE = f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{Q61_PHASH_PATH}/*.parquet')),
+{_capped_pairs_sql()},
+ids AS (SELECT image_id, CAST(substr(image_id, 4) AS BIGINT) AS i FROM p),
+truth AS (
+  SELECT 'img' || lpad(CAST(i - 1 AS VARCHAR), 10, '0') AS id_a, image_id AS id_b
+  FROM ids WHERE i % 7 = 3 AND i > 0
+),
+lab AS (
+  SELECT bit_count(xor(ph_a, ph_b)) AS hamming,
+         CASE WHEN EXISTS (SELECT 1 FROM truth t
+                           WHERE t.id_a = cand.id_a AND t.id_b = cand.id_b)
+              THEN 1 ELSE 0 END AS is_true
+  FROM cand
+),
+hist AS (
+  SELECT hamming, COUNT(*) AS n_pairs, SUM(is_true) AS n_true
+  FROM lab GROUP BY hamming
+),
+cum AS (
+  SELECT hamming, n_pairs,
+         SUM(n_pairs) OVER (ORDER BY hamming) AS cum_pred,
+         SUM(n_true) OVER (ORDER BY hamming) AS cum_hit
+  FROM hist
+)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(cum_pred AS BIGINT) AS cum_pred,
+       CAST(cum_hit AS BIGINT) AS cum_hit,
+       CAST(1000 * cum_hit // cum_pred AS BIGINT) AS precision_milli,
+       CAST(1000 * cum_hit // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_milli
+FROM cum ORDER BY hamming
+"""
+
+
+@register("q179_dedup_pr_curve", oracle=_Q179_ORACLE)
+def q179_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full precision/recall frontier of the banded-pHash dedup in
+    ONE pass: exact hamming per candidate once, truth label by
+    semi-join, then a 64-row histogram + running sums."""
+    from pyspark.sql import Window
+
+    p = _materialized(
+        spark,
+        Q61_PHASH_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
+    )
+    cand = _neardup_pairs(p, hamming_max=64)
+    ids = p.select(F.substring("image_id", 4, 10).cast("long").alias("i"), "image_id")
+    truth = ids.where((F.col("i") % 7 == 3) & (F.col("i") > 0)).select(
+        F.concat(F.lit("img"), F.lpad((F.col("i") - 1).cast("string"), 10, "0")).alias(
+            "id_a"
+        ),
+        F.col("image_id").alias("id_b"),
+        F.lit(1).alias("is_true"),
+    )
+    lab = cand.join(F.broadcast(truth), ["id_a", "id_b"], "left").select(
+        "hamming", F.coalesce("is_true", F.lit(0)).alias("is_true")
+    )
+    hist = lab.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("is_true").alias("n_true")
+    )
+    w = Window.orderBy("hamming")
+    cum = hist.select(
+        "hamming",
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("cum_pred"),
+        F.sum("n_true").over(w).alias("cum_hit"),
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        cum.crossJoin(F.broadcast(n_truth))
+        .select(
+            F.col("hamming").cast("long").alias("hamming"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("cum_pred").cast("long").alias("cum_pred"),
+            F.col("cum_hit").cast("long").alias("cum_hit"),
+            F.expr("1000 * cum_hit div cum_pred").cast("long").alias("precision_milli"),
+            F.expr("1000 * cum_hit div n_truth").cast("long").alias("recall_milli"),
+        )
+        .orderBy("hamming")
+    )
