@@ -837,3 +837,75 @@ def test_q179_curve_consistent_with_q176_operating_point(spark, sf_dir):
     for prev, cur in zip(curve, curve[1:]):
         assert cur["cum_pred"] == prev["cum_pred"] + cur["n_pairs"]
         assert cur["cum_hit"] >= prev["cum_hit"]
+
+
+# ---------------------------------------------------------------- q180
+
+
+def test_q180_layout_tradeoff_and_q176_consistency(spark, sf_dir):
+    """Candidate volume must grow with band count, the surfaced-truth
+    ceiling must be nondecreasing, the 4-band row must agree with
+    q176's confusion counts, and 8x8 banding must surface every
+    planted pair on this corpus."""
+    from voz_spark.imagedup import q176_dedup_eval, q180_band_sweep
+
+    rows = {r["bands"]: r for r in q180_band_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2]["n_cand"] < rows[4]["n_cand"] < rows[8]["n_cand"]
+    assert (
+        rows[2]["surfaced_milli"] <= rows[4]["surfaced_milli"] <= rows[8]["surfaced_milli"]
+    )
+    point = q176_dedup_eval(spark, sf_dir).collect()[0]
+    assert rows[4]["n_pred"] == point["n_pred"]
+    assert rows[4]["n_hit"] == point["n_hit"]
+    assert rows[8]["surfaced_milli"] == 1000
+    for r in rows.values():
+        assert r["n_hit"] <= r["n_surfaced"] <= r["n_cand"]
+
+
+# ---------------------------------------------------------------- q181
+
+
+def test_q181_strictest_license_wins_via_independent_union_find(spark, sf_dir):
+    """Cluster membership, survivor, and effective license must match
+    an independent Python union-find over q61's (already-oracled)
+    pairs plus the id-parsed license ranks."""
+    import pandas as pd
+
+    from voz_spark.imagedup import (
+        Q65_IMAGES_PATH,
+        q61_phash_neardup,
+        q181_license_propagation,
+    )
+
+    pairs = [(r["id_a"], r["id_b"]) for r in q61_phash_neardup(spark, sf_dir).collect()]
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = pd.read_parquet(Q65_IMAGES_PATH).set_index("image_id")
+    members: dict[str, list] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    names = ["restricted", "attribution", "permissive"]
+    rows = {r["cluster"]: r for r in q181_license_propagation(spark, sf_dir).collect()}
+    assert len(rows) == len(members)
+    for root, nodes in members.items():
+        r = rows[root]
+        assert r["n_members"] == len(nodes)
+        keep = min(nodes, key=lambda n: (-int(sizes.loc[n, "w"] * sizes.loc[n, "h"]), n))
+        assert r["kept_id"] == keep
+        ranks = [int(n[3:]) % 3 for n in nodes]
+        assert r["effective_license"] == names[min(ranks)]
+        assert r["own_license"] == names[int(keep[3:]) % 3]
+        assert r["tainted"] == (int(keep[3:]) % 3 > min(ranks))
+    assert any(r["tainted"] for r in rows.values())

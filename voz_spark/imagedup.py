@@ -3612,3 +3612,281 @@ def q179_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# q180: band-count sweep — q179 tunes the hamming THRESHOLD under the
+# fixed 4x16-bit banding; the banding itself is the other half of the
+# design space: fewer/wider bands surface fewer candidates (cheaper,
+# lower recall ceiling), more/narrower bands surface more (the q31/q61
+# cap starts to bind). This query evaluates 2x32 / 4x16 / 8x8 band
+# layouts side by side: candidate volume, how many planted truth pairs
+# each layout SURFACES at all (the recall ceiling no threshold can
+# recover past), and precision/recall at the production hamming <= 10
+# point. Together with q176/q179 this completes the dedup tuning kit.
+#
+# Scale shape: one band-key shuffle + capped pair join PER LAYOUT
+# (three q61-shaped plans, independent — they parallelize); confusion
+# counts per layout are O(1) aggregates. At corpus scale you run this
+# on a hash sample (q58) — the layout ranking is what transfers.
+# ---------------------------------------------------------------------------
+
+_Q180_LAYOUTS = (2, 4, 8)
+
+
+def _band_expr_w(k: int, width: int) -> str:
+    return f"((phash >> {width * k}) & {(1 << width) - 1})"
+
+
+def _q180_layout_sql(nbands: int) -> str:
+    width = 64 // nbands
+    bands = "\n  UNION ALL ".join(
+        f"SELECT image_id, phash, {k} AS band_id, {_band_expr_w(k, width)} AS bucket FROM p"
+        for k in range(nbands)
+    )
+    return f"""
+  SELECT {nbands} AS bands, id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
+  FROM (
+    SELECT DISTINCT a.image_id AS id_a, a.phash AS ph_a,
+                    b.image_id AS id_b, b.phash AS ph_b
+    FROM ({bands}) a
+    JOIN ({bands}) b USING (band_id, bucket)
+    JOIN (SELECT band_id, bucket FROM ({bands})
+          GROUP BY band_id, bucket HAVING COUNT(*) <= {_BUCKET_CAP}) ok
+      USING (band_id, bucket)
+    WHERE a.image_id < b.image_id
+  )"""
+
+
+_Q180_ORACLE = f"""
+WITH p AS (SELECT image_id, phash FROM read_parquet('{Q61_PHASH_PATH}/*.parquet')),
+ids AS (SELECT image_id, CAST(substr(image_id, 4) AS BIGINT) AS i FROM p),
+truth AS (
+  SELECT 'img' || lpad(CAST(i - 1 AS VARCHAR), 10, '0') AS id_a, image_id AS id_b
+  FROM ids WHERE i % 7 = 3 AND i > 0
+),
+allc AS ({" UNION ALL ".join(_q180_layout_sql(b) for b in _Q180_LAYOUTS)}),
+lab AS (
+  SELECT bands, hamming,
+         CASE WHEN EXISTS (SELECT 1 FROM truth t
+                           WHERE t.id_a = allc.id_a AND t.id_b = allc.id_b)
+              THEN 1 ELSE 0 END AS is_true
+  FROM allc
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(COUNT(*) AS BIGINT) AS n_cand,
+       CAST(SUM(is_true) AS BIGINT) AS n_surfaced,
+       CAST(1000 * SUM(is_true) // (SELECT COUNT(*) FROM truth) AS BIGINT)
+         AS surfaced_milli,
+       CAST(SUM(CASE WHEN hamming <= {_HAMMING_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred,
+       CAST(SUM(CASE WHEN hamming <= {_HAMMING_MAX} THEN is_true ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(1000 * SUM(CASE WHEN hamming <= {_HAMMING_MAX} THEN is_true ELSE 0 END)
+            // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_milli
+FROM lab GROUP BY bands ORDER BY bands
+"""
+
+
+@register("q180_band_sweep", oracle=_Q180_ORACLE)
+def q180_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate volume, surfaced-truth ceiling, and hamming<=10
+    precision/recall for 2/4/8-band pHash LSH layouts — three
+    independent q61-shaped plans, O(1) confusion rollups each."""
+    p = _materialized(
+        spark,
+        Q61_PHASH_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
+    )
+    ids = p.select(F.substring("image_id", 4, 10).cast("long").alias("i"), "image_id")
+    truth = ids.where((F.col("i") % 7 == 3) & (F.col("i") > 0)).select(
+        F.concat(F.lit("img"), F.lpad((F.col("i") - 1).cast("string"), 10, "0")).alias(
+            "id_a"
+        ),
+        F.col("image_id").alias("id_b"),
+        F.lit(1).alias("is_true"),
+    )
+    per_layout = []
+    for nb in _Q180_LAYOUTS:
+        width = 64 // nb
+        stack_args = ", ".join(f"{k}, {_band_expr_w(k, width)}" for k in range(nb))
+        bx = p.selectExpr(
+            "image_id", "phash", f"stack({nb}, {stack_args}) AS (band_id, bucket)"
+        )
+        ok = (
+            bx.groupBy("band_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .where(F.col("bn") <= _BUCKET_CAP)
+            .select("band_id", "bucket")
+        )
+        bxo = bx.join(ok, ["band_id", "bucket"])
+        a = bxo.select(
+            "band_id", "bucket", F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a")
+        )
+        b = bxo.select(
+            "band_id", "bucket", F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b")
+        )
+        cand = (
+            a.join(b, ["band_id", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ph_a", "ph_b")
+            .distinct()
+            .select(
+                F.lit(nb).alias("bands"),
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int").alias(
+                    "hamming"
+                ),
+            )
+        )
+        per_layout.append(cand)
+    allc = per_layout[0]
+    for c in per_layout[1:]:
+        allc = allc.unionByName(c)
+    lab = allc.join(F.broadcast(truth), ["id_a", "id_b"], "left").select(
+        "bands", "hamming", F.coalesce("is_true", F.lit(0)).alias("is_true")
+    )
+    hit10 = F.when(F.col("hamming") <= _HAMMING_MAX, F.col("is_true")).otherwise(0)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    g = lab.groupBy(F.col("bands").cast("long").alias("bands")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum("is_true").cast("long").alias("n_surfaced"),
+        F.sum(F.when(F.col("hamming") <= _HAMMING_MAX, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pred"),
+        F.sum(hit10).cast("long").alias("n_hit"),
+    )
+    return (
+        g.crossJoin(F.broadcast(n_truth))
+        .select(
+            "bands",
+            "n_cand",
+            "n_surfaced",
+            F.expr("1000 * n_surfaced div n_truth").cast("long").alias("surfaced_milli"),
+            "n_pred",
+            "n_hit",
+            F.expr("1000 * n_hit div n_truth").cast("long").alias("recall_milli"),
+        )
+        .orderBy("bands")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181: license propagation — dedup changes the LEGAL status of what
+# remains: if a near-dup cluster keeps its highest-resolution member
+# (q65's rule) but a discarded member carried a stricter license, the
+# survivor is the same picture and inherits the stricter terms. A
+# corpus that drops duplicates without folding their licenses ships
+# restricted content under a permissive label. This query rolls the
+# strictest license up each q65 cluster (MIN rank: restricted=0 <
+# attribution=1 < permissive=2), assigns it to the survivor, and
+# flags clusters whose survivor's own tag was laxer (tainted). The
+# reference stores no license metadata at all (src/image_processor.py).
+#
+# License synth: rank = idx % 3 parsed from the image id — planted so
+# a dup pair (idx-1, idx) almost always mixes ranks.
+#
+# Scale shape: rides q65's machinery (banded pairs -> connected
+# components); the license is an in-row id parse, the strictest-rank
+# fold is one partial-combining MIN per cluster, and the taint flag
+# is in-row on the cluster rollup.
+# ---------------------------------------------------------------------------
+
+_Q181_LIC = "CASE i % 3 WHEN 0 THEN 'restricted' WHEN 1 THEN 'attribution' ELSE 'permissive' END"
+
+_Q181_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT image_id, phash, w, h FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+lic AS (
+  SELECT image_id, CAST(substr(image_id, 4) AS BIGINT) % 3 AS rank
+  FROM p
+),
+m AS (
+  SELECT c.cluster, c.node, l.rank, p.w * p.h AS px
+  FROM comp c JOIN lic l ON l.image_id = c.node JOIN p ON p.image_id = c.node
+),
+ranked AS (
+  SELECT cluster, node, rank,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY px DESC, node) AS rk,
+         MIN(rank) OVER (PARTITION BY cluster) AS strictest,
+         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+  FROM m
+)
+SELECT cluster, node AS kept_id, CAST(n_members AS BIGINT) AS n_members,
+       (SELECT {_Q181_LIC} FROM (SELECT rank AS i) x) AS own_license,
+       (SELECT {_Q181_LIC} FROM (SELECT strictest AS i) x) AS effective_license,
+       rank > strictest AS tainted
+FROM ranked WHERE rk = 1 ORDER BY cluster
+"""
+
+
+@register("q181_license_propagation", oracle=_Q181_ORACLE)
+def q181_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictest-license fold over each visual dup cluster: the q65
+    survivor inherits MIN license rank across members; clusters whose
+    survivor carried a laxer tag are flagged tainted."""
+    from pyspark.sql import Window
+
+    from voz_spark.graph import connected_components
+
+    p = _materialized(
+        spark,
+        Q65_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,w,h",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "w", "h"),
+    )
+    pairs = _neardup_pairs(p)
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).withColumnRenamed("component", "cluster")
+    lic_name = lambda c: (  # noqa: E731
+        F.when(c == 0, F.lit("restricted"))
+        .when(c == 1, F.lit("attribution"))
+        .otherwise(F.lit("permissive"))
+    )
+    m = (
+        cc.join(p, cc["node"] == p["image_id"])
+        .select(
+            "cluster",
+            "node",
+            (F.substring("image_id", 4, 10).cast("long") % 3).alias("rank"),
+            (F.col("w") * F.col("h")).alias("px"),
+        )
+    )
+    win = Window.partitionBy("cluster")
+    ranked = m.select(
+        "cluster",
+        "node",
+        "rank",
+        F.row_number().over(win.orderBy(F.col("px").desc(), F.col("node"))).alias("rk"),
+        F.min("rank").over(win).alias("strictest"),
+        F.count(F.lit(1)).over(win).alias("n_members"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("node").alias("kept_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            lic_name(F.col("rank")).alias("own_license"),
+            lic_name(F.col("strictest")).alias("effective_license"),
+            (F.col("rank") > F.col("strictest")).alias("tainted"),
+        )
+        .orderBy("cluster")
+    )
