@@ -3657,9 +3657,14 @@ def q169_frontier_spill_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"), F.sum("nbytes").alias("b")
     )
     # Window over the BIN table (<= 65,536 rows), never the frontier.
-    w = g.withColumn(
-        "cum", F.sum("c").over(Window.orderBy("p"))
-    ).withColumn("n", F.sum("c").over(Window.partitionBy()))
+    # The bin table feeds BOTH the cutoff scalars and the tier rollup:
+    # persist it (the q25/q81 lesson) or the cut branch re-scans and
+    # re-shuffles the whole frontier a second time.
+    w = (
+        g.withColumn("cum", F.sum("c").over(Window.orderBy("p")))
+        .withColumn("n", F.sum("c").over(Window.partitionBy()))
+        .persist()
+    )
     cut = w.agg(
         F.max(F.when(F.col("cum") * 10 <= F.col("n"), F.col("p"))).alias("hot_cut"),
         F.max(F.when(F.col("cum") * 10 <= F.col("n") * 4, F.col("p"))).alias("warm_cut"),
