@@ -909,3 +909,88 @@ def test_q181_strictest_license_wins_via_independent_union_find(spark, sf_dir):
         assert r["own_license"] == names[int(keep[3:]) % 3]
         assert r["tainted"] == (int(keep[3:]) % 3 > min(ranks))
     assert any(r["tainted"] for r in rows.values())
+
+
+# ---------------------------------------------------------------- q182
+
+
+def test_q182_funnel_replay_and_conservation(spark, sf_dir):
+    """The capstone funnel must match an independent pandas replay of
+    all six gate rules over the same stats fixture + a Python
+    union-find for dedup/license, and must conserve counts stage to
+    stage."""
+    import pandas as pd
+
+    from voz_spark.imagedup import (
+        Q65_IMAGES_PATH,
+        Q182_STATS_PATH,
+        _Q182_DIGIT_MILLI,
+        _Q182_OVER_MILLI,
+        _Q182_RES_MIN_PX,
+        _Q182_SHARP_MILLI,
+        _Q182_UNDER_MILLI,
+        q61_phash_neardup,
+        q182_image_corpus_build,
+    )
+
+    rows = q182_image_corpus_build(spark, sf_dir).collect()
+    assert [r["stage_no"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_out"] == b["n_in"]
+        assert a["n_in"] - a["n_fail"] == a["n_out"]
+    assert rows[0]["n_in"] == 560
+    assert all(r["n_fail"] > 0 for r in rows)  # every gate has prey
+
+    # independent replay
+    stats = pd.read_parquet(Q182_STATS_PATH)
+    sizes = pd.read_parquet(Q65_IMAGES_PATH).set_index("image_id")
+    pairs = [(r["id_a"], r["id_b"]) for r in q61_phash_neardup(spark, sf_dir).collect()]
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[str, list] = {}
+    for node in parent:
+        clusters.setdefault(find(node), []).append(node)
+    kept, strict = {}, {}
+    for nodes in clusters.values():
+        keep = min(nodes, key=lambda n: (-int(sizes.loc[n, "w"] * sizes.loc[n, "h"]), n))
+        mn = min(int(n[3:]) % 3 for n in nodes)
+        for n in nodes:
+            kept[n] = n == keep
+            strict[n] = mn
+    fails = [0] * 7
+    for _, s in stats.iterrows():
+        iid, cap = s["image_id"], s["caption"]
+        luma = 1000 * s["luma_sum"] // s["n_px"]
+        digits = sum(ch.isdigit() for ch in cap)
+        if s["w"] * s["h"] < _Q182_RES_MIN_PX:
+            f = 1
+        elif luma < _Q182_UNDER_MILLI or luma > _Q182_OVER_MILLI:
+            f = 2
+        elif 1000 * s["lap_energy"] // s["n_px_lap"] < _Q182_SHARP_MILLI:
+            f = 3
+        elif 1000 * digits // len(cap) > _Q182_DIGIT_MILLI:
+            f = 4
+        elif iid in kept and not kept[iid]:
+            f = 5
+        elif strict.get(iid, int(iid[3:]) % 3) == 0:
+            f = 6
+        else:
+            f = 0
+        fails[f] += 1
+    n_in = 560
+    for r in rows:
+        assert r["n_in"] == n_in
+        assert r["n_fail"] == fails[r["stage_no"]]
+        n_in -= fails[r["stage_no"]]
+    assert rows[-1]["n_out"] == n_in == fails[0]

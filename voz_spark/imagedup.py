@@ -3890,3 +3890,283 @@ def q181_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# q182: image-corpus build — the CAPSTONE composition: the end product
+# of the whole crawl is a curated (image, caption) training manifest,
+# and this query assembles it from the engine's own oracled gates in
+# ONE funnel: resolution -> exposure band (q164's rule) -> sharpness
+# (q161's Laplacian rule) -> caption digit-density -> dedup survivor
+# (q65's rule) -> effective license (q181's strictest-rank fold).
+# Output is the per-stage funnel (n_in / n_fail / n_out per gate) —
+# the dataset-card evidence of WHY each discarded image fell out. The
+# reference's terminal artifact is a CSV of everything it fetched with
+# no curation at all (src/create_datasets.py).
+#
+# One-decode-pass design (the q143/q151 keep-the-stat discipline): a
+# single mapInPandas pass over the 560-image universe decodes once and
+# emits EVERY per-image stat (Laplacian energy, luma sums, dims,
+# caption) into one fixture; q161/q164's planted corruptions (blur at
+# idx % 8 == 5, over/under exposure at idx % 9 in {4, 7}) are applied
+# in the same pass so the gates have real prey. Dedup/license ride the
+# q65 fixture — the SAME image universe — so cluster survivorship and
+# license folds compose exactly.
+#
+# Scale shape: gates 1-4 are in-row flags on the stats table (zero
+# shuffles); dedup/license add q65's pair+CC machinery (band-key
+# shuffle, bounded); the funnel itself aggregates first-failing-stage
+# over a 7-row domain and runs its windows there. At 10^10 images the
+# only corpus-sized exchanges are the ones q65 already pays.
+# ---------------------------------------------------------------------------
+
+Q182_STATS_PATH = "/tmp/voz_spark_q182_stats"
+
+_Q182_RES_MIN_PX = 1024
+_Q182_UNDER_MILLI = 80_000
+_Q182_OVER_MILLI = 176_000
+_Q182_SHARP_MILLI = 100_000
+_Q182_DIGIT_MILLI = 280
+
+
+def _q182_stats_builder(spark: SparkSession):
+    """One decode pass -> every per-image stat. Corruption pipeline:
+    blur plants (idx % 8 == 5, double box blur) then exposure plants
+    (idx % 9 == 4 over, idx % 9 == 7 under) — q161/q164's rules on the
+    unified 560-image universe."""
+
+    def build():
+        import numpy as np
+
+        from voz_spark import synth
+
+        def box3(g):
+            out = g.copy()
+            s = (
+                g[:-2, :-2] + g[:-2, 1:-1] + g[:-2, 2:]
+                + g[1:-1, :-2] + g[1:-1, 1:-1] + g[1:-1, 2:]
+                + g[2:, :-2] + g[2:, 1:-1] + g[2:, 2:]
+            )
+            out[1:-1, 1:-1] = s // 9
+            return out
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = int(i)
+                    px = synth.image_pixels(idx).astype(np.int64)
+                    if idx % 9 == 4:
+                        px = 255 - (255 - px) // 4
+                    elif idx % 9 == 7:
+                        px = px // 4
+                    g = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                    if idx % 8 == 5:
+                        g = box3(box3(g))
+                    c = g[1:-1, 1:-1]
+                    lap = 4 * c - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+                    h, w = g.shape
+                    # planted junk captions (idx % 11 == 6): the
+                    # digit-dump alt text a camera-filename scrape
+                    # produces — the caption gate's prey
+                    cap = (
+                        f"IMG {idx * 7919} 20260820 {idx * 104729}"
+                        if idx % 11 == 6
+                        else synth.image_caption(idx)
+                    )
+                    rows.append(
+                        {
+                            "image_id": synth.image_id(idx),
+                            "w": int(w),
+                            "h": int(h),
+                            "caption": cap,
+                            "luma_sum": int(g.sum()),
+                            "n_px": int(g.size),
+                            "lap_energy": int((lap**2).sum()),
+                            "n_px_lap": int(lap.size),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return (
+            spark.range(_N_IMAGES)
+            .repartition(8)
+            .mapInPandas(
+                gen,
+                "image_id string, w int, h int, caption string, luma_sum long,"
+                " n_px long, lap_energy long, n_px_lap long",
+            )
+        )
+
+    return build
+
+
+_Q182_STAGES = (
+    "1_resolution",
+    "2_exposure",
+    "3_sharpness",
+    "4_caption",
+    "5_dedup",
+    "6_license",
+)
+
+_Q182_FLAGS_SQL = f"""
+flags AS (
+  SELECT s.image_id,
+         CASE WHEN s.w * s.h < {_Q182_RES_MIN_PX} THEN 1
+              WHEN 1000 * s.luma_sum // s.n_px < {_Q182_UNDER_MILLI}
+                OR 1000 * s.luma_sum // s.n_px > {_Q182_OVER_MILLI} THEN 2
+              WHEN 1000 * s.lap_energy // s.n_px_lap < {_Q182_SHARP_MILLI} THEN 3
+              WHEN 1000 * (length(s.caption)
+                   - length(regexp_replace(s.caption, '[0-9]', '', 'g')))
+                   // length(s.caption) > {_Q182_DIGIT_MILLI} THEN 4
+              WHEN surv.kept IS NOT NULL AND surv.kept = 0 THEN 5
+              WHEN COALESCE(surv.strictest,
+                            CAST(substr(s.image_id, 4) AS BIGINT) % 3) = 0 THEN 6
+              ELSE 0 END AS first_fail
+  FROM read_parquet('{Q182_STATS_PATH}/*.parquet') s
+  LEFT JOIN (
+    SELECT m.node,
+           CASE WHEN ROW_NUMBER() OVER
+                  (PARTITION BY m.cluster ORDER BY m.px DESC, m.node) = 1
+                THEN 1 ELSE 0 END AS kept,
+           MIN(m.rank) OVER (PARTITION BY m.cluster) AS strictest
+    FROM (
+      SELECT c.cluster, c.node, p.w * p.h AS px,
+             CAST(substr(c.node, 4) AS BIGINT) % 3 AS rank
+      FROM comp c JOIN p ON p.image_id = c.node
+    ) m
+  ) surv ON surv.node = s.image_id
+)"""
+
+_Q182_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT image_id, phash, w, h FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+{_Q182_FLAGS_SQL},
+fc AS (SELECT first_fail, COUNT(*) AS n FROM flags GROUP BY first_fail),
+stages AS (
+  SELECT * FROM (VALUES {", ".join(f"({k + 1}, '{s}')" for k, s in enumerate(_Q182_STAGES))})
+    v(stage_no, stage)
+),
+funnel AS (
+  SELECT st.stage_no, st.stage,
+         (SELECT SUM(n) FROM fc) 
+           - COALESCE((SELECT SUM(n) FROM fc WHERE first_fail > 0
+                       AND first_fail < st.stage_no), 0) AS n_in,
+         COALESCE((SELECT n FROM fc WHERE first_fail = st.stage_no), 0) AS n_fail
+  FROM stages st
+)
+SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_fail AS BIGINT) AS n_fail,
+       CAST(n_in - n_fail AS BIGINT) AS n_out
+FROM funnel ORDER BY stage_no
+"""
+
+
+@register("q182_image_corpus_build", oracle=_Q182_ORACLE)
+def q182_image_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated (image, caption) manifest funnel: six oracled gates
+    composed into one DAG; output is the per-stage n_in/n_fail/n_out
+    dataset-card evidence."""
+    from pyspark.sql import Window
+
+    from voz_spark.graph import connected_components
+
+    stats = _materialized(
+        spark,
+        Q182_STATS_PATH,
+        f"n={_N_IMAGES};onepass;v2",
+        _q182_stats_builder(spark),
+    )
+    p = _materialized(
+        spark,
+        Q65_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,w,h",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "w", "h"),
+    )
+    cc = connected_components(
+        _neardup_pairs(p).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).withColumnRenamed("component", "cluster")
+    m = cc.join(p, cc["node"] == p["image_id"]).select(
+        "cluster",
+        "node",
+        (F.col("w") * F.col("h")).alias("px"),
+        (F.substring("node", 4, 10).cast("long") % 3).alias("rank"),
+    )
+    win = Window.partitionBy("cluster")
+    surv = m.select(
+        "node",
+        F.when(
+            F.row_number().over(win.orderBy(F.col("px").desc(), F.col("node"))) == 1, 1
+        )
+        .otherwise(0)
+        .alias("kept"),
+        F.min("rank").over(win).alias("strictest"),
+    )
+    s = stats.join(surv, stats["image_id"] == surv["node"], "left")
+    digits = F.length("caption") - F.length(F.regexp_replace("caption", "[0-9]", ""))
+    own_rank = F.substring("image_id", 4, 10).cast("long") % 3
+    luma_milli = F.expr("1000 * luma_sum div n_px")
+    first_fail = (
+        F.when(F.col("w") * F.col("h") < _Q182_RES_MIN_PX, 1)
+        .when(
+            (luma_milli < _Q182_UNDER_MILLI) | (luma_milli > _Q182_OVER_MILLI), 2
+        )
+        .when(F.expr("1000 * lap_energy div n_px_lap") < _Q182_SHARP_MILLI, 3)
+        .when(
+            F.expr(
+                "1000 * (length(caption) - length(regexp_replace(caption, '[0-9]', '')))"
+                " div length(caption)"
+            )
+            > _Q182_DIGIT_MILLI,
+            4,
+        )
+        .when(F.col("kept") == 0, 5)
+        .when(F.coalesce(F.col("strictest"), own_rank) == 0, 6)
+        .otherwise(0)
+    )
+    fc = s.select(first_fail.alias("first_fail")).groupBy("first_fail").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stages = spark.createDataFrame(
+        [(k + 1, st) for k, st in enumerate(_Q182_STAGES)], "stage_no int, stage string"
+    )
+    # funnel over the bounded (7-row) fc table
+    total = fc.agg(F.sum("n").alias("total"))
+    fails = fc.where(F.col("first_fail") > 0).select(
+        F.col("first_fail").alias("stage_no"), F.col("n").alias("n_fail")
+    )
+    f = (
+        stages.join(F.broadcast(fails), "stage_no", "left")
+        .na.fill({"n_fail": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    w2 = Window.orderBy("stage_no").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        f.withColumn("failed_before", F.coalesce(F.sum("n_fail").over(w2), F.lit(0)))
+        .select(
+            F.col("stage_no").cast("long").alias("stage_no"),
+            "stage",
+            (F.col("total") - F.col("failed_before")).cast("long").alias("n_in"),
+            F.col("n_fail").cast("long").alias("n_fail"),
+            (F.col("total") - F.col("failed_before") - F.col("n_fail"))
+            .cast("long")
+            .alias("n_out"),
+        )
+        .orderBy("stage_no")
+    )
