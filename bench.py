@@ -42,6 +42,10 @@ EXTRA = [
     # round-3 additions: PQ-compressed ANN search, video clip dedup
     "q130_pq_adc_search",
     "q141_video_clip_containment",
+    # round-3 wave 2: the dedup PR curve (one-pass tuning frontier)
+    # and the capstone image-corpus funnel (all six gates + CC)
+    "q179_dedup_pr_curve",
+    "q182_image_corpus_build",
 ]
 
 

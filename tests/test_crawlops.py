@@ -1204,3 +1204,29 @@ def test_q177_drain_math_recount(spark, sf_dir):
         assert r["verdict"] == (
             "starving" if drain > 100 else ("backlogged" if drain > 10 else "healthy")
         )
+
+
+# ---------------------------------------------------------------- q183
+
+
+def test_q183_jain_recount_and_bounds(spark, sf_dir):
+    """The fairness scalar must match a brute-force Jain computation
+    and respect its analytic bounds: 1000/n <= jain <= 1000, and
+    max_share >= 1/n."""
+    from voz_spark.crawlops import q183_schedule_fairness
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").collect()
+    counts: dict[int, int] = {}
+    for r in ev:
+        h = r["event_id"] % 41
+        counts[h] = counts.get(h, 0) + 1
+    xs = list(counts.values())
+    n, sx, sxx, mx = len(xs), sum(xs), sum(x * x for x in xs), max(xs)
+    r = q183_schedule_fairness(spark, sf_dir).collect()[0]
+    assert (r["n_hosts"], r["n_scheduled"], r["max_one_host"]) == (n, sx, mx)
+    assert r["max_share_milli"] == 1000 * mx // sx
+    assert r["jain_milli"] == 1000 * sx * sx // (n * sxx)
+    assert 1000 // n <= r["jain_milli"] <= 1000
+    # events spread near-uniformly over 41 hosts -> high fairness
+    assert r["jain_milli"] >= 900

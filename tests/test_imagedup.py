@@ -994,3 +994,32 @@ def test_q182_funnel_replay_and_conservation(spark, sf_dir):
         assert r["n_fail"] == fails[r["stage_no"]]
         n_in -= fails[r["stage_no"]]
     assert rows[-1]["n_out"] == n_in == fails[0]
+
+
+# ---------------------------------------------------------------- q184
+
+
+def test_q184_byte_attribution_consistent_with_q182(spark, sf_dir):
+    """Byte attribution must agree with the funnel's image counts per
+    stage, conserve total bytes, and the kept row must exist: the
+    bytes-per-kept-sample economics derive from these two tables."""
+    from voz_spark.imagedup import (
+        q182_image_corpus_build,
+        q184_curation_byte_attribution,
+    )
+
+    funnel = {r["stage_no"]: r for r in q182_image_corpus_build(spark, sf_dir).collect()}
+    attr = {r["stage_no"]: r for r in q184_curation_byte_attribution(spark, sf_dir).collect()}
+    assert 0 in attr and attr[0]["stage"] == "0_kept"
+    assert attr[0]["n_images"] == funnel[6]["n_out"]
+    for k in range(1, 7):
+        assert attr[k]["n_images"] == funnel[k]["n_fail"]
+        assert attr[k]["stage"] == funnel[k]["stage"]
+    total_imgs = sum(r["n_images"] for r in attr.values())
+    assert total_imgs == funnel[1]["n_in"] == 560
+    total_bytes = sum(r["n_bytes"] for r in attr.values())
+    assert all(r["n_bytes"] > 0 for r in attr.values())
+    shares = sum(r["byte_share_milli"] for r in attr.values())
+    assert 990 <= shares <= 1000  # integer-floor shares sum to <= 1000
+    for r in attr.values():
+        assert r["byte_share_milli"] == 1000 * r["n_bytes"] // total_bytes

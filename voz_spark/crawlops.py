@@ -4133,3 +4133,57 @@ def q177_frontier_age_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q183: schedule fairness — host-skew salting (B5) protects THROUGHPUT
+# from a dominant host, but a scheduler can be fast and still unfair:
+# if big hosts absorb the whole round budget, small hosts starve (the
+# q177 age audit sees the symptom; this measures the cause). Jain's
+# fairness index (sum x)^2 / (n * sum x^2) over per-host scheduled
+# counts is the standard scalar: 1000 milli = perfectly even, 1000/n =
+# one host takes everything. The reference crawls one host, so
+# fairness is undefined there.
+#
+# Scale shape: one partial-combining host fold (count per host), then
+# a single 1-row aggregate over |hosts| rows — sums, sum of squares,
+# max — and integer milli arithmetic in-row. (sum x)^2 <= (10^10)^2
+# overflows int64 at full frontier scale; production computes the
+# index per apportionment shard (q102's grain) where x sums are
+# bounded by shard budget — documented, and the small-scale values
+# here stay well inside int64.
+# ---------------------------------------------------------------------------
+
+_Q183_ORACLE = """
+WITH h AS (
+  SELECT event_id % 41 AS host, COUNT(*) AS x FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(x) AS BIGINT) AS n_scheduled,
+       CAST(MAX(x) AS BIGINT) AS max_one_host,
+       CAST(1000 * MAX(x) // SUM(x) AS BIGINT) AS max_share_milli,
+       CAST(1000 * SUM(x) * SUM(x) // (COUNT(*) * SUM(x * x)) AS BIGINT)
+         AS jain_milli
+FROM h
+"""
+
+
+@register("q183_schedule_fairness", oracle=_Q183_ORACLE)
+def q183_schedule_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain fairness index (integer milli) + max-share over per-host
+    scheduled counts: one host fold, one 1-row rollup."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    h = ev.groupBy((F.col("event_id") % 41).alias("host")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("x").cast("long").alias("n_scheduled"),
+        F.max("x").cast("long").alias("max_one_host"),
+        F.expr("cast(1000 * max(x) div sum(x) as bigint)").alias("max_share_milli"),
+        F.expr(
+            "cast(1000 * sum(x) * sum(x) div (count(1) * sum(x * x)) as bigint)"
+        ).alias("jain_milli"),
+    )

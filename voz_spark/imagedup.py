@@ -3984,6 +3984,7 @@ def _q182_stats_builder(spark: SparkSession):
                             "n_px": int(g.size),
                             "lap_energy": int((lap**2).sum()),
                             "n_px_lap": int(lap.size),
+                            "n_bytes": len(synth.image_bytes(idx)),
                         }
                     )
                 yield pd.DataFrame(rows)
@@ -3994,7 +3995,7 @@ def _q182_stats_builder(spark: SparkSession):
             .mapInPandas(
                 gen,
                 "image_id string, w int, h int, caption string, luma_sum long,"
-                " n_px long, lap_energy long, n_px_lap long",
+                " n_px long, lap_energy long, n_px_lap long, n_bytes long",
             )
         )
 
@@ -4012,7 +4013,7 @@ _Q182_STAGES = (
 
 _Q182_FLAGS_SQL = f"""
 flags AS (
-  SELECT s.image_id,
+  SELECT s.image_id, s.n_bytes,
          CASE WHEN s.w * s.h < {_Q182_RES_MIN_PX} THEN 1
               WHEN 1000 * s.luma_sum // s.n_px < {_Q182_UNDER_MILLI}
                 OR 1000 * s.luma_sum // s.n_px > {_Q182_OVER_MILLI} THEN 2
@@ -4078,11 +4079,10 @@ FROM funnel ORDER BY stage_no
 """
 
 
-@register("q182_image_corpus_build", oracle=_Q182_ORACLE)
-def q182_image_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curated (image, caption) manifest funnel: six oracled gates
-    composed into one DAG; output is the per-stage n_in/n_fail/n_out
-    dataset-card evidence."""
+def _corpus_first_fail(spark: SparkSession) -> DataFrame:
+    """(image_id, n_bytes, first_fail) for every image in the unified
+    corpus — the shared gate evaluation behind q182 (funnel) and q184
+    (byte attribution). first_fail 0 = kept."""
     from pyspark.sql import Window
 
     from voz_spark.graph import connected_components
@@ -4090,7 +4090,7 @@ def q182_image_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = _materialized(
         spark,
         Q182_STATS_PATH,
-        f"n={_N_IMAGES};onepass;v2",
+        f"n={_N_IMAGES};onepass;v3",
         _q182_stats_builder(spark),
     )
     p = _materialized(
@@ -4140,7 +4140,17 @@ def q182_image_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.coalesce(F.col("strictest"), own_rank) == 0, 6)
         .otherwise(0)
     )
-    fc = s.select(first_fail.alias("first_fail")).groupBy("first_fail").agg(
+    return s.select(stats["image_id"], "n_bytes", first_fail.alias("first_fail"))
+
+
+@register("q182_image_corpus_build", oracle=_Q182_ORACLE)
+def q182_image_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated (image, caption) manifest funnel: six oracled gates
+    composed into one DAG; output is the per-stage n_in/n_fail/n_out
+    dataset-card evidence."""
+    from pyspark.sql import Window
+
+    fc = _corpus_first_fail(spark).groupBy("first_fail").agg(
         F.count(F.lit(1)).alias("n")
     )
     stages = spark.createDataFrame(
@@ -4167,6 +4177,88 @@ def q182_image_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total") - F.col("failed_before") - F.col("n_fail"))
             .cast("long")
             .alias("n_out"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184: curation byte attribution — the funnel (q182) counts IMAGES;
+# the crawl pays in BYTES. Attributing fetched bytes to the gate that
+# discarded them prices every quality rule (resolution rejects are
+# tiny files; license rejects cost full-size fetches) and yields the
+# corpus's bytes-per-kept-sample — the number that decides whether to
+# push a gate UPSTREAM into the frontier (don't fetch what you'll
+# drop: q160's byte budgeting + q139's ROI get their targets from
+# exactly this table). Rides q182's shared gate evaluation.
+#
+# Scale shape: the gate evaluation's cost (q182's); on top, ONE
+# bounded rollup on the 7-value first-fail domain and a 1-row total
+# cross-joined for shares. No new corpus-sized work.
+# ---------------------------------------------------------------------------
+
+_Q184_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT image_id, phash, w, h FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+{_Q182_FLAGS_SQL},
+lbl AS (
+  SELECT first_fail,
+         CASE first_fail
+           {" ".join(f"WHEN {k + 1} THEN '{s}'" for k, s in enumerate(_Q182_STAGES))}
+           ELSE '0_kept' END AS stage,
+         n_bytes
+  FROM flags
+)
+SELECT CAST(first_fail AS BIGINT) AS stage_no, stage,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(1000 * SUM(n_bytes) // (SELECT SUM(n_bytes) FROM lbl) AS BIGINT)
+         AS byte_share_milli
+FROM lbl GROUP BY 1, 2 ORDER BY stage_no
+"""
+
+
+@register("q184_curation_byte_attribution", oracle=_Q184_ORACLE)
+def q184_curation_byte_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetched bytes attributed to the gate that discarded them (plus
+    the kept row): q182's gate evaluation + one bounded rollup and a
+    1-row byte total for shares."""
+    ff = _corpus_first_fail(spark)
+    stage = F.col("first_fail")
+    lbl = F.when(stage == 0, F.lit("0_kept"))
+    for k, s in enumerate(_Q182_STAGES):
+        lbl = lbl.when(stage == k + 1, F.lit(s))
+    g = ff.groupBy(
+        F.col("first_fail").cast("long").alias("stage_no"), lbl.alias("stage")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+    total = ff.agg(F.sum("n_bytes").alias("total_bytes"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "stage_no",
+            "stage",
+            "n_images",
+            "n_bytes",
+            F.expr("cast(1000 * n_bytes div total_bytes as bigint)").alias(
+                "byte_share_milli"
+            ),
         )
         .orderBy("stage_no")
     )
