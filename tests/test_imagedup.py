@@ -1023,3 +1023,28 @@ def test_q184_byte_attribution_consistent_with_q182(spark, sf_dir):
     assert 990 <= shares <= 1000  # integer-floor shares sum to <= 1000
     for r in attr.values():
         assert r["byte_share_milli"] == 1000 * r["n_bytes"] // total_bytes
+
+
+# ---------------------------------------------------------------- q185
+
+
+def test_q185_ablation_invariants_and_funnel_tie(spark, sf_dir):
+    """Per gate: unique kills <= funnel-attributed <= independent
+    fails; funnel-attributed counts must equal q182's n_fail column;
+    and the corpus's planted structure must show through — exposure
+    has ZERO unique kills (the exposure curves also flatten Laplacian
+    energy, so sharpness catches every one) while license carries the
+    most."""
+    from voz_spark.imagedup import q182_image_corpus_build, q185_gate_ablation
+
+    abl = {r["gate_no"]: r for r in q185_gate_ablation(spark, sf_dir).collect()}
+    funnel = {r["stage_no"]: r for r in q182_image_corpus_build(spark, sf_dir).collect()}
+    assert set(abl) == set(range(1, 7))
+    for k, r in abl.items():
+        assert r["n_unique"] <= r["n_first"] <= r["n_fail"]
+        assert r["n_first"] == funnel[k]["n_fail"]
+        assert r["gate"] == funnel[k]["stage"]
+        want = 0 if r["n_fail"] == 0 else 1000 * r["n_unique"] // r["n_fail"]
+        assert r["unique_milli"] == want
+    assert abl[2]["n_unique"] == 0  # exposure fully shadowed by sharpness
+    assert abl[6]["n_unique"] == max(r["n_unique"] for r in abl.values())

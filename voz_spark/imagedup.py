@@ -4012,19 +4012,21 @@ _Q182_STAGES = (
 )
 
 _Q182_FLAGS_SQL = f"""
-flags AS (
+flagbits AS (
   SELECT s.image_id, s.n_bytes,
-         CASE WHEN s.w * s.h < {_Q182_RES_MIN_PX} THEN 1
-              WHEN 1000 * s.luma_sum // s.n_px < {_Q182_UNDER_MILLI}
-                OR 1000 * s.luma_sum // s.n_px > {_Q182_OVER_MILLI} THEN 2
-              WHEN 1000 * s.lap_energy // s.n_px_lap < {_Q182_SHARP_MILLI} THEN 3
-              WHEN 1000 * (length(s.caption)
+         CASE WHEN s.w * s.h < {_Q182_RES_MIN_PX} THEN 1 ELSE 0 END AS g1,
+         CASE WHEN 1000 * s.luma_sum // s.n_px < {_Q182_UNDER_MILLI}
+                OR 1000 * s.luma_sum // s.n_px > {_Q182_OVER_MILLI}
+              THEN 1 ELSE 0 END AS g2,
+         CASE WHEN 1000 * s.lap_energy // s.n_px_lap < {_Q182_SHARP_MILLI}
+              THEN 1 ELSE 0 END AS g3,
+         CASE WHEN 1000 * (length(s.caption)
                    - length(regexp_replace(s.caption, '[0-9]', '', 'g')))
-                   // length(s.caption) > {_Q182_DIGIT_MILLI} THEN 4
-              WHEN surv.kept IS NOT NULL AND surv.kept = 0 THEN 5
-              WHEN COALESCE(surv.strictest,
-                            CAST(substr(s.image_id, 4) AS BIGINT) % 3) = 0 THEN 6
-              ELSE 0 END AS first_fail
+                   // length(s.caption) > {_Q182_DIGIT_MILLI} THEN 1 ELSE 0 END AS g4,
+         CASE WHEN surv.kept IS NOT NULL AND surv.kept = 0 THEN 1 ELSE 0 END AS g5,
+         CASE WHEN COALESCE(surv.strictest,
+                            CAST(substr(s.image_id, 4) AS BIGINT) % 3) = 0
+              THEN 1 ELSE 0 END AS g6
   FROM read_parquet('{Q182_STATS_PATH}/*.parquet') s
   LEFT JOIN (
     SELECT m.node,
@@ -4038,6 +4040,13 @@ flags AS (
       FROM comp c JOIN p ON p.image_id = c.node
     ) m
   ) surv ON surv.node = s.image_id
+),
+flags AS (
+  SELECT image_id, n_bytes, g1, g2, g3, g4, g5, g6,
+         CASE WHEN g1 = 1 THEN 1 WHEN g2 = 1 THEN 2 WHEN g3 = 1 THEN 3
+              WHEN g4 = 1 THEN 4 WHEN g5 = 1 THEN 5 WHEN g6 = 1 THEN 6
+              ELSE 0 END AS first_fail
+  FROM flagbits
 )"""
 
 _Q182_ORACLE = f"""
@@ -4122,25 +4131,30 @@ def _corpus_first_fail(spark: SparkSession) -> DataFrame:
     digits = F.length("caption") - F.length(F.regexp_replace("caption", "[0-9]", ""))
     own_rank = F.substring("image_id", 4, 10).cast("long") % 3
     luma_milli = F.expr("1000 * luma_sum div n_px")
-    first_fail = (
-        F.when(F.col("w") * F.col("h") < _Q182_RES_MIN_PX, 1)
-        .when(
-            (luma_milli < _Q182_UNDER_MILLI) | (luma_milli > _Q182_OVER_MILLI), 2
-        )
-        .when(F.expr("1000 * lap_energy div n_px_lap") < _Q182_SHARP_MILLI, 3)
-        .when(
+    b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    gates = [
+        b(F.col("w") * F.col("h") < _Q182_RES_MIN_PX),
+        b((luma_milli < _Q182_UNDER_MILLI) | (luma_milli > _Q182_OVER_MILLI)),
+        b(F.expr("1000 * lap_energy div n_px_lap") < _Q182_SHARP_MILLI),
+        b(
             F.expr(
                 "1000 * (length(caption) - length(regexp_replace(caption, '[0-9]', '')))"
                 " div length(caption)"
             )
-            > _Q182_DIGIT_MILLI,
-            4,
-        )
-        .when(F.col("kept") == 0, 5)
-        .when(F.coalesce(F.col("strictest"), own_rank) == 0, 6)
-        .otherwise(0)
+            > _Q182_DIGIT_MILLI
+        ),
+        b(F.col("kept") == 0),
+        b(F.coalesce(F.col("strictest"), own_rank) == 0),
+    ]
+    g = s.select(
+        stats["image_id"],
+        "n_bytes",
+        *[gc.alias(f"g{k + 1}") for k, gc in enumerate(gates)],
     )
-    return s.select(stats["image_id"], "n_bytes", first_fail.alias("first_fail"))
+    first_fail = F.lit(0)
+    for k in range(6, 0, -1):
+        first_fail = F.when(F.col(f"g{k}") == 1, k).otherwise(first_fail)
+    return g.withColumn("first_fail", first_fail)
 
 
 @register("q182_image_corpus_build", oracle=_Q182_ORACLE)
@@ -4262,3 +4276,90 @@ def q184_curation_byte_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("stage_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# q185: gate ablation — the funnel (q182) charges each discarded image
+# to its FIRST failing gate, which makes early gates look essential
+# and late gates look idle; whether a gate is actually load-bearing is
+# its UNIQUE-kill count: images no other gate would have caught. A
+# gate with zero unique kills is redundant (drop it, or reorder it
+# last); a gate whose unique kills dominate is irreplaceable. This
+# query evaluates all six gates INDEPENDENTLY per image and reports,
+# per gate: independent fails, funnel-attributed fails, unique kills,
+# and the unique-kill share — the ablation table that justifies the
+# funnel's composition.
+#
+# Scale shape: q182's gate evaluation emits the six booleans in the
+# same pass (one extra int column each); the ablation is one bounded
+# 6-row rollup over in-row sums. No work beyond the funnel's.
+# ---------------------------------------------------------------------------
+
+
+def _q185_gate_sql(k: int) -> str:
+    others = " + ".join(f"g{j}" for j in range(1, 7) if j != k)
+    return f"""
+  SELECT {k} AS gate_no, '{_Q182_STAGES[k - 1]}' AS gate,
+         CAST(SUM(g{k}) AS BIGINT) AS n_fail,
+         CAST(SUM(CASE WHEN first_fail = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(SUM(CASE WHEN g{k} = 1 AND {others} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique
+  FROM flags"""
+
+
+_Q185_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT image_id, phash, w, h FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+{_Q182_FLAGS_SQL}
+SELECT gate_no, gate, n_fail, n_first, n_unique,
+       CAST(CASE WHEN n_fail = 0 THEN 0
+                 ELSE 1000 * n_unique // n_fail END AS BIGINT) AS unique_milli
+FROM ({" UNION ALL ".join(_q185_gate_sql(k) for k in range(1, 7))})
+ORDER BY gate_no
+"""
+
+
+@register("q185_gate_ablation", oracle=_Q185_ORACLE)
+def q185_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate independent fails, funnel-attributed fails, and
+    unique kills (images no other gate catches): the ablation table
+    behind the q182 funnel, one bounded rollup over the shared gate
+    bits."""
+    ff = _corpus_first_fail(spark)
+    rows = []
+    for k in range(1, 7):
+        others = sum(F.col(f"g{j}") for j in range(1, 7) if j != k)
+        rows.append(
+            ff.agg(
+                F.lit(k).cast("long").alias("gate_no"),
+                F.lit(_Q182_STAGES[k - 1]).alias("gate"),
+                F.sum(F.col(f"g{k}")).cast("long").alias("n_fail"),
+                F.sum(F.when(F.col("first_fail") == k, 1).otherwise(0))
+                .cast("long")
+                .alias("n_first"),
+                F.sum(F.when((F.col(f"g{k}") == 1) & (others == 0), 1).otherwise(0))
+                .cast("long")
+                .alias("n_unique"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "unique_milli",
+        F.expr("cast(if(n_fail = 0, 0, 1000 * n_unique div n_fail) as bigint)"),
+    ).orderBy("gate_no")
