@@ -1048,3 +1048,67 @@ def test_q185_ablation_invariants_and_funnel_tie(spark, sf_dir):
         assert r["unique_milli"] == want
     assert abl[2]["n_unique"] == 0  # exposure fully shadowed by sharpness
     assert abl[6]["n_unique"] == max(r["n_unique"] for r in abl.values())
+
+
+# ---------------------------------------------------------------- q186
+
+
+def test_q186_donor_election_replay(spark, sf_dir):
+    """Every clustered junk-caption image must appear exactly once;
+    each donor must be the highest-resolution non-junk member of the
+    same cluster (tie: min id); a junk plant can never donate."""
+    import pandas as pd
+
+    from voz_spark.imagedup import (
+        Q65_IMAGES_PATH,
+        Q182_STATS_PATH,
+        q61_phash_neardup,
+        q186_caption_repair,
+    )
+
+    stats = pd.read_parquet(Q182_STATS_PATH).set_index("image_id")
+    sizes = pd.read_parquet(Q65_IMAGES_PATH).set_index("image_id")
+
+    def is_junk(iid):
+        cap = stats.loc[iid, "caption"]
+        d = sum(ch.isdigit() for ch in cap)
+        return 1000 * d // len(cap) > 280
+
+    pairs = [(r["id_a"], r["id_b"]) for r in q61_phash_neardup(spark, sf_dir).collect()]
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[str, list] = {}
+    for n in parent:
+        clusters.setdefault(find(n), []).append(n)
+    rows = {r["image_id"]: r for r in q186_caption_repair(spark, sf_dir).collect()}
+    expected = []
+    for nodes in clusters.values():
+        good = [n for n in nodes if not is_junk(n)]
+        donor = (
+            min(good, key=lambda n: (-int(sizes.loc[n, "w"] * sizes.loc[n, "h"]), n))
+            if good
+            else None
+        )
+        for n in nodes:
+            if is_junk(n):
+                expected.append((n, donor))
+    assert len(rows) == len(expected) > 0
+    for iid, donor in expected:
+        r = rows[iid]
+        if donor is None:
+            assert not r["repaired"] and r["donor_id"] == ""
+        else:
+            assert r["repaired"] and r["donor_id"] == donor
+            assert r["new_caption"] == stats.loc[donor, "caption"]
+            assert not is_junk(donor)

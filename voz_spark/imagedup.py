@@ -4363,3 +4363,131 @@ def q185_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unique_milli",
         F.expr("cast(if(n_fail = 0, 0, 1000 * n_unique div n_fail) as bigint)"),
     ).orderBy("gate_no")
+
+
+# ---------------------------------------------------------------------------
+# q186: caption repair — q182 DROPS junk-caption images (gate 4), but
+# when a junk-captioned image sits in a visual dup cluster alongside a
+# well-captioned copy, the caption is recoverable: it is the same
+# picture, so the dup's caption is its caption. Repair beats discard —
+# every repaired image is a training pair the funnel would have paid
+# for and thrown away. Donor rule: the highest-resolution non-junk
+# member (tie: min id) — q65's survivor rule restricted to caption-
+# worthy members. Junk images with no non-junk clustermate stay
+# unrepairable and fall through to the gate as before.
+#
+# Scale shape: rides the shared gate bits + q65's CC; the donor
+# election is a per-cluster window over members (bounded by cluster
+# size, which the band-bucket cap bounds upstream); the repair join is
+# cluster-keyed. No work beyond the funnel's but the window.
+# ---------------------------------------------------------------------------
+
+_Q186_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT image_id, phash, w, h FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) <= {_HAMMING_MAX}
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+s AS (
+  SELECT st.image_id, st.caption,
+         CASE WHEN 1000 * (length(st.caption)
+              - length(regexp_replace(st.caption, '[0-9]', '', 'g')))
+              // length(st.caption) > {_Q182_DIGIT_MILLI} THEN 1 ELSE 0 END AS junk
+  FROM read_parquet('{Q182_STATS_PATH}/*.parquet') st
+),
+m AS (
+  SELECT c.cluster, s.image_id, s.caption, s.junk, p.w * p.h AS px
+  FROM comp c JOIN s ON s.image_id = c.node JOIN p ON p.image_id = c.node
+),
+donor AS (
+  SELECT cluster, image_id AS donor_id, caption AS donor_caption
+  FROM (
+    SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY cluster ORDER BY px DESC, image_id) AS rk
+    FROM m WHERE junk = 0
+  ) WHERE rk = 1
+)
+SELECT j.image_id, COALESCE(d.donor_id, '') AS donor_id,
+       COALESCE(d.donor_caption, '') AS new_caption,
+       d.donor_id IS NOT NULL AS repaired
+FROM (SELECT * FROM m WHERE junk = 1) j
+LEFT JOIN donor d ON d.cluster = j.cluster
+ORDER BY j.image_id
+"""
+
+
+@register("q186_caption_repair", oracle=_Q186_ORACLE)
+def q186_caption_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair junk captions from visual dup clustermates: per-cluster
+    donor election among non-junk members (max resolution, tie min
+    id), cluster-keyed repair join; unrepairable junk stays flagged."""
+    from pyspark.sql import Window
+
+    from voz_spark.graph import connected_components
+
+    stats = _materialized(
+        spark,
+        Q182_STATS_PATH,
+        f"n={_N_IMAGES};onepass;v3",
+        _q182_stats_builder(spark),
+    )
+    p = _materialized(
+        spark,
+        Q65_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,w,h",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "w", "h"),
+    )
+    cc = connected_components(
+        _neardup_pairs(p).select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).withColumnRenamed("component", "cluster")
+    junk = (
+        F.expr(
+            "1000 * (length(caption) - length(regexp_replace(caption, '[0-9]', '')))"
+            " div length(caption)"
+        )
+        > _Q182_DIGIT_MILLI
+    )
+    s = stats.select("image_id", "caption", F.when(junk, 1).otherwise(0).alias("junk"))
+    m = (
+        cc.join(s, cc["node"] == s["image_id"])
+        .join(p.select(p["image_id"].alias("pid"), (F.col("w") * F.col("h")).alias("px")),
+              F.col("node") == F.col("pid"))
+        .select("cluster", s["image_id"], "caption", "junk", "px")
+    )
+    donor = (
+        m.where(F.col("junk") == 0)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(F.col("px").desc(), "image_id")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("image_id").alias("donor_id"),
+            F.col("caption").alias("donor_caption"),
+        )
+    )
+    j = m.where(F.col("junk") == 1)
+    return (
+        j.join(donor, "cluster", "left")
+        .select(
+            "image_id",
+            F.coalesce("donor_id", F.lit("")).alias("donor_id"),
+            F.coalesce("donor_caption", F.lit("")).alias("new_caption"),
+            F.col("donor_id").isNotNull().alias("repaired"),
+        )
+        .orderBy("image_id")
+    )
