@@ -1112,3 +1112,82 @@ def test_q186_donor_election_replay(spark, sf_dir):
             assert r["repaired"] and r["donor_id"] == donor
             assert r["new_caption"] == stats.loc[donor, "caption"]
             assert not is_junk(donor)
+
+
+# ---------------------------------------------------------------- q187
+
+
+def test_q187_delta_funnel_replay(spark, sf_dir):
+    """The delta funnel must match a full Python replay: gates from
+    the delta stats, dedup from a banded-hamming check against both
+    the standing index and earlier delta images, license on the own
+    tag; stage counts conserve."""
+    import pandas as pd
+
+    from voz_spark.imagedup import (
+        _BANDS,
+        _HAMMING_MAX,
+        Q61_PHASH_PATH,
+        Q187_DELTA_PHASH_PATH,
+        Q187_DELTA_STATS_PATH,
+        q187_incremental_funnel,
+    )
+
+    rows = q187_incremental_funnel(spark, sf_dir).collect()
+    stats = pd.read_parquet(Q187_DELTA_STATS_PATH)
+    dph = pd.read_parquet(Q187_DELTA_PHASH_PATH).set_index("image_id")["phash"]
+    sph = pd.read_parquet(Q61_PHASH_PATH).set_index("image_id")["phash"]
+
+    def bands(h):
+        return [(k, (int(h) >> (16 * k)) & 0xFFFF) for k in range(_BANDS)]
+
+    buckets: dict[tuple, list] = {}
+    for iid, h in sph.items():
+        for b in bands(h):
+            buckets.setdefault(b, []).append((iid, int(h)))
+    for iid, h in dph.items():
+        for b in bands(h):
+            buckets.setdefault(b, []).append((iid, int(h)))
+
+    def is_dup(iid):
+        h = int(dph[iid])
+        seen = set()
+        for b in bands(h):
+            for oid, oh in buckets.get(b, []):
+                if oid in seen or oid == iid:
+                    continue
+                seen.add(oid)
+                earlier_delta = oid in dph.index and oid < iid
+                standing = oid in sph.index
+                if (standing or earlier_delta) and bin(h ^ oh).count("1") <= _HAMMING_MAX:
+                    return True
+        return False
+
+    fails = [0] * 7
+    for _, s in stats.iterrows():
+        iid, cap = s["image_id"], s["caption"]
+        luma = 1000 * s["luma_sum"] // s["n_px"]
+        digits = sum(ch.isdigit() for ch in cap)
+        if s["w"] * s["h"] < 1024:
+            f = 1
+        elif luma < 80_000 or luma > 176_000:
+            f = 2
+        elif 1000 * s["lap_energy"] // s["n_px_lap"] < 100_000:
+            f = 3
+        elif 1000 * digits // len(cap) > 280:
+            f = 4
+        elif is_dup(iid):
+            f = 5
+        elif int(iid[3:]) % 3 == 0:
+            f = 6
+        else:
+            f = 0
+        fails[f] += 1
+    n_in = len(stats)
+    assert n_in == 80
+    for r in rows:
+        assert r["n_in"] == n_in
+        assert r["n_fail"] == fails[r["stage_no"]]
+        n_in -= fails[r["stage_no"]]
+    assert rows[-1]["n_out"] == n_in == fails[0]
+    assert fails[5] > 0  # the delta really collides with the standing set

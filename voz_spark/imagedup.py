@@ -3929,7 +3929,7 @@ _Q182_SHARP_MILLI = 100_000
 _Q182_DIGIT_MILLI = 280
 
 
-def _q182_stats_builder(spark: SparkSession):
+def _q182_stats_builder(spark: SparkSession, start: int = 0, end: int | None = None):
     """One decode pass -> every per-image stat. Corruption pipeline:
     blur plants (idx % 8 == 5, double box blur) then exposure plants
     (idx % 9 == 4 over, idx % 9 == 7 under) — q161/q164's rules on the
@@ -3990,7 +3990,7 @@ def _q182_stats_builder(spark: SparkSession):
                 yield pd.DataFrame(rows)
 
         return (
-            spark.range(_N_IMAGES)
+            spark.range(start, _N_IMAGES if end is None else end)
             .repartition(8)
             .mapInPandas(
                 gen,
@@ -4491,3 +4491,218 @@ def q186_caption_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q187: incremental curation — at 10^10 images a nightly crawl adds
+# ~10^6; re-running the q182 funnel over the whole corpus to admit
+# them is 10^4x wasted work. The delta funnel evaluates quality gates
+# on the NEW images only and replaces the corpus-wide dedup stage
+# with two bounded checks: (a) banded-pHash match into the STANDING
+# index (keep-first policy — an incoming dup of an existing image is
+# dropped, never re-elected, the q120/q134 incremental-dedup
+# semantics) and (b) banded match against an EARLIER delta image
+# (id order breaks intra-delta ties). License folds over the delta
+# image's own tag (cluster inheritance happens when the nightly
+# maintenance job re-runs q181 over touched clusters — documented
+# split between the online admit path and offline repair).
+#
+# Fixture: the delta is the NEXT 80 indices (560-639) of the same
+# deterministic universe — same corruption plants, same rules.
+#
+# Scale shape: gates are in-row on the delta stats (O(delta)); both
+# dedup checks are band joins whose left side is the DELTA (O(delta x
+# bucket)), never standing x standing — the q120 discipline. The
+# funnel rollup is the 7-value domain again.
+# ---------------------------------------------------------------------------
+
+Q187_DELTA_STATS_PATH = "/tmp/voz_spark_q187_delta_stats"
+Q187_DELTA_PHASH_PATH = "/tmp/voz_spark_q187_delta_phash"
+_Q187_DELTA_END = _N_IMAGES + 80
+
+
+def _q187_band_match_sql(left: str, right: str, cond: str) -> str:
+    """Banded-LSH match EXISTS-flag between two phash tables."""
+    lb = "\n      UNION ALL ".join(
+        f"SELECT image_id, phash, {k} AS band_id, {_band_expr(k)} AS bucket FROM {left}"
+        for k in range(_BANDS)
+    )
+    rb = "\n      UNION ALL ".join(
+        f"SELECT image_id, phash, {k} AS band_id, {_band_expr(k)} AS bucket FROM {right}"
+        for k in range(_BANDS)
+    )
+    return f"""
+  SELECT DISTINCT a.image_id
+  FROM ({lb}) a JOIN ({rb}) b USING (band_id, bucket)
+  WHERE {cond} AND bit_count(xor(a.phash, b.phash)) <= {_HAMMING_MAX}"""
+
+
+_Q187_ORACLE = f"""
+WITH delta AS (
+  SELECT image_id, phash FROM read_parquet('{Q187_DELTA_PHASH_PATH}/*.parquet')
+),
+standing AS (
+  SELECT image_id, phash FROM read_parquet('{Q61_PHASH_PATH}/*.parquet')
+),
+dup_standing AS ({_q187_band_match_sql("delta", "standing", "1 = 1")}),
+dup_intra AS ({_q187_band_match_sql("delta", "delta", "b.image_id < a.image_id")}),
+s AS (
+  SELECT st.*,
+         CASE WHEN st.image_id IN (SELECT image_id FROM dup_standing)
+                OR st.image_id IN (SELECT image_id FROM dup_intra)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM read_parquet('{Q187_DELTA_STATS_PATH}/*.parquet') st
+),
+flags AS (
+  SELECT image_id,
+         CASE WHEN w * h < {_Q182_RES_MIN_PX} THEN 1
+              WHEN 1000 * luma_sum // n_px < {_Q182_UNDER_MILLI}
+                OR 1000 * luma_sum // n_px > {_Q182_OVER_MILLI} THEN 2
+              WHEN 1000 * lap_energy // n_px_lap < {_Q182_SHARP_MILLI} THEN 3
+              WHEN 1000 * (length(caption)
+                   - length(regexp_replace(caption, '[0-9]', '', 'g')))
+                   // length(caption) > {_Q182_DIGIT_MILLI} THEN 4
+              WHEN is_dup = 1 THEN 5
+              WHEN CAST(substr(image_id, 4) AS BIGINT) % 3 = 0 THEN 6
+              ELSE 0 END AS first_fail
+  FROM s
+),
+fc AS (SELECT first_fail, COUNT(*) AS n FROM flags GROUP BY first_fail),
+stages AS (
+  SELECT * FROM (VALUES {", ".join(f"({k + 1}, '{s}')" for k, s in enumerate(_Q182_STAGES))})
+    v(stage_no, stage)
+)
+SELECT CAST(st.stage_no AS BIGINT) AS stage_no, st.stage,
+       CAST((SELECT SUM(n) FROM fc)
+         - COALESCE((SELECT SUM(n) FROM fc WHERE first_fail > 0
+                     AND first_fail < st.stage_no), 0) AS BIGINT) AS n_in,
+       CAST(COALESCE((SELECT n FROM fc WHERE first_fail = st.stage_no), 0) AS BIGINT)
+         AS n_fail,
+       CAST((SELECT SUM(n) FROM fc)
+         - COALESCE((SELECT SUM(n) FROM fc WHERE first_fail > 0
+                     AND first_fail < st.stage_no), 0)
+         - COALESCE((SELECT n FROM fc WHERE first_fail = st.stage_no), 0) AS BIGINT)
+         AS n_out
+FROM stages st ORDER BY stage_no
+"""
+
+
+@register("q187_incremental_funnel", oracle=_Q187_ORACLE)
+def q187_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q182 funnel run on a DELTA only: in-row gates over the new
+    images' stats, dedup as delta-vs-standing + intra-delta band
+    joins (keep-first), license on the delta's own tag."""
+    from pyspark.sql import Window
+
+    dstats = _materialized(
+        spark,
+        Q187_DELTA_STATS_PATH,
+        f"range={_N_IMAGES}-{_Q187_DELTA_END};onepass;v1",
+        _q182_stats_builder(spark, start=_N_IMAGES, end=_Q187_DELTA_END),
+    )
+    dphash = _materialized(
+        spark,
+        Q187_DELTA_PHASH_PATH,
+        f"range={_N_IMAGES}-{_Q187_DELTA_END};cols=id,phash;v1",
+        lambda: (
+            spark.range(_N_IMAGES, _Q187_DELTA_END)
+            .repartition(4)
+            .mapInPandas(_phash_rows_gen(), "image_id string, phash long")
+        ),
+    )
+    standing = _materialized(
+        spark,
+        Q61_PHASH_PATH,
+        f"n={_N_IMAGES};cols=id,phash",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash"),
+    )
+
+    def banded(df):
+        stack_args = ", ".join(f"{k}, {_band_expr(k)}" for k in range(_BANDS))
+        return df.selectExpr(
+            "image_id", "phash", f"stack({_BANDS}, {stack_args}) AS (band_id, bucket)"
+        )
+
+    da = banded(dphash).select(
+        "band_id", "bucket", F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a")
+    )
+    sb = banded(standing).select(
+        "band_id", "bucket", F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b")
+    )
+    db = banded(dphash).select(
+        "band_id", "bucket", F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b")
+    )
+    ham_ok = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= _HAMMING_MAX
+    dup_standing = (
+        da.join(sb, ["band_id", "bucket"]).where(ham_ok).select("id_a").distinct()
+    )
+    dup_intra = (
+        da.join(db, ["band_id", "bucket"])
+        .where(ham_ok & (F.col("id_b") < F.col("id_a")))
+        .select("id_a")
+        .distinct()
+    )
+    dups = dup_standing.unionByName(dup_intra).distinct().withColumn("is_dup", F.lit(1))
+    s = dstats.join(
+        F.broadcast(dups), dstats["image_id"] == dups["id_a"], "left"
+    ).drop("id_a")
+    luma_milli = F.expr("1000 * luma_sum div n_px")
+    first_fail = (
+        F.when(F.col("w") * F.col("h") < _Q182_RES_MIN_PX, 1)
+        .when((luma_milli < _Q182_UNDER_MILLI) | (luma_milli > _Q182_OVER_MILLI), 2)
+        .when(F.expr("1000 * lap_energy div n_px_lap") < _Q182_SHARP_MILLI, 3)
+        .when(
+            F.expr(
+                "1000 * (length(caption) - length(regexp_replace(caption, '[0-9]', '')))"
+                " div length(caption)"
+            )
+            > _Q182_DIGIT_MILLI,
+            4,
+        )
+        .when(F.coalesce(F.col("is_dup"), F.lit(0)) == 1, 5)
+        .when(F.substring("image_id", 4, 10).cast("long") % 3 == 0, 6)
+        .otherwise(0)
+    )
+    fc = s.select(first_fail.alias("first_fail")).groupBy("first_fail").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stages = spark.createDataFrame(
+        [(k + 1, st) for k, st in enumerate(_Q182_STAGES)], "stage_no int, stage string"
+    )
+    total = fc.agg(F.sum("n").alias("total"))
+    fails = fc.where(F.col("first_fail") > 0).select(
+        F.col("first_fail").alias("stage_no"), F.col("n").alias("n_fail")
+    )
+    f = (
+        stages.join(F.broadcast(fails), "stage_no", "left")
+        .na.fill({"n_fail": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    w2 = Window.orderBy("stage_no").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        f.withColumn("failed_before", F.coalesce(F.sum("n_fail").over(w2), F.lit(0)))
+        .select(
+            F.col("stage_no").cast("long").alias("stage_no"),
+            "stage",
+            (F.col("total") - F.col("failed_before")).cast("long").alias("n_in"),
+            F.col("n_fail").cast("long").alias("n_fail"),
+            (F.col("total") - F.col("failed_before") - F.col("n_fail"))
+            .cast("long")
+            .alias("n_out"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+def _phash_rows_gen():
+    def gen(batches):
+        from voz_spark import synth
+
+        for pdf in batches:
+            rows = [
+                {"image_id": synth.image_id(int(i)), "phash": synth.image_phash(int(i))}
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    return gen
