@@ -318,3 +318,16 @@ def test_q178_dense_burst_waits_and_cross_batch_state(spark, tmp_path):
     # cross-batch carry: rows in the 2nd and 3rd files (event_id >= 20)
     # are still queue-constrained by batch-0 arrivals
     assert got[20]["wait_us"] > 0 and got[59]["wait_us"] > 0
+
+
+def test_q188_stream_admit_equals_batch_funnel(spark, sf_dir):
+    """The streaming admit path must reproduce q187's batch funnel
+    row-for-row — the whole incremental curation pipeline is
+    streaming-batch equivalent."""
+    from voz_spark.imagedup import q187_incremental_funnel
+    from voz_spark.streaming import q188_stream_admit
+
+    got = [r.asDict() for r in q188_stream_admit(spark, sf_dir).collect()]
+    want = [r.asDict() for r in q187_incremental_funnel(spark, sf_dir).collect()]
+    assert got == want
+    assert sum(r["n_fail"] for r in got) + got[-1]["n_out"] == got[0]["n_in"] == 80

@@ -640,3 +640,169 @@ def q178_stream_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_to_memory(dispatch_stream(ev), "q178_sink", "append", spark)
     return sink.select("host", "event_id", "arr_us", "dispatch_us", "wait_us")
+
+
+# ---------------------------------------------------------------------------
+# q188: STREAMING delta admit — q187 proves the incremental funnel's
+# semantics in batch; the nightly reality is a STREAM of newly-crawled
+# images admitted micro-batch by micro-batch. Quality gates are
+# stateless in-row flags; dedup verdicts are a pure
+# function of two STATIC tables (the delta manifest's phash and the
+# standing index), computed once at job start with the delta on the
+# LEFT of both band joins and stream-joined as a broadcast static
+# relation — order-free (id< keep-first), so batch boundaries cannot
+# change any verdict and the batch oracle stays exact. The funnel rollup runs
+# as a streaming aggregation on first_fail (complete mode over the
+# bounded 7-value domain); the stage table assembly happens on the
+# bounded sink. Oracle: q187's OWN SQL — the whole admit path,
+# streaming-vs-batch, is the gate.
+#
+# Scale notes: state is only the tiny first_fail count aggregation;
+# both static relations re-scan (or broadcast) per micro-batch, and
+# the delta-side self check uses the delta TABLE as the static side —
+# legitimate because a nightly delta is bounded; an unbounded-stream
+# deployment swaps it for dropDuplicatesWithinWatermark + the standing
+# index (the q148 note).
+# ---------------------------------------------------------------------------
+
+
+def _q188_oracle() -> str:
+    from voz_spark.imagedup import _Q187_ORACLE
+
+    return _Q187_ORACLE
+
+
+@register("q188_stream_admit", oracle=_q188_oracle())
+def q188_stream_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q187's delta funnel computed BY Structured Streaming: stateless
+    gate flags, two stream-static band joins for dedup, a complete-mode
+    first-fail aggregation — bit-exact against the batch oracle."""
+    from pyspark.sql import Window
+
+    from voz_spark import imagedup as im
+
+    # materialize the same fixtures q187 uses (write-once)
+    im.q187_incremental_funnel  # noqa: B018 — module import side effects only
+    dstats_path = im.Q187_DELTA_STATS_PATH
+    im._materialized(
+        spark,
+        dstats_path,
+        f"range={im._N_IMAGES}-{im._Q187_DELTA_END};onepass;v1",
+        im._q182_stats_builder(spark, start=im._N_IMAGES, end=im._Q187_DELTA_END),
+    )
+    dphash = im._materialized(
+        spark,
+        im.Q187_DELTA_PHASH_PATH,
+        f"range={im._N_IMAGES}-{im._Q187_DELTA_END};cols=id,phash;v1",
+        lambda: (
+            spark.range(im._N_IMAGES, im._Q187_DELTA_END)
+            .repartition(4)
+            .mapInPandas(im._phash_rows_gen(), "image_id string, phash long")
+        ),
+    )
+    standing = im._materialized(
+        spark,
+        im.Q61_PHASH_PATH,
+        f"n={im._N_IMAGES};cols=id,phash",
+        lambda: im.images_df(spark, im._N_IMAGES).select("image_id", "phash"),
+    )
+    schema = (
+        "image_id string, w int, h int, caption string, luma_sum long,"
+        " n_px long, lap_energy long, n_px_lap long, n_bytes long"
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        dstats_path
+    )
+    st = stream
+
+    def banded(df):
+        stack_args = ", ".join(
+            f"{k}, ((phash >> {16 * k}) & 65535)" for k in range(im._BANDS)
+        )
+        return df.selectExpr(
+            "*", f"stack({im._BANDS}, {stack_args}) AS (band_id, bucket)"
+        )
+
+    # The dup verdict is a pure function of two STATIC tables (the
+    # delta manifest's phash column and the standing index), so it is
+    # computed ONCE at job start — batch band joins, delta on the left
+    # — and enters the stream as a broadcastable static relation. A
+    # stream-stream formulation is both unnecessary and rejected by
+    # the planner under the complete-mode rollup.
+    da = banded(dphash).select(
+        "band_id", "bucket", F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a")
+    )
+    sb = banded(standing).select(
+        "band_id", "bucket", F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b")
+    )
+    db = banded(dphash).select(
+        "band_id", "bucket", F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b")
+    )
+    ham_ok = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= im._HAMMING_MAX
+    dup_standing = (
+        da.join(sb, ["band_id", "bucket"]).where(ham_ok).select("id_a").distinct()
+    )
+    dup_intra = (
+        da.join(db, ["band_id", "bucket"])
+        .where(ham_ok & (F.col("id_b") < F.col("id_a")))
+        .select("id_a")
+        .distinct()
+    )
+    dups = (
+        dup_standing.unionByName(dup_intra)
+        .distinct()
+        .select(F.col("id_a").alias("image_id"), F.lit(1).alias("is_dup"))
+    )
+    s = st.join(F.broadcast(dups), "image_id", "left")
+    luma_milli = F.expr("1000 * luma_sum div n_px")
+    first_fail = (
+        F.when(F.col("w") * F.col("h") < im._Q182_RES_MIN_PX, 1)
+        .when(
+            (luma_milli < im._Q182_UNDER_MILLI) | (luma_milli > im._Q182_OVER_MILLI), 2
+        )
+        .when(F.expr("1000 * lap_energy div n_px_lap") < im._Q182_SHARP_MILLI, 3)
+        .when(
+            F.expr(
+                "1000 * (length(caption) - length(regexp_replace(caption, '[0-9]', '')))"
+                " div length(caption)"
+            )
+            > im._Q182_DIGIT_MILLI,
+            4,
+        )
+        .when(F.coalesce(F.col("is_dup"), F.lit(0)) == 1, 5)
+        .when(F.substring("image_id", 4, 10).cast("long") % 3 == 0, 6)
+        .otherwise(0)
+    )
+    fc_stream = (
+        s.select(first_fail.alias("first_fail"))
+        .groupBy("first_fail")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fc = run_to_memory(fc_stream, "q188_sink", "complete", spark)
+    stages = spark.createDataFrame(
+        [(k + 1, st_) for k, st_ in enumerate(im._Q182_STAGES)],
+        "stage_no int, stage string",
+    )
+    total = fc.agg(F.sum("n").alias("total"))
+    fails = fc.where(F.col("first_fail") > 0).select(
+        F.col("first_fail").alias("stage_no"), F.col("n").alias("n_fail")
+    )
+    f = (
+        stages.join(F.broadcast(fails), "stage_no", "left")
+        .na.fill({"n_fail": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    w2 = Window.orderBy("stage_no").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        f.withColumn("failed_before", F.coalesce(F.sum("n_fail").over(w2), F.lit(0)))
+        .select(
+            F.col("stage_no").cast("long").alias("stage_no"),
+            "stage",
+            (F.col("total") - F.col("failed_before")).cast("long").alias("n_in"),
+            F.col("n_fail").cast("long").alias("n_fail"),
+            (F.col("total") - F.col("failed_before") - F.col("n_fail"))
+            .cast("long")
+            .alias("n_out"),
+        )
+        .orderBy("stage_no")
+    )
