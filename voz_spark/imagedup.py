@@ -4164,8 +4164,13 @@ def q182_image_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset-card evidence."""
     from pyspark.sql import Window
 
-    fc = _corpus_first_fail(spark).groupBy("first_fail").agg(
-        F.count(F.lit(1)).alias("n")
+    # fc feeds BOTH the total and the fails branch: persist the 7-row
+    # table or the whole gate+CC evaluation runs twice (q169's lesson).
+    fc = (
+        _corpus_first_fail(spark)
+        .groupBy("first_fail")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     stages = spark.createDataFrame(
         [(k + 1, st) for k, st in enumerate(_Q182_STAGES)], "stage_no int, stage string"
@@ -4251,7 +4256,7 @@ def q184_curation_byte_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     """Fetched bytes attributed to the gate that discarded them (plus
     the kept row): q182's gate evaluation + one bounded rollup and a
     1-row byte total for shares."""
-    ff = _corpus_first_fail(spark)
+    ff = _corpus_first_fail(spark).persist()  # rollup + byte total both read it
     stage = F.col("first_fail")
     lbl = F.when(stage == 0, F.lit("0_kept"))
     for k, s in enumerate(_Q182_STAGES):
@@ -4339,7 +4344,7 @@ def q185_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique kills (images no other gate catches): the ablation table
     behind the q182 funnel, one bounded rollup over the shared gate
     bits."""
-    ff = _corpus_first_fail(spark)
+    ff = _corpus_first_fail(spark).persist()  # six ablation aggregates read it
     rows = []
     for k in range(1, 7):
         others = sum(F.col(f"g{j}") for j in range(1, 7) if j != k)
@@ -4464,6 +4469,7 @@ def q186_caption_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p.select(p["image_id"].alias("pid"), (F.col("w") * F.col("h")).alias("px")),
               F.col("node") == F.col("pid"))
         .select("cluster", s["image_id"], "caption", "junk", "px")
+        .persist()  # donor election + junk probe both read it
     )
     donor = (
         m.where(F.col("junk") == 0)
@@ -4663,8 +4669,11 @@ def q187_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.substring("image_id", 4, 10).cast("long") % 3 == 0, 6)
         .otherwise(0)
     )
-    fc = s.select(first_fail.alias("first_fail")).groupBy("first_fail").agg(
-        F.count(F.lit(1)).alias("n")
+    fc = (
+        s.select(first_fail.alias("first_fail"))
+        .groupBy("first_fail")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # total + fails both read it (q169's lesson)
     )
     stages = spark.createDataFrame(
         [(k + 1, st) for k, st in enumerate(_Q182_STAGES)], "stage_no int, stage string"
