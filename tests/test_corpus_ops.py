@@ -602,3 +602,32 @@ def test_q173_containment_classes_on_planted_corpus(spark):
     # docs 1 and 4 share shingles w12..w17-start: 6 shingles
     assert ov["n_inter"] == 6 and ov["relation"] == "overlap"
     assert ov["containment_milli"] == 1000 * 6 // 18
+
+
+# ---------------------------------------------------------------- q192
+
+
+def test_q192_fertility_recount(spark, sf_dir):
+    """Cell totals must match an independent regex recount, and the
+    fertility arithmetic must be exact integer milli."""
+    import re
+
+    from voz_spark.dataprep import q192_tokenizer_fertility
+    from voz_spark.session import load_table
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "text", "n_chars"
+    ).collect()
+    want: dict[tuple, list] = {}
+    for r in docs:
+        a = want.setdefault((r["lang"], r["source"]), [0, 0, 0])
+        a[0] += 1
+        a[1] += len(pat.findall(r["text"]))
+        a[2] += r["n_chars"]
+    rows = {(r["lang"], r["source"]): r for r in q192_tokenizer_fertility(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for k, (nd, nt, nc) in want.items():
+        r = rows[k]
+        assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (nd, nt, nc)
+        assert r["fertility_milli"] == 1000 * nt // nc

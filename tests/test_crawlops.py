@@ -1230,3 +1230,61 @@ def test_q183_jain_recount_and_bounds(spark, sf_dir):
     assert 1000 // n <= r["jain_milli"] <= 1000
     # events spread near-uniformly over 41 hosts -> high fairness
     assert r["jain_milli"] >= 900
+
+
+# ---------------------------------------------------------------- q190
+
+
+def test_q190_packed_key_is_lexicographic_and_roundtrips(spark, sf_dir):
+    """Every cell must round-trip all four fields from the packed key,
+    and the packed order must equal tuple order: pri_min/pri_max per
+    (fresh, health) cell must be consistent with the field widths."""
+    import hashlib
+
+    from voz_spark.crawlops import q190_priority_fusion
+    from voz_spark.session import load_table
+
+    rows = q190_priority_fusion(spark, sf_dir).collect()
+    assert rows, "no cells"
+    total = 0
+    for r in rows:
+        assert r["n_roundtrip_ok"] == r["n_urls"]  # lossless packing
+        total += r["n_urls"]
+        # packed key decomposes: fresh/health fields of min and max match the cell
+        for pri in (r["pri_min"], r["pri_max"]):
+            assert (pri >> 24) & 255 == r["fresh"]
+            assert (pri >> 16) & 255 == r["health"]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events
+    # spot-replay one event end to end
+    e = load_table(spark, sf_dir, "events").select("event_id").limit(1).collect()[0][0]
+    h = int(hashlib.md5(str(e).encode()).hexdigest()[:15], 16)
+    u = e % 499
+    pri = ((h % 65536) << 32) + (((h // 7) % 4) << 24) + (((u % 23) % 3) << 16) + u % 97
+    cell = next(
+        r for r in rows if r["fresh"] == (h // 7) % 4 and r["health"] == (u % 23) % 3
+    )
+    assert cell["pri_min"] <= pri <= cell["pri_max"]
+
+
+# ---------------------------------------------------------------- q191
+
+
+def test_q191_planted_misconfigurations(spark, sf_dir):
+    """Hosts k%7==5 must be all-dead ('/t/' kills everything), k%3==0
+    hosts lose exactly the /t/1* paths, everyone else is clean."""
+    from voz_spark.crawlops import q191_sitemap_robots_crosscheck
+
+    rows = {r["host"]: r for r in q191_sitemap_robots_crosscheck(spark, sf_dir).collect()}
+    assert set(rows) == set(range(12))
+    for k, r in rows.items():
+        n = 20 + k * 5
+        assert r["n_advertised"] == n
+        if k % 7 == 5:
+            assert r["verdict"] == "all-dead" and r["n_robots_dead"] == n
+        elif k % 3 == 0:
+            dead = sum(1 for i in range(n) if str(i).startswith("1"))
+            assert r["n_robots_dead"] == dead
+            assert r["verdict"] in ("misconfigured", "minor")
+        else:
+            assert r["verdict"] == "clean" and r["n_robots_dead"] == 0

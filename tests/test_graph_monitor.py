@@ -238,3 +238,44 @@ def test_eigenvector_symmetric_star_ordering(spark):
         assert got[v] == pytest.approx(got["x1"], abs=1e-9)
     l2 = sum(v * v for v in got.values()) ** 0.5
     assert l2 == pytest.approx(1.0, abs=1e-6)
+
+
+# --- HITS hubs/authorities (q189) ---
+
+
+def test_hits_matches_reference_power_iteration(spark):
+    """Pin the distributed HITS alternation against an independent
+    pure-Python Kleinberg power iteration (networkx.hits needs scipy,
+    absent here — same recurrence, L1-normalized per half-step) on a
+    hand-built asymmetric digraph where hubs and authorities are
+    genuinely different node sets."""
+    from voz_spark.graph import hits
+
+    # h1/h2 are pure hubs (link out to the authorities), a1-a3 pure
+    # authorities; x adds asymmetry
+    triples = [
+        ("h1", "a1", 1.0),
+        ("h1", "a2", 1.0),
+        ("h1", "a3", 1.0),
+        ("h2", "a1", 1.0),
+        ("h2", "a2", 1.0),
+        ("x", "a1", 1.0),
+        ("a3", "x", 1.0),
+    ]
+    out = {r.node: (r.h, r.a) for r in hits(_edges_df(spark, triples)).collect()}
+    nodes = sorted({v for e in triples for v in e[:2]})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(200):
+        a = {v: sum(h[s] for s, d, _ in triples if d == v) for v in nodes}
+        sa = sum(a.values()) or 1.0
+        a = {v: x / sa for v, x in a.items()}
+        h = {v: sum(a[d] for s, d, _ in triples if s == v) for v in nodes}
+        sh = sum(h.values()) or 1.0
+        h = {v: x / sh for v, x in h.items()}
+    assert set(out) == set(nodes)
+    for v in nodes:
+        assert out[v][0] == pytest.approx(h[v], abs=5e-5), ("hub", v)
+        assert out[v][1] == pytest.approx(a[v], abs=5e-5), ("auth", v)
+    # structure: h1 is the best hub, a1 the best authority
+    assert max(out, key=lambda v: out[v][0]) == "h1"
+    assert max(out, key=lambda v: out[v][1]) == "a1"

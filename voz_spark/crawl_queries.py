@@ -325,3 +325,24 @@ def q128_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "node", F.round("eigenvector", 6).alias("eigenvector_6dp")
     ).orderBy(F.desc("eigenvector_6dp"), "node")
+
+
+@register("q189_hits_hubs_authorities", oracle=None)
+def q189_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the user mention graph — the
+    listing-vs-content importance pair a crawler prioritizes by;
+    Kleinberg power-iteration parity pinned in tests/test_graph_monitor.py
+    (networkx.hits needs scipy, absent in this container).
+    Rows-only (float-iterative, the q128 class); 6dp rounding for a
+    stable surface."""
+    from voz_spark.analytics import preprocess
+    from voz_spark.graph import build_edges, hits
+    from voz_spark.synth_posts import gen_posts_df
+
+    posts = preprocess(gen_posts_df(spark, 20))
+    hv = hits(build_edges(posts))
+    return hv.select(
+        "node",
+        F.round("h", 6).alias("hub_6dp"),
+        F.round("a", 6).alias("authority_6dp"),
+    ).orderBy(F.desc("authority_6dp"), "node")

@@ -4187,3 +4187,197 @@ def q183_schedule_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(1000 * sum(x) * sum(x) div (count(1) * sum(x * x)) as bigint)"
         ).alias("jain_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q190: priority-signal fusion — the frontier's packed `_pri` (B6) is
+# one 64-bit integer, but a production crawl derives it from several
+# signals: importance (OPIC cash / q101), freshness pressure (q100's
+# change tiers), host health (q125), and a fairness correction
+# (q183's max-share). This query AUDITS the fusion: derive each signal
+# by the engine's integer rules, pack them into the priority fields
+# (importance 16 bits << 32 | freshness 8 bits << 24 | health 8 bits
+# << 16 | fair 16 bits), and verify the packed order equals the
+# lexicographic order of the tuple — the property that makes ONE sort
+# key encode a multi-criteria policy. All integer; both engines pack
+# identically.
+#
+# Signals synth from `events` per URL u = e % 499: importance =
+# h % 65536, freshness tier = h div 7 % 4, health = (u % 23) % 3,
+# fairness penalty = u % 97 (hosts with more queued URLs pay more).
+#
+# Scale shape: one projection computes all four fields and the packed
+# key in-row; the audit aggregate (count per (tier, health) cell plus
+# min/max packed key) is bounded by the 4 x 3 signal domain. The
+# frontier shuffles once for the rollup; ordering correctness is the
+# in-row bit arithmetic.
+# ---------------------------------------------------------------------------
+
+_Q190_ORACLE = """
+WITH b AS (
+  SELECT event_id % 499 AS u,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+s AS (
+  SELECT u, h % 65536 AS imp, (h // 7) % 4 AS fresh,
+         (u % 23) % 3 AS health, u % 97 AS fair
+  FROM b
+),
+p AS (
+  SELECT *, (imp << 32) + (fresh << 24) + (health << 16) + fair AS pri
+  FROM s
+)
+SELECT CAST(fresh AS BIGINT) AS fresh, CAST(health AS BIGINT) AS health,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(MIN(pri) AS BIGINT) AS pri_min,
+       CAST(MAX(pri) AS BIGINT) AS pri_max,
+       CAST(SUM(CASE WHEN (pri >> 32) = imp
+                      AND ((pri >> 24) & 255) = fresh
+                      AND ((pri >> 16) & 255) = health
+                      AND (pri & 65535) = fair
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+FROM p GROUP BY 1, 2 ORDER BY fresh, health
+"""
+
+
+@register("q190_priority_fusion", oracle=_Q190_ORACLE)
+def q190_priority_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack importance/freshness/health/fairness into one 64-bit
+    priority and audit the field round-trip per signal cell — the
+    multi-criteria-in-one-sort-key property B6 relies on."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    b = ev.select(
+        (F.col("event_id") % 499).alias("u"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    s = b.select(
+        "u",
+        (F.col("h") % 65536).alias("imp"),
+        (F.expr("h div 7") % 4).alias("fresh"),
+        ((F.col("u") % 23) % 3).alias("health"),
+        (F.col("u") % 97).alias("fair"),
+    )
+    p = s.withColumn(
+        "pri",
+        F.shiftleft("imp", 32) + F.shiftleft("fresh", 24) + F.shiftleft("health", 16)
+        + F.col("fair"),
+    )
+    rt = (
+        (F.shiftright("pri", 32) == F.col("imp"))
+        & (F.shiftright("pri", 24).bitwiseAND(F.lit(255)) == F.col("fresh"))
+        & (F.shiftright("pri", 16).bitwiseAND(F.lit(255)) == F.col("health"))
+        & (F.col("pri").bitwiseAND(F.lit(65535)) == F.col("fair"))
+    )
+    return (
+        p.groupBy(
+            F.col("fresh").cast("long").alias("fresh"),
+            F.col("health").cast("long").alias("health"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("pri").cast("long").alias("pri_min"),
+            F.max("pri").cast("long").alias("pri_max"),
+            F.sum(F.when(rt, 1).otherwise(0)).cast("long").alias("n_roundtrip_ok"),
+        )
+        .orderBy("fresh", "health")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q191: sitemap-robots cross-check — a site whose sitemap advertises
+# URLs its own robots.txt disallows is misconfigured; fetching those
+# URLs wastes budget AND violates the stricter-signal-wins etiquette
+# (robots wins). This query joins advertised paths against the host's
+# disallow prefixes and reports, per host, how much of the sitemap is
+# robots-dead — the q110/q111 rule set applied to the q94 ingest
+# surface. Synth: host k in 0..11 advertises paths /t/{i} for
+# i in 0..(20 + k*5); disallow prefix '/t/1' for k % 3 == 0 hosts
+# (kills /t/1, /t/10..19) and '/t/' for k % 7 == 5 (kills all).
+#
+# Scale shape: the sitemap table joins the disallow table on HOST
+# (politeness-bounded key); prefix match is in-row starts_with over
+# the handful of rules a host has; the rollup is per host. Same shape
+# as B9's per-host prefix-array robots evaluation.
+# ---------------------------------------------------------------------------
+
+_Q191_ORACLE = """
+WITH sm AS (
+  SELECT CAST(e.k AS BIGINT) AS host, '/t/' || CAST(i.i AS VARCHAR) AS path
+  FROM (SELECT UNNEST(range(12)) AS k) e
+  JOIN (SELECT UNNEST(range(120)) AS i) i ON i.i < 20 + e.k * 5
+),
+rules AS (
+  SELECT CAST(k AS BIGINT) AS host,
+         CASE WHEN k % 7 = 5 THEN '/t/'
+              WHEN k % 3 = 0 THEN '/t/1'
+              ELSE NULL END AS dis
+  FROM (SELECT UNNEST(range(12)) AS k)
+),
+j AS (
+  SELECT sm.host, sm.path,
+         CASE WHEN r.dis IS NOT NULL AND starts_with(sm.path, r.dis)
+              THEN 1 ELSE 0 END AS dead
+  FROM sm LEFT JOIN rules r ON r.host = sm.host
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_advertised,
+       CAST(SUM(dead) AS BIGINT) AS n_robots_dead,
+       CAST(1000 * SUM(dead) // COUNT(*) AS BIGINT) AS dead_milli,
+       CASE WHEN SUM(dead) = COUNT(*) THEN 'all-dead'
+            WHEN 1000 * SUM(dead) // COUNT(*) >= 200 THEN 'misconfigured'
+            WHEN SUM(dead) > 0 THEN 'minor'
+            ELSE 'clean' END AS verdict
+FROM j GROUP BY host ORDER BY host
+"""
+
+
+@register("q191_sitemap_robots_crosscheck", oracle=_Q191_ORACLE)
+def q191_sitemap_robots_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host share of sitemap-advertised URLs the host's own robots
+    disallows (robots wins): host-keyed join, in-row prefix match,
+    bounded rollup with misconfiguration verdicts."""
+    hosts = spark.range(12).select(F.col("id").alias("k"))
+    idx = spark.range(120).select(F.col("id").alias("i"))
+    sm = (
+        hosts.join(idx, idx["i"] < 20 + hosts["k"] * 5)
+        .select(
+            F.col("k").cast("long").alias("host"),
+            F.concat(F.lit("/t/"), F.col("i").cast("string")).alias("path"),
+        )
+    )
+    rules = hosts.select(
+        F.col("k").cast("long").alias("host"),
+        F.when(F.col("k") % 7 == 5, F.lit("/t/"))
+        .when(F.col("k") % 3 == 0, F.lit("/t/1"))
+        .alias("dis"),
+    )
+    j = sm.join(F.broadcast(rules), "host", "left").withColumn(
+        "dead",
+        F.when(
+            F.col("dis").isNotNull() & F.col("path").startswith(F.col("dis")), 1
+        ).otherwise(0),
+    )
+    g = j.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_advertised"),
+        F.sum("dead").cast("long").alias("n_robots_dead"),
+    )
+    milli = F.expr("1000 * n_robots_dead div n_advertised").cast("long")
+    return (
+        g.select(
+            "host",
+            "n_advertised",
+            "n_robots_dead",
+            milli.alias("dead_milli"),
+            F.when(F.col("n_robots_dead") == F.col("n_advertised"), F.lit("all-dead"))
+            .when(milli >= 200, F.lit("misconfigured"))
+            .when(F.col("n_robots_dead") > 0, F.lit("minor"))
+            .otherwise(F.lit("clean"))
+            .alias("verdict"),
+        )
+        .orderBy("host")
+    )

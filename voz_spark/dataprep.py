@@ -2675,3 +2675,53 @@ def q173_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment_milli"), "doc_a", "doc_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q192: tokenizer fertility — training compute is billed in TOKENS,
+# storage and fetch in BYTES; the exchange rate (tokens per KB,
+# "fertility") differs by language and source, and the mixture
+# planner (q79) needs it to convert byte budgets into token budgets.
+# This query rolls q22's BPE-ish token rule up to the (lang, source)
+# grain with integer milli fertility and the per-cell document count —
+# the conversion table a 100 TB corpus plan is priced with.
+#
+# Scale shape: token counting is the same in-row regexp fold q22 uses
+# (JVM codegen, no explode — size() over regexp_extract_all); the
+# only exchange is the bounded (lang, source) rollup with sum
+# partials. No joins, no windows.
+# ---------------------------------------------------------------------------
+
+_Q192_ORACLE = f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(1000 * SUM(len(regexp_extract_all(text, '{_BPE_PAT}')))
+            // SUM(n_chars) AS BIGINT) AS fertility_milli
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("q192_tokenizer_fertility", oracle=_Q192_ORACLE)
+def q192_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-character (integer milli) by (lang, source): the
+    byte-to-token exchange-rate table mixture planning prices with.
+    In-row q22 token fold + one bounded rollup."""
+    d = T(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n_tok).cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr("cast(1000 * n_tokens div n_chars as bigint)"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -449,3 +449,57 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 100) -> DataFrame:
             .localCheckpoint()
         )
     raise RuntimeError(f"k_core did not converge in {max_iters} iterations")
+
+
+def hits(edges: DataFrame, max_iter: int = 50, tol: float = 1.0e-8) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) — the web-native importance
+    pair: a good HUB links to many good authorities (the index/listing
+    pages a crawler should expand), a good AUTHORITY is linked from
+    many good hubs (the content pages worth fetching first). The
+    reference ranks users only by degree (src/network_analyzer.py);
+    OPIC (q101) is cash-flow importance — HITS adds the bipartite
+    reinforcement view. Matches ``networkx.hits`` semantics: alternate
+    a = A^T h, h = A a with L1 normalization per half-step,
+    convergence on sum |h - h_last| < tol (parity pinned in tests).
+
+    Distributed shape: each half-step is one join + one aggregation
+    shuffling on the node key (the pagerank shape); normalization is
+    an O(1) driver scalar; lineage truncated per iteration with
+    localCheckpoint (the connected_components discipline)."""
+    adj = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .unionByName(adj.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    h = nodes.select("node", F.lit(1.0 / n).alias("h")).localCheckpoint()
+    for _ in range(max_iter):
+        a = (
+            adj.join(h, adj.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        s = a.agg(F.sum("a")).collect()[0][0] or 1.0
+        a = nodes.join(a, "node", "left").select(
+            "node", (F.coalesce("a", F.lit(0.0)) / F.lit(s)).alias("a")
+        ).localCheckpoint()
+        h_new = (
+            adj.join(a, adj.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        s2 = h_new.agg(F.sum("h")).collect()[0][0] or 1.0
+        h_new = nodes.join(h_new, "node", "left").select(
+            "node", (F.coalesce("h", F.lit(0.0)) / F.lit(s2)).alias("h")
+        ).localCheckpoint()
+        delta = (
+            h_new.join(h.withColumnRenamed("h", "h_last"), "node")
+            .agg(F.sum(F.abs(F.col("h") - F.col("h_last"))))
+            .collect()[0][0]
+        )
+        h = h_new
+        if delta is not None and delta < tol:
+            break
+    return nodes.join(h, "node").join(a, "node").select("node", "h", "a")
