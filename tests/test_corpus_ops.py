@@ -631,3 +631,27 @@ def test_q192_fertility_recount(spark, sf_dir):
         r = rows[k]
         assert (r["n_docs"], r["n_tokens"], r["n_chars"]) == (nd, nt, nc)
         assert r["fertility_milli"] == 1000 * nt // nc
+
+
+# ---------------------------------------------------------------- q194
+
+
+def test_q194_epoch_plan_arithmetic(spark, sf_dir):
+    """Targets must apportion the budget by weight (floor division),
+    epochs_milli must be exact, and the mode must follow the 1000
+    boundary; weights replay from the md5 rule."""
+    import hashlib
+
+    from voz_spark.dataprep import q194_epoch_plan
+
+    rows = q194_epoch_plan(spark, sf_dir).collect()
+    wsum = sum(r["w"] for r in rows)
+    budget = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        w = 1 + int(hashlib.md5(r["source"].encode()).hexdigest()[:15], 16) % 5
+        assert r["w"] == w
+        target = budget * w // wsum
+        assert r["target_tokens"] == target
+        assert r["epochs_milli"] == 1000 * target // r["n_tokens"]
+        assert r["mode"] == ("upsample" if r["epochs_milli"] > 1000 else "subsample")
+    assert {r["mode"] for r in rows} == {"upsample", "subsample"} or len(rows) < 3

@@ -1191,3 +1191,29 @@ def test_q187_delta_funnel_replay(spark, sf_dir):
         n_in -= fails[r["stage_no"]]
     assert rows[-1]["n_out"] == n_in == fails[0]
     assert fails[5] > 0  # the delta really collides with the standing set
+
+
+# ---------------------------------------------------------------- q193
+
+
+def test_q193_no_straddle_and_capacity(spark, sf_dir):
+    """No window exceeds the patch budget, every window is filled to
+    capacity except possibly the last of its (shard, patches) group,
+    and the image total conserves."""
+    from voz_spark.imagedup import _N_IMAGES, _Q193_BUDGET, q193_patch_packing
+
+    rows = q193_patch_packing(spark, sf_dir).collect()
+    assert sum(r["n_images"] for r in rows) == _N_IMAGES
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        assert r["patches_used"] == r["n_images"] * r["patches"]
+        assert r["patches_used"] <= _Q193_BUDGET
+        assert r["waste"] == _Q193_BUDGET - r["patches_used"]
+        groups.setdefault((r["shard"], r["patches"]), []).append(r)
+    for (shard, patches), g in groups.items():
+        g.sort(key=lambda r: r["window_id"])
+        cap = _Q193_BUDGET // patches
+        assert [r["window_id"] for r in g] == list(range(len(g)))
+        for r in g[:-1]:
+            assert r["n_images"] == cap  # full windows
+        assert 1 <= g[-1]["n_images"] <= cap

@@ -2725,3 +2725,75 @@ def q192_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q194: epoch plan — a training run fixes a TOKEN budget; each source
+# contributes target share w_s (mixture weights), but only HAS
+# n_tokens_s on disk. epochs_milli = 1000 * target_s / available_s
+# says how many passes over each source the run makes: > 1000 means
+# upsampling (repeat data — watch memorization), < 1000 subsampling.
+# The integer plan both engines compute identically closes the loop
+# from bytes (q192's fertility) to the run's actual sampling schedule.
+# Weights derive from the source name by the md5 idiom: w_s = 1 +
+# h(source) % 5.
+#
+# Scale shape: one bounded per-source rollup of token counts (in-row
+# q22 fold), a 1-row total-weight/total-budget cross join, in-row
+# division. The corpus shuffles once (source rollup).
+# ---------------------------------------------------------------------------
+
+# The run's token budget is ONE full pass over the corpus, reapportioned
+# by weight — scale-invariant, so over-weighted sources upsample and
+# under-weighted ones subsample at every sf.
+_Q194_ORACLE = f"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT) AS n_tokens,
+         CAST(1 + CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 5 AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(w) AS wsum, SUM(n_tokens) AS budget FROM s)
+SELECT source, n_tokens, w,
+       CAST((SELECT budget FROM t) * w // (SELECT wsum FROM t) AS BIGINT) AS target_tokens,
+       CAST(1000 * ((SELECT budget FROM t) * w // (SELECT wsum FROM t)) // n_tokens AS BIGINT)
+         AS epochs_milli,
+       CASE WHEN 1000 * ((SELECT budget FROM t) * w // (SELECT wsum FROM t)) // n_tokens > 1000
+            THEN 'upsample' ELSE 'subsample' END AS mode
+FROM s ORDER BY source
+"""
+
+
+@register("q194_epoch_plan", oracle=_Q194_ORACLE)
+def q194_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source passes-over-the-data (integer milli epochs) for a
+    one-full-pass token budget under mixture weights: one source
+    rollup, a 1-row weight/budget total, in-row division."""
+    d = T(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    s = d.groupBy("source").agg(
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "w",
+        (
+            1
+            + F.conv(F.substring(F.md5("source"), 1, 15), 16, 10).cast("long") % 5
+        ).cast("long"),
+    )
+    t = s.agg(F.sum("w").alias("wsum"), F.sum("n_tokens").alias("budget"))
+    target = F.expr("budget * w div wsum")
+    epochs = F.expr("1000 * (budget * w div wsum) div n_tokens")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_tokens",
+            "w",
+            target.cast("long").alias("target_tokens"),
+            epochs.cast("long").alias("epochs_milli"),
+            F.when(epochs > 1000, F.lit("upsample"))
+            .otherwise(F.lit("subsample"))
+            .alias("mode"),
+        )
+        .orderBy("source")
+    )

@@ -4715,3 +4715,85 @@ def _phash_rows_gen():
             yield pd.DataFrame(rows)
 
     return gen
+
+
+# ---------------------------------------------------------------------------
+# q193: ViT patch packing — a vision transformer bills by 16x16
+# PATCHES, and unlike LM tokens (q72) an image cannot straddle two
+# context windows. Exact no-straddle packing that still parallelizes:
+# group images by their patch COUNT (the q149 bucket idea) — within a
+# (shard, patch_count) group every window holds exactly
+# floor(budget / patch_count) images, so the window id is a pure
+# rank division, deterministic and coordination-free (the NaViT-style
+# size-grouped batching real vision stacks run). Waste per window is
+# budget - images*patches, measured not guessed.
+#
+# Scale shape: patches are an in-row ceil-div projection; the pack is
+# a row_number per (shard, patch_count) partition — sharding (idx % 8)
+# bounds every window partition exactly as q72's shards do — and the
+# rollup groups on (shard, patch_count, window). No global sort.
+# ---------------------------------------------------------------------------
+
+_Q193_BUDGET = 64  # patches per context window
+_Q193_SHARDS = 8
+
+_Q193_ORACLE = f"""
+WITH p AS (
+  SELECT image_id, CAST(substr(image_id, 4) AS BIGINT) % {_Q193_SHARDS} AS shard,
+         ((w + 15) // 16) * ((h + 15) // 16) AS patches
+  FROM read_parquet('{Q65_IMAGES_PATH}/*.parquet')
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard, patches ORDER BY image_id) - 1 AS rk,
+         {_Q193_BUDGET} // patches AS cap
+  FROM p
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(patches AS BIGINT) AS patches,
+       CAST(rk // cap AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(COUNT(*) * patches AS BIGINT) AS patches_used,
+       CAST({_Q193_BUDGET} - COUNT(*) * patches AS BIGINT) AS waste,
+       MIN(image_id) AS first_image
+FROM r GROUP BY shard, patches, rk // cap
+ORDER BY shard, patches, window_id
+"""
+
+
+@register("q193_patch_packing", oracle=_Q193_ORACLE)
+def q193_patch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle ViT context-window packing by patch-count grouping:
+    in-row patch counts, per-(shard, patch_count) rank division,
+    bounded rollup with measured waste."""
+    from pyspark.sql import Window
+
+    p = _materialized(
+        spark,
+        Q65_IMAGES_PATH,
+        f"n={_N_IMAGES};cols=id,phash,w,h",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "phash", "w", "h"),
+    ).select(
+        "image_id",
+        (F.substring("image_id", 4, 10).cast("long") % _Q193_SHARDS).alias("shard"),
+        (F.expr("(w + 15) div 16") * F.expr("(h + 15) div 16")).alias("patches"),
+    )
+    w = Window.partitionBy("shard", "patches").orderBy("image_id")
+    r = p.withColumn("rk", F.row_number().over(w) - 1).withColumn(
+        "cap", F.expr(f"{_Q193_BUDGET} div patches")
+    )
+    return (
+        r.groupBy(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("patches").cast("long").alias("patches"),
+            F.expr("rk div cap").cast("long").alias("window_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            (F.count(F.lit(1)) * F.first("patches")).cast("long").alias("patches_used"),
+            (F.lit(_Q193_BUDGET) - F.count(F.lit(1)) * F.first("patches"))
+            .cast("long")
+            .alias("waste"),
+            F.min("image_id").alias("first_image"),
+        )
+        .orderBy("shard", "patches", "window_id")
+    )
