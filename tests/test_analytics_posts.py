@@ -159,3 +159,49 @@ def test_price_suggestions_in_range(world):
     prices = A.price_suggestions(posts)
     bad = prices.where((F.col("price") < 0.1) | (F.col("price") > 50)).count()
     assert bad == 0 and prices.count() > 0
+
+
+# ---------------------------------------------------------------- q195/q196
+
+
+def test_q195_cube_margins_consistent(spark, sf_dir):
+    """The lattice must be self-consistent: cell rows sum to their row
+    margin, row margins sum to the grand total, and gid encodes the
+    level."""
+    from voz_spark.relational import q195_dimension_cube
+
+    rows = q195_dimension_cube(spark, sf_dir).collect()
+    cells = [r for r in rows if r["gid"] == 0]
+    flag_m = {r["returnflag"]: r for r in rows if r["gid"] == 1}
+    status_m = {r["linestatus"]: r for r in rows if r["gid"] == 2}
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1
+    assert sum(c["n_rows"] for c in cells) == grand[0]["n_rows"]
+    for f, m in flag_m.items():
+        assert m["linestatus"] == "(all)"
+        assert sum(c["n_rows"] for c in cells if c["returnflag"] == f) == m["n_rows"]
+    for s, m in status_m.items():
+        assert m["returnflag"] == "(all)"
+        assert sum(c["n_rows"] for c in cells if c["linestatus"] == s) == m["n_rows"]
+
+
+def test_q196_set_identities(spark, sf_dir):
+    """INTERSECT and EXCEPT must satisfy the set identities against an
+    independent Python-set replay: both ∪ only_high == hi,
+    both ∩ only_high == ∅."""
+    from voz_spark.relational import q196_set_algebra
+    from voz_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    o = {
+        r["o_orderkey"]: r["o_orderpriority"]
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    hi = {r["l_partkey"] for r in li if o[r["l_orderkey"]] in ("1-URGENT", "2-HIGH")}
+    lo = {r["l_partkey"] for r in li if o[r["l_orderkey"]] == "5-LOW"}
+    rows = q196_set_algebra(spark, sf_dir).collect()
+    both = {r["partkey"] for r in rows if r["relation"] == "both"}
+    only = {r["partkey"] for r in rows if r["relation"] == "only_high"}
+    assert both == hi & lo
+    assert only == hi - lo
+    assert both | only == hi and not (both & only)

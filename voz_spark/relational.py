@@ -1391,3 +1391,112 @@ def q121_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195: dimension cube — one scan answering every marginal at once:
+# CUBE(returnflag, linestatus) emits the full lattice (cell, row
+# margin, column margin, grand total) with a GROUPING id telling the
+# reader which level a row belongs to. The reference computes each
+# margin as its own pandas groupby pass (src/data_analyzer.py); the
+# cube is the one-scan replacement and Spark/DuckDB agree bit-exactly
+# because every aggregate is a count or DECIMAL-exact sum.
+#
+# Scale shape: CUBE over two low-cardinality dims multiplies the
+# aggregate key domain by 4, not the data — partials combine map-side
+# per lattice level and the corpus shuffles once. Never CUBE a
+# high-cardinality dim (the lattice doubles per dim) — that rule is
+# the comment the next reader needs.
+# ---------------------------------------------------------------------------
+
+_Q195_ORACLE = """
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+@register("q195_dimension_cube", oracle=_Q195_ORACLE)
+def q195_dimension_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE lattice over (returnflag, linestatus) with GROUPING
+    ids — every margin from one scan, one shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "gid",
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196: set algebra — INTERSECT and EXCEPT as first-class operators:
+# which parts sold BOTH through high-priority and low-priority orders
+# (intersect), and which sold ONLY high (except). The reference does
+# this with Python set() on collected lists; here both run as
+# deduplicating joins the planner picks (SMJ or shuffled hash) and the
+# two results union into one labeled table.
+#
+# Scale shape: INTERSECT/EXCEPT compile to distinct + semi/anti joins
+# on the part key — uniform, partial-combining; the corpus shuffles
+# on l_partkey once per side. The final label union is free.
+# ---------------------------------------------------------------------------
+
+_Q196_ORACLE = """
+WITH hi AS (
+  SELECT DISTINCT l.l_partkey FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+lo AS (
+  SELECT DISTINCT l.l_partkey FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '5-LOW'
+),
+both_ AS (SELECT l_partkey FROM hi INTERSECT SELECT l_partkey FROM lo),
+only_hi AS (SELECT l_partkey FROM hi EXCEPT SELECT l_partkey FROM lo)
+SELECT 'both' AS relation, CAST(l_partkey AS BIGINT) AS partkey FROM both_
+UNION ALL
+SELECT 'only_high', CAST(l_partkey AS BIGINT) FROM only_hi
+ORDER BY relation, partkey
+"""
+
+
+@register("q196_set_algebra", oracle=_Q196_ORACLE)
+def q196_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts selling through both high- and low-priority orders
+    (INTERSECT) vs only-high (EXCEPT), labeled in one table."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    hi = (
+        j.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("l_partkey")
+        .distinct()
+    )
+    lo = j.where(F.col("o_orderpriority") == "5-LOW").select("l_partkey").distinct()
+    both = hi.intersect(lo).select(
+        F.lit("both").alias("relation"), F.col("l_partkey").cast("long").alias("partkey")
+    )
+    only_hi = hi.exceptAll(lo).distinct().select(
+        F.lit("only_high").alias("relation"),
+        F.col("l_partkey").cast("long").alias("partkey"),
+    )
+    return both.unionByName(only_hi).orderBy("relation", "partkey")
