@@ -205,3 +205,64 @@ def test_q196_set_identities(spark, sf_dir):
     assert both == hi & lo
     assert only == hi - lo
     assert both | only == hi and not (both & only)
+
+
+# ---------------------------------------------------------------- q197/q198
+
+
+def test_q197_bucketed_equals_bruteforce_range_join(spark, sf_dir):
+    """The bucket-equi-join + in-row predicate must produce exactly
+    the brute-force point-in-interval matches, including intervals
+    that straddle bucket boundaries."""
+    from voz_spark.relational import q197_bucketed_range_join
+    from voz_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    import datetime as dt
+
+    epoch = dt.date(1970, 1, 1)
+    base: dict[int, int] = {}
+    pts: dict[int, list] = {}
+    for r in orders:
+        g = r["o_custkey"] % 19
+        od_ = r["o_orderdate"]
+        if isinstance(od_, dt.datetime):
+            od_ = od_.date()
+        d = (od_ - epoch).days
+        base[g] = min(base.get(g, 10**9), d)
+        pts.setdefault(g, []).append((d, r["o_orderkey"]))
+    want = {}
+    for g, items in pts.items():
+        lo = base[g] + g
+        hi = lo + 8 + g % 7
+        hits = [k for d, k in items if lo <= d <= hi]
+        if hits:
+            want[g] = (len(hits), min(hits), max(hits))
+    rows = {r["grp"]: (r["n_in_window"], r["first_order"], r["last_order"])
+            for r in q197_bucketed_range_join(spark, sf_dir).collect()}
+    assert rows == want
+
+
+def test_q198_reconciliation_covers_both_sides(spark, sf_dir):
+    """Every order date and every ship date appears exactly once; the
+    status column names unmatched sides correctly and counts match
+    direct per-date counts."""
+    from voz_spark.relational import q198_fullouter_reconcile
+    from voz_spark.session import load_table
+
+    od: dict = {}
+    for r in load_table(spark, sf_dir, "orders").select("o_orderdate").collect():
+        od[r[0]] = od.get(r[0], 0) + 1
+    sd: dict = {}
+    for r in load_table(spark, sf_dir, "lineitem").select("l_shipdate").collect():
+        sd[r[0]] = sd.get(r[0], 0) + 1
+    rows = {r["d"]: r for r in q198_fullouter_reconcile(spark, sf_dir).collect()}
+    assert set(rows) == set(od) | set(sd)
+    for d, r in rows.items():
+        assert r["n_orders"] == od.get(d, 0)
+        assert r["n_ship"] == sd.get(d, 0)
+        want = "both" if d in od and d in sd else ("intake_only" if d in od else "ship_only")
+        assert r["status"] == want
+    assert {r["status"] for r in rows.values()} >= {"both", "ship_only"}

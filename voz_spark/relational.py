@@ -1500,3 +1500,157 @@ def q196_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("long").alias("partkey"),
     )
     return both.unionByName(only_hi).orderBy("relation", "partkey")
+
+
+# ---------------------------------------------------------------------------
+# q197: bucketed range join — "which events fall inside which session
+# interval" is a point-in-interval join, and the naive plan is a
+# BroadcastNestedLoop over every (event, interval) pair: O(n·m). The
+# scalable shape buckets BOTH sides by a coarse time grain (the
+# interval's span bounds how many buckets it touches), equi-joins on
+# the bucket, then applies the exact range predicate — turning the
+# cross product into a keyed join plus an in-row filter. Intervals
+# here are maintenance windows derived from `orders` dates (one
+# window per clerk per month, planted deterministic lengths); points
+# are order dates. Both engines bucket identically (epoch-day // 16).
+#
+# Scale shape: explode each interval into the <= 3 buckets it spans
+# (span <= 2 grains by construction), equi-join on (clerk-group,
+# bucket), exact predicate in-row, distinct to kill double matches on
+# bucket boundaries. The join key is (group, bucket) — uniform; no
+# nested loop anywhere at any scale.
+# ---------------------------------------------------------------------------
+
+_Q197_ORACLE = """
+WITH w AS (
+  SELECT o_custkey % 19 AS grp,
+         MIN(date_diff('day', DATE '1970-01-01', o_orderdate)) + (o_custkey % 19) AS start_d,
+         MIN(date_diff('day', DATE '1970-01-01', o_orderdate)) + (o_custkey % 19) + 8 + o_custkey % 19 % 7 AS end_d
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT o_custkey % 19 AS grp, date_diff('day', DATE '1970-01-01', o_orderdate) AS d, o_orderkey
+  FROM orders
+),
+j AS (
+  SELECT p.grp, p.o_orderkey
+  FROM p JOIN w ON w.grp = p.grp AND p.d BETWEEN w.start_d AND w.end_d
+)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_in_window,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_order,
+       CAST(MAX(o_orderkey) AS BIGINT) AS last_order
+FROM j GROUP BY grp ORDER BY grp
+"""
+
+
+@register("q197_bucketed_range_join", oracle=_Q197_ORACLE)
+def q197_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join executed as bucket-equi-join + in-row
+    range predicate (never a nested loop): intervals explode into the
+    <= 3 coarse buckets they span; matches dedup on the pair."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("clerk"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("d"),
+        "o_orderkey",
+    )
+    w = (
+        o.groupBy((F.col("clerk") % 19).alias("grp"))
+        .agg(F.min("d").alias("base"))
+        .select(
+            "grp",
+            (F.col("base") + F.col("grp")).alias("start_d"),
+            (F.col("base") + F.col("grp") + 8 + F.col("grp") % 7).alias("end_d"),
+        )
+    )
+    grain = 16
+    wb = w.select(
+        "grp",
+        "start_d",
+        "end_d",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_d div {grain}"), F.expr(f"end_d div {grain}")
+            )
+        ).alias("bucket"),
+    )
+    p = o.select(
+        (F.col("clerk") % 19).alias("grp"),
+        "d",
+        "o_orderkey",
+        F.expr(f"d div {grain}").alias("bucket"),
+    )
+    j = (
+        p.join(wb, ["grp", "bucket"])
+        .where(F.col("d").between(F.col("start_d"), F.col("end_d")))
+        .select("grp", "o_orderkey")
+        .distinct()
+    )
+    return (
+        j.groupBy(F.col("grp").cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_window"),
+            F.min("o_orderkey").cast("long").alias("first_order"),
+            F.max("o_orderkey").cast("long").alias("last_order"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198: full-outer reconciliation — two independently-produced daily
+# rollups (order intake by date vs lineitem ship volume by date) never
+# line up exactly: some dates only intake, some only ship. FULL OUTER
+# join is the reconciliation operator that keeps BOTH unmatched sides
+# visible, with a status column naming the gap — the audit shape every
+# two-pipeline system needs (the reference reconciles nothing; its
+# CSVs drift silently, docs/crawling_ocr_result.md:37 vs :74).
+#
+# Scale shape: two partial-combining date rollups (bounded key
+# domain), then a full-outer join on the date — tiny by then. The
+# corpus shuffles once per side.
+# ---------------------------------------------------------------------------
+
+_Q198_ORACLE = """
+WITH a AS (
+  SELECT o_orderdate AS d, COUNT(*) AS n_orders FROM orders GROUP BY 1
+),
+b AS (
+  SELECT l_shipdate AS d, COUNT(*) AS n_ship FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(a.d, b.d) AS d,
+       CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(b.n_ship, 0) AS BIGINT) AS n_ship,
+       CASE WHEN a.d IS NULL THEN 'ship_only'
+            WHEN b.d IS NULL THEN 'intake_only'
+            ELSE 'both' END AS status
+FROM a FULL OUTER JOIN b ON a.d = b.d
+ORDER BY d
+"""
+
+
+@register("q198_fullouter_reconcile", oracle=_Q198_ORACLE)
+def q198_fullouter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily intake vs ship volumes reconciled by FULL OUTER join with
+    both unmatched sides kept and named."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderdate").alias("da")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    b = li.groupBy(F.col("l_shipdate").alias("db")).agg(
+        F.count(F.lit(1)).alias("n_ship")
+    )
+    j = a.join(b, a["da"] == b["db"], "full_outer")
+    return (
+        j.select(
+            F.coalesce("da", "db").alias("d"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_ship", F.lit(0)).cast("long").alias("n_ship"),
+            F.when(F.col("da").isNull(), F.lit("ship_only"))
+            .when(F.col("db").isNull(), F.lit("intake_only"))
+            .otherwise(F.lit("both"))
+            .alias("status"),
+        )
+        .orderBy("d")
+    )
