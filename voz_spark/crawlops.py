@@ -4381,3 +4381,279 @@ def q191_sitemap_robots_crosscheck(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q199: seen-set anti-entropy — a 10^10-URL seen filter runs as
+# replicated shards (the recrawl scheduler and the frontier dedupe
+# each hold one), and replicas drift: a crashed round commits to one
+# copy but not the other. Reconciling by shipping full tables is a
+# 10^10-row exchange; the Merkle/anti-entropy shape (Dynamo, Cassandra
+# repair) compares BUCKET DIGESTS first and exchanges rows only for
+# buckets whose digests disagree.
+#
+# Scale shape: pass 1 computes (count, bit_xor(urlhash)) per bucket on
+# each replica — partial-combining aggregates, one bounded-key shuffle
+# per side. The digest table is O(#buckets) — a design constant (64
+# here, ~2^20 in production) — so collecting the dirty-bucket list to
+# the driver is O(1)-bounded work (the graph top-100 precedent).
+# Pass 2 re-reads ONLY the dirty buckets: the replicas are stored
+# partition-by-bucket, so the dirty-bucket IN-list becomes a
+# PartitionFilter and the repair scan never touches clean data
+# (plan-asserted in tests). The row diff is then anti-joins over the
+# pruned slices — proportional to the DRIFT, never to the corpus.
+#
+# Fixture: two write-once replicas derived from the same 20k-key
+# universe (u, h = 60-bit md5 of u, bucket = h % 64). Drift is
+# LOCALIZED the way a crashed round's partial commit is: replica A is
+# missing keys in bucket 7 with h % 13 == 0, replica B missing keys in
+# bucket 42 with h % 11 == 0 — disjoint by bucket, deterministic, no
+# RNG — so the pruning claim is falsifiable: 62 of 64 partitions must
+# NOT appear in the repair scan. Digests use bit_xor(h):
+# order-independent, partial-combining, identical in DuckDB and Spark.
+# ---------------------------------------------------------------------------
+
+Q199_REPLICA_A = "/tmp/voz_spark_q199_replica_a"
+Q199_REPLICA_B = "/tmp/voz_spark_q199_replica_b"
+_Q199_TAG = "q199:n20000:b64:v2"
+
+
+def _q199_replica(spark: SparkSession, path: str, drop_bucket: int, drop_mod: int) -> DataFrame:
+    """Write-once bucket-partitioned replica (the _materialized pattern
+    with partitionBy so pass 2 can prune): keeps a data-column copy
+    ``bucket_c`` because partitionBy lifts ``bucket`` into the path."""
+    import os
+
+    marker = os.path.join(path, "_VOZ_FIXTURE")
+    try:
+        with open(marker) as fh:
+            have = fh.read()
+    except OSError:
+        have = None
+    if have != _Q199_TAG:
+        base = spark.range(20000).select(
+            F.col("id").alias("u"),
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        rep = (
+            base.withColumn("bucket_c", (F.col("h") % 64).cast("long"))
+            .where(
+                ~((F.col("bucket_c") == drop_bucket) & (F.col("h") % drop_mod == 0))
+            )
+            .withColumn("bucket", F.col("bucket_c"))
+        )
+        rep.repartition(4).write.mode("overwrite").partitionBy("bucket").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(_Q199_TAG)
+    return spark.read.parquet(path)
+
+
+_Q199_ORACLE = f"""
+WITH a AS (SELECT u, h, bucket_c FROM read_parquet('{Q199_REPLICA_A}/*/*.parquet')),
+b AS (SELECT u, h, bucket_c FROM read_parquet('{Q199_REPLICA_B}/*/*.parquet')),
+da AS (SELECT bucket_c AS bucket, COUNT(*) AS n_a, bit_xor(h) AS xr_a FROM a GROUP BY 1),
+db AS (SELECT bucket_c AS bucket, COUNT(*) AS n_b, bit_xor(h) AS xr_b FROM b GROUP BY 1),
+dirty AS (
+  SELECT da.bucket, n_a, n_b FROM da JOIN db USING (bucket)
+  WHERE n_a <> n_b OR xr_a <> xr_b
+),
+ma AS (
+  SELECT b.bucket_c AS bucket, COUNT(*) AS miss_a, MIN(b.u) AS first_a
+  FROM b ANTI JOIN a USING (u)
+  WHERE b.bucket_c IN (SELECT bucket FROM dirty) GROUP BY 1
+),
+mb AS (
+  SELECT a.bucket_c AS bucket, COUNT(*) AS miss_b, MIN(a.u) AS first_b
+  FROM a ANTI JOIN b USING (u)
+  WHERE a.bucket_c IN (SELECT bucket FROM dirty) GROUP BY 1
+)
+SELECT dirty.bucket,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(COALESCE(miss_a, 0) AS BIGINT) AS n_missing_in_a,
+       CAST(COALESCE(miss_b, 0) AS BIGINT) AS n_missing_in_b,
+       CAST(COALESCE(first_a, -1) AS BIGINT) AS first_missing_in_a,
+       CAST(COALESCE(first_b, -1) AS BIGINT) AS first_missing_in_b
+FROM dirty LEFT JOIN ma USING (bucket) LEFT JOIN mb USING (bucket)
+ORDER BY bucket
+"""
+
+
+@register("q199_seen_antientropy", oracle=_Q199_ORACLE)
+def q199_seen_antientropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style replica reconciliation: per-bucket (count, xor)
+    digests find drifted buckets; only those buckets are re-read
+    (partition-pruned) and row-diffed via anti-joins."""
+    a = _q199_replica(spark, Q199_REPLICA_A, 7, 13)
+    b = _q199_replica(spark, Q199_REPLICA_B, 42, 11)
+    da = a.groupBy(F.col("bucket_c").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.expr("bit_xor(h)").alias("xr_a"),
+    )
+    db = b.groupBy(F.col("bucket_c").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.expr("bit_xor(h)").alias("xr_b"),
+    )
+    dirty_rows = (
+        da.join(db, "bucket")
+        .where((F.col("n_a") != F.col("n_b")) | (F.col("xr_a") != F.col("xr_b")))
+        .select("bucket", "n_a", "n_b")
+        .collect()  # O(#buckets) bounded: 64 here, a design constant
+    )
+    buckets = [int(r["bucket"]) for r in dirty_rows]
+    # pass 2: partition-pruned repair reads — only dirty buckets
+    ar = a.where(F.col("bucket").isin(buckets)).select("u", "bucket_c")
+    br = b.where(F.col("bucket").isin(buckets)).select("u", "bucket_c")
+    ma = (
+        br.join(ar.select("u"), "u", "left_anti")
+        .groupBy(F.col("bucket_c").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("miss_a"),
+            F.min("u").cast("long").alias("first_a"),
+        )
+    )
+    mb = (
+        ar.join(br.select("u"), "u", "left_anti")
+        .groupBy(F.col("bucket_c").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("miss_b"),
+            F.min("u").cast("long").alias("first_b"),
+        )
+    )
+    dirty = spark.createDataFrame(dirty_rows, "bucket long, n_a long, n_b long")
+    return (
+        dirty.join(ma, "bucket", "left")
+        .join(mb, "bucket", "left")
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.coalesce("miss_a", F.lit(0)).cast("long").alias("n_missing_in_a"),
+            F.coalesce("miss_b", F.lit(0)).cast("long").alias("n_missing_in_b"),
+            F.coalesce("first_a", F.lit(-1)).cast("long").alias("first_missing_in_a"),
+            F.coalesce("first_b", F.lit(-1)).cast("long").alias("first_missing_in_b"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201: explore/exploit crawl policy — which hosts get fetch slots
+# next round? Pure exploitation (rank by observed yield) starves hosts
+# the crawler has barely sampled; the bandit fix adds an exploration
+# bonus that shrinks as a host accumulates trials (UCB shape) plus a
+# small deterministic epsilon-explore set. The reference fetches every
+# page of one forum unconditionally (src/main.py:153-200) — it has no
+# yield model at all.
+#
+# Float discipline: the bonus is floor(1000 * sqrt(32.0 / n)). Every
+# step is IEEE-754 correctly-rounded (int→double exact, one division,
+# one sqrt, one multiply) so DuckDB and Spark produce bit-identical
+# doubles and the floor lands identically — no libm-dependent ln/log
+# anywhere (the ln N term of textbook UCB1 is frozen into the 32.0
+# constant, recomputed once per epoch by the scheduler, which keeps
+# the per-host math distributed and engine-portable). Yield means are
+# integer milli (1000*s div n), never float-compared.
+#
+# Scale shape: one partial-combining rollup over the fetch log keyed
+# by host; the policy columns are in-row expressions on the bounded
+# per-host table; scheduling uses a closed-form cutoff — no global
+# window, no driver-side ranking of 10^8 hosts.
+# ---------------------------------------------------------------------------
+
+_Q201_ORACLE = """
+WITH f AS (
+  SELECT event_id % 53 AS host,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events
+),
+t AS (
+  SELECT host,
+         COUNT(*) AS n_trials,
+         SUM(CASE WHEN h % 5 < host % 4 + 1 THEN 1 ELSE 0 END) AS n_success
+  FROM f GROUP BY 1
+),
+p AS (
+  SELECT host, n_trials, n_success,
+         1000 * n_success // n_trials AS mean_milli,
+         CAST(FLOOR(1000.0 * sqrt(32.0 / n_trials)) AS BIGINT) AS bonus_milli,
+         CAST('0x' || substr(md5('host:' || CAST(host AS VARCHAR)), 1, 15) AS BIGINT)
+           % 1000 < 50 AS explore
+  FROM t
+)
+SELECT CAST(host AS BIGINT) AS host,
+       CAST(n_trials AS BIGINT) AS n_trials,
+       CAST(n_success AS BIGINT) AS n_success,
+       CAST(mean_milli AS BIGINT) AS mean_milli,
+       bonus_milli,
+       CAST(mean_milli + bonus_milli AS BIGINT) AS ucb_milli,
+       CASE WHEN explore THEN 'explore' ELSE 'exploit' END AS decision,
+       CASE WHEN explore OR mean_milli + bonus_milli >= 400 THEN 1 ELSE 0 END
+         AS scheduled
+FROM p ORDER BY ucb_milli DESC, host
+"""
+
+
+@register("q201_crawl_policy_ucb", oracle=_Q201_ORACLE)
+def q201_crawl_policy_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandit crawl policy: per-host yield rollup, UCB-style bonus
+    shrinking with trials (IEEE-exact sqrt, frozen ln-term), epsilon
+    exploration by hash, closed-form scheduling cutoff — no window."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    f = ev.select(
+        (F.col("event_id") % 53).alias("host"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    t = f.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_trials"),
+        F.sum(
+            F.when(F.col("h") % 5 < F.col("host") % 4 + 1, 1).otherwise(0)
+        ).alias("n_success"),
+    )
+    mean_milli = F.expr("1000 * n_success div n_trials")
+    bonus = F.floor(F.lit(1000.0) * F.sqrt(F.lit(32.0) / F.col("n_trials"))).cast(
+        "long"
+    )
+    explore = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("host:"), F.col("host").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        < 50
+    )
+    p = t.select(
+        F.col("host").cast("long").alias("host"),
+        F.col("n_trials").cast("long").alias("n_trials"),
+        F.col("n_success").cast("long").alias("n_success"),
+        mean_milli.cast("long").alias("mean_milli"),
+        bonus.alias("bonus_milli"),
+        explore.alias("explore"),
+    )
+    return p.select(
+        "host",
+        "n_trials",
+        "n_success",
+        "mean_milli",
+        "bonus_milli",
+        (F.col("mean_milli") + F.col("bonus_milli")).cast("long").alias("ucb_milli"),
+        F.when(F.col("explore"), F.lit("explore"))
+        .otherwise(F.lit("exploit"))
+        .alias("decision"),
+        F.when(
+            F.col("explore") | (F.col("mean_milli") + F.col("bonus_milli") >= 400),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("scheduled"),
+    ).orderBy(F.col("ucb_milli").desc(), "host")

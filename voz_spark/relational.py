@@ -1654,3 +1654,120 @@ def q198_fullouter_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# q200: skew-salted join — the north-star names "skew salting on the
+# host key" explicitly. A crawl fact table (one row per fetched item)
+# joined to the per-host metadata dim (politeness delay, tier) hash-
+# partitions on host — and the web is Zipf: one host can own most of
+# the rows (60% planted here), so one reducer gets 60% of the data
+# and the stage runs at straggler speed. The salted shape replicates
+# the DIM row R ways (salt 0..R-1), gives each FACT row a uniform
+# deterministic salt, and joins on (host, salt): the hot host's rows
+# spread over R partitions, worst-partition load drops R-fold, and
+# the join stays an ordinary shuffled equi-join (the dim is 10^8
+# hosts in production — NOT broadcastable; AQE skew-join is the
+# adaptive alternative, salting is the deterministic portable one).
+#
+# Scale shape: dim replication is |dim|×R rows (bounded, R=16); the
+# fact side computes its salt in-row (md5 of the line identity — no
+# extra shuffle); the post-join rollup re-keys by host alone, where
+# partial combine on (host,salt)-partitioned input shrinks the hot
+# key to R rows before the final exchange. Plan-asserted: the fact
+# exchange partitions on (host, salt), not host alone.
+#
+# Oracle: the dim attributes are pure functions of the host name, so
+# the unsalted SQL computes them directly in the host rollup — same
+# semantics, no salt anywhere, which is exactly the point: salting
+# must not change the answer.
+# ---------------------------------------------------------------------------
+
+_Q200_ORACLE = """
+WITH f AS (
+  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 'megahost.example'
+              ELSE 'h' || CAST(l_orderkey % 50 AS VARCHAR) || '.example' END AS host,
+         l_quantity
+  FROM lineitem
+)
+SELECT host,
+       CAST(length(host) % 3 AS BIGINT) AS tier,
+       CAST((CAST('0x' || substr(md5(host), 1, 15) AS BIGINT) % 20 + 1) * 100
+            AS BIGINT) AS crawl_delay_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM f GROUP BY host ORDER BY n_items DESC, host
+"""
+
+
+@register("q200_skew_salted_join", oracle=_Q200_ORACLE)
+def q200_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-host-dim join with a planted 60%-hot host, executed as
+    a salt-replicated equi-join on (host, salt) so no partition owns
+    the hot key; rollup re-keys by host with partial combine."""
+    r_salt = 16
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 6, F.lit("megahost.example"))
+        .otherwise(
+            F.concat(
+                F.lit("h"), (F.col("l_orderkey") % 50).cast("string"), F.lit(".example")
+            )
+        )
+        .alias("host"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % r_salt
+        ).alias("salt"),
+        "l_quantity",
+    )
+    dim = (
+        fact.select("host")
+        .distinct()
+        .select(
+            "host",
+            (F.length("host") % 3).cast("long").alias("tier"),
+            (
+                (
+                    F.conv(F.substring(F.md5(F.col("host")), 1, 15), 16, 10).cast(
+                        "long"
+                    )
+                    % 20
+                    + 1
+                )
+                * 100
+            ).alias("crawl_delay_ms"),
+        )
+    )
+    dim_r = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(r_salt - 1)))
+    )
+    # disable broadcast for this join so the salted shuffle shape is the
+    # one actually exercised (the production dim is 10^8 hosts)
+    j = fact.hint("shuffle_hash").join(dim_r, ["host", "salt"])
+    return (
+        j.groupBy("host")
+        .agg(
+            F.first("tier").alias("tier"),
+            F.first("crawl_delay_ms").alias("crawl_delay_ms"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy(F.col("n_items").desc(), "host")
+    )
