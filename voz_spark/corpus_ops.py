@@ -1681,3 +1681,157 @@ def q133_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# q204: inverted-index conjunctive search — the corpus tooling query
+# "every document containing ALL of these terms, best-first". A
+# LIKE-scan over 100 TB of text per lookup is a full corpus read; the
+# inverted index turns it into posting-list intersection: postings
+# (term, doc_id, tf) are built ONCE by one explode + one
+# partial-combining aggregate, and a conjunctive query reads only the
+# query terms' lists (in production the posting table is materialized
+# bucketed-by-term, so the IN-filter is a bucket prune; here it cuts
+# the exploded stream before the aggregate).
+#
+# The AND is counting, not self-joining: a doc matches iff it carries
+# all |Q| query terms, so grouping the filtered postings by doc and
+# keeping groups of size |Q| replaces a |Q|-way join — one shuffle,
+# no pairwise intermediate. Ranking is sum-tf (bounded: the LIMIT-20
+# global sort runs on the already-matched docs only).
+# ---------------------------------------------------------------------------
+
+_Q204_TERMS = ("hash", "merge", "window")
+
+_Q204_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+p AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM tok
+  WHERE term IN ('{_Q204_TERMS[0]}', '{_Q204_TERMS[1]}', '{_Q204_TERMS[2]}')
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_id, COUNT(*) AS n_terms, SUM(tf) AS tf_total
+  FROM p GROUP BY 1 HAVING COUNT(*) = {len(_Q204_TERMS)}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_terms AS INT) AS n_terms,
+       CAST(tf_total AS BIGINT) AS tf_total
+FROM m ORDER BY tf_total DESC, doc_id LIMIT 20
+"""
+
+
+@register("q204_inverted_index_search", oracle=_Q204_ORACLE)
+def q204_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build (explode + one combine-friendly aggregate)
+    and conjunctive top-k via group-count intersection."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    p = (
+        tok.where(F.col("term").isin(list(_Q204_TERMS)))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    m = (
+        p.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("tf").alias("tf_total"))
+        .where(F.col("n_terms") == len(_Q204_TERMS))
+    )
+    return (
+        m.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_terms").cast("int").alias("n_terms"),
+            F.col("tf_total").cast("long").alias("tf_total"),
+        )
+        .orderBy(F.col("tf_total").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205: bitmap segment index — predicate evaluation over membership
+# BITMAPS instead of rows (the roaring/zone-map idea in its exact
+# small form). Docs are packed 32 to a segment (slot = doc_id % 32);
+# each indexed predicate becomes one int64 bitmap per segment via a
+# bit_or aggregate. A conjunctive query with a negation then runs
+# ENTIRELY on the index: AND = &, AND NOT = & (valid ^ kw); the source predicate is a src1* prefix class so all three bitmaps are non-trivial at every SF — 32 docs
+# per machine word, never touching the text again. The audit column
+# n_match_direct recomputes each segment's count from the rows; the
+# test pins bitmap == direct on every segment.
+#
+# Scale shape: the index build is one partial-combining bit_or
+# aggregate keyed by segment (combiners OR per-task partials — the
+# same associativity that makes it mergeable across days); query
+# evaluation is in-row arithmetic on the 32x-smaller index table.
+# Slots are 32 wide so every bitmap stays in non-negative int64
+# range in both engines (1<<63 sign traps avoided by design).
+# ---------------------------------------------------------------------------
+
+_Q205_ORACLE = """
+WITH d AS (
+  SELECT doc_id // 32 AS seg,
+         CAST(1 AS BIGINT) << CAST(doc_id % 32 AS INT) AS bit,
+         lang = 'en' AS is_en,
+         source LIKE 'src1%' AS is_src0,
+         position('spark' IN text) > 0 AS has_kw
+  FROM documents
+),
+b AS (
+  SELECT seg,
+         COUNT(*) AS n_docs,
+         bit_or(bit) AS valid_bm,
+         bit_or(CASE WHEN is_en THEN bit ELSE 0 END) AS en_bm,
+         bit_or(CASE WHEN is_src0 THEN bit ELSE 0 END) AS src_bm,
+         bit_or(CASE WHEN has_kw THEN bit ELSE 0 END) AS kw_bm,
+         SUM(CASE WHEN is_en AND is_src0 AND NOT has_kw THEN 1 ELSE 0 END)
+           AS n_direct
+  FROM d GROUP BY 1
+)
+SELECT CAST(seg AS BIGINT) AS seg,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(valid_bm AS BIGINT) AS valid_bm,
+       CAST(bit_count(en_bm & src_bm & xor(valid_bm, kw_bm)) AS INT)
+         AS n_match_bitmap,
+       CAST(n_direct AS INT) AS n_match_direct
+FROM b ORDER BY seg
+"""
+
+
+@register("q205_bitmap_segment_index", oracle=_Q205_ORACLE)
+def q205_bitmap_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-docs-per-word membership bitmaps per segment (one bit_or
+    aggregate); conjunction-with-negation evaluated on the index."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    d = docs.select(
+        F.expr("doc_id div 32").alias("seg"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 32 AS INT))").alias("bit"),
+        (F.col("lang") == "en").alias("is_en"),
+        F.col("source").startswith("src1").alias("is_src0"),
+        (F.instr(F.col("text"), "spark") > 0).alias("has_kw"),
+    )
+    b = d.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("bit_or(bit)").alias("valid_bm"),
+        F.expr("bit_or(CASE WHEN is_en THEN bit ELSE 0 END)").alias("en_bm"),
+        F.expr("bit_or(CASE WHEN is_src0 THEN bit ELSE 0 END)").alias("src_bm"),
+        F.expr("bit_or(CASE WHEN has_kw THEN bit ELSE 0 END)").alias("kw_bm"),
+        F.sum(
+            F.when(
+                F.col("is_en") & F.col("is_src0") & ~F.col("has_kw"), 1
+            ).otherwise(0)
+        ).alias("n_direct"),
+    )
+    return b.select(
+        F.col("seg").cast("long").alias("seg"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("valid_bm").cast("long").alias("valid_bm"),
+        F.bit_count(
+            F.expr("en_bm & src_bm & (valid_bm ^ kw_bm)")
+        ).cast("int").alias("n_match_bitmap"),
+        F.col("n_direct").cast("int").alias("n_match_direct"),
+    ).orderBy("seg")

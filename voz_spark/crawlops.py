@@ -4657,3 +4657,297 @@ def q201_crawl_policy_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("scheduled"),
     ).orderBy(F.col("ucb_milli").desc(), "host")
+
+
+# ---------------------------------------------------------------------------
+# q202: count-min heavy hitters — "which hosts dominate the fetch
+# log?" asked WITHOUT a per-host exact aggregate. At 10^8 distinct
+# hosts the exact groupBy's hash table is the cost; the count-min
+# sketch (Cormode & Muthukrishnan 2005) folds the stream into a
+# depth×width cell grid (4×256 here; 4×2^20 in production) whose size
+# is a DESIGN CONSTANT, independent of the key domain. Estimates are
+# one-sided: est >= true always (collisions only add), and
+# est <= true + eps*N with high probability.
+#
+# Scale shape: the build is ONE partial-combining aggregate over
+# (depth, cell) — 1,024 distinct keys no matter how many hosts — so
+# map-side combine collapses each task's contribution to <=1,024 rows
+# before the only shuffle. The estimate pass joins a bounded CANDIDATE
+# set (distinct hosts here; a sampled candidate stream in production)
+# against the BROADCAST sketch — broadcast-safe by construction, the
+# sketch is 1,024 rows at any corpus size. The exact per-host counts
+# computed alongside are the AUDIT (this is the query that validates
+# the sketch's error), not part of the production read path.
+#
+# Fixture: hosts planted Zipf-ish from events — hot_a 40%, hot_b 20%,
+# a 211-host tail sharing the rest. Cell hashes are md5(depth|host),
+# identical in DuckDB and Spark.
+# ---------------------------------------------------------------------------
+
+_Q202_DEPTH = 4
+_Q202_WIDTH = 256
+
+_Q202_ORACLE = f"""
+WITH f AS (
+  SELECT CASE WHEN event_id % 5 < 2 THEN 'hot_a'
+              WHEN event_id % 5 = 2 THEN 'hot_b'
+              ELSE 'h' || CAST(event_id % 211 AS VARCHAR) END AS host
+  FROM events
+),
+tot AS (SELECT COUNT(*) AS n_total FROM f),
+d AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(depth)),
+cells AS (
+  SELECT depth,
+         CAST('0x' || substr(md5(CAST(depth AS VARCHAR) || '|' || host), 1, 15)
+              AS BIGINT) % {_Q202_WIDTH} AS cell,
+         COUNT(*) AS cell_n
+  FROM f CROSS JOIN d GROUP BY 1, 2
+),
+truth AS (SELECT host, COUNT(*) AS true_n FROM f GROUP BY 1),
+cand AS (
+  SELECT host, depth,
+         CAST('0x' || substr(md5(CAST(depth AS VARCHAR) || '|' || host), 1, 15)
+              AS BIGINT) % {_Q202_WIDTH} AS cell
+  FROM truth CROSS JOIN d
+),
+est AS (
+  SELECT cand.host, MIN(cells.cell_n) AS est_n
+  FROM cand JOIN cells USING (depth, cell) GROUP BY 1
+)
+SELECT truth.host,
+       CAST(true_n AS BIGINT) AS true_n,
+       CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - true_n AS BIGINT) AS overcount,
+       CAST(CASE WHEN est_n * 100 >= n_total THEN 1 ELSE 0 END AS INT) AS is_heavy
+FROM truth JOIN est USING (host) CROSS JOIN tot
+ORDER BY est_n DESC, host
+"""
+
+
+@register("q202_countmin_heavy_hitters", oracle=_Q202_ORACLE)
+def q202_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build (one bounded-key aggregate) + candidate
+    estimates (broadcast 1,024-row sketch), audited against exact."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    f = ev.select(
+        F.when(F.col("event_id") % 5 < 2, F.lit("hot_a"))
+        .when(F.col("event_id") % 5 == 2, F.lit("hot_b"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("event_id") % 211).cast("string"))
+        )
+        .alias("host")
+    )
+
+    def _cell(depth_col, host_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(depth_col.cast("string"), F.lit("|"), host_col)),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _Q202_WIDTH
+        )
+
+    depths = F.array(*[F.lit(i) for i in range(_Q202_DEPTH)])
+    # build: explode the stream over the 4 hash rows, partial-combining
+    # aggregate on the bounded (depth, cell) domain — the only shuffle
+    # over the full log
+    cells = (
+        f.select("host", F.explode(depths).alias("depth"))
+        .select("depth", _cell(F.col("depth"), F.col("host")).alias("cell"))
+        .groupBy("depth", "cell")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    truth = f.groupBy("host").agg(F.count(F.lit(1)).alias("true_n"))
+    tot = f.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    cand = truth.select("host", F.explode(depths).alias("depth")).select(
+        "host", "depth", _cell(F.col("depth"), F.col("host")).alias("cell")
+    )
+    # the sketch is <=depth*width rows BY DESIGN — broadcast-safe at
+    # any corpus scale (the q83 bounded-by-construction precedent)
+    est = (
+        cand.join(F.broadcast(cells), ["depth", "cell"])
+        .groupBy("host")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return (
+        truth.join(est, "host")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            F.col("true_n").cast("long").alias("true_n"),
+            F.col("est_n").cast("long").alias("est_n"),
+            (F.col("est_n") - F.col("true_n")).cast("long").alias("overcount"),
+            F.when(F.col("est_n") * 100 >= F.col("n_total"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_heavy"),
+        )
+        .orderBy(F.col("est_n").desc(), "host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203: edge-partition replication audit — the link graph's pagerank/
+# HITS/degree jobs (q101, q128, q189) move one message per VERTEX
+# REPLICA per iteration, so the partitioner's replication factor IS
+# the network bill. This query measures two partitionings of the same
+# edge set side by side:
+#   1d  — hash by src (Spark's default join/groupBy shape): a vertex's
+#         out-edges land on 1 shard, but its in-edges land wherever
+#         their srcs hash, so a popular dst replicates onto up to all
+#         16 shards, and a hot SRC makes one shard own its entire
+#         out-degree (the straggler).
+#   2d  — grid vertex-cut (PowerGraph/GraphX 2D): shard = (src%4)*4 +
+#         (dst%4); ANY vertex touches <=4 shards as src plus <=4 as
+#         dst (<=2*sqrt(P) replicas vs P+1 for 1d), and a hot vertex's
+#         edges spread over a full grid row/column — bounded balance
+#         by construction, no salting needed.
+#
+# Scale shape: incidence = union of two projections, one distinct on
+# (strategy, vertex, shard) — partial-combining; per-strategy rollups
+# are bounded (2 strategies x 16 shards). Nothing driver-side.
+#
+# Fixture: 211-vertex digraph from events with vertex 0 hot as src
+# (30% of edges) and vertex 1 hot as dst (10%) — the Zipf shape that
+# makes 1d fall over.
+# ---------------------------------------------------------------------------
+
+_Q203_SHARDS = 16
+
+_Q203_EDGES = """
+  SELECT CASE WHEN event_id % 10 < 3 THEN 0
+              ELSE CAST('0x' || substr(md5('s|' || CAST(event_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 199 END AS src,
+         CASE WHEN event_id % 10 = 3 THEN 1
+              ELSE CAST('0x' || substr(md5('d|' || CAST(event_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 199 END AS dst
+  FROM events
+"""
+
+_Q203_ORACLE = f"""
+WITH e0 AS ({_Q203_EDGES}),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+sh AS (
+  SELECT '1d' AS strategy, src, dst, src % {_Q203_SHARDS} AS shard FROM e
+  UNION ALL
+  SELECT '2d', src, dst, (src % 4) * 4 + (dst % 4) FROM e
+),
+loads AS (
+  SELECT strategy, shard, COUNT(*) AS n FROM sh GROUP BY 1, 2
+),
+lr AS (
+  SELECT strategy, COUNT(*) AS n_shards_used, MAX(n) AS max_shard_edges,
+         SUM(n) AS n_edges
+  FROM loads GROUP BY 1
+),
+inc AS (
+  SELECT DISTINCT strategy, v, shard FROM (
+    SELECT strategy, src AS v, shard FROM sh
+    UNION ALL
+    SELECT strategy, dst, shard FROM sh
+  )
+),
+ir AS (
+  SELECT strategy, COUNT(*) AS sum_replicas, COUNT(DISTINCT v) AS n_vertices
+  FROM inc GROUP BY 1
+)
+SELECT lr.strategy,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(n_shards_used AS BIGINT) AS n_shards_used,
+       CAST(sum_replicas AS BIGINT) AS sum_replicas,
+       CAST(1000 * sum_replicas // n_vertices AS BIGINT) AS avg_replication_milli,
+       CAST(max_shard_edges AS BIGINT) AS max_shard_edges,
+       CAST(1000 * max_shard_edges * {_Q203_SHARDS} // n_edges AS BIGINT)
+         AS load_skew_milli
+FROM lr JOIN ir USING (strategy)
+ORDER BY strategy
+"""
+
+
+@register("q203_edge_partition_audit", oracle=_Q203_ORACLE)
+def q203_edge_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1d src-hash vs 2d grid vertex-cut over the same skewed edge
+    set: replication factor (comm volume) and worst-shard load."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def _h(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 199
+        )
+
+    e = (
+        ev.select(
+            F.when(F.col("event_id") % 10 < 3, F.lit(0).cast("long"))
+            .otherwise(_h("s|"))
+            .alias("src"),
+            F.when(F.col("event_id") % 10 == 3, F.lit(1).cast("long"))
+            .otherwise(_h("d|"))
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    sh = e.select(
+        F.lit("1d").alias("strategy"),
+        "src",
+        "dst",
+        (F.col("src") % _Q203_SHARDS).alias("shard"),
+    ).unionByName(
+        e.select(
+            F.lit("2d").alias("strategy"),
+            "src",
+            "dst",
+            ((F.col("src") % 4) * 4 + (F.col("dst") % 4)).alias("shard"),
+        )
+    )
+    loads = sh.groupBy("strategy", "shard").agg(F.count(F.lit(1)).alias("n"))
+    lr = loads.groupBy("strategy").agg(
+        F.count(F.lit(1)).alias("n_shards_used"),
+        F.max("n").alias("max_shard_edges"),
+        F.sum("n").alias("n_edges"),
+    )
+    inc = (
+        sh.select("strategy", F.col("src").alias("v"), "shard")
+        .unionByName(sh.select("strategy", F.col("dst").alias("v"), "shard"))
+        .distinct()
+    )
+    ir = inc.groupBy("strategy").agg(
+        F.count(F.lit(1)).alias("sum_replicas"),
+        F.countDistinct("v").alias("n_vertices"),
+    )
+    return (
+        lr.join(ir, "strategy")
+        .select(
+            "strategy",
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.col("n_shards_used").cast("long").alias("n_shards_used"),
+            F.col("sum_replicas").cast("long").alias("sum_replicas"),
+            F.expr("1000 * sum_replicas div n_vertices")
+            .cast("long")
+            .alias("avg_replication_milli"),
+            F.col("max_shard_edges").cast("long").alias("max_shard_edges"),
+            F.expr(f"1000 * max_shard_edges * {_Q203_SHARDS} div n_edges")
+            .cast("long")
+            .alias("load_skew_milli"),
+        )
+        .orderBy("strategy")
+    )
