@@ -4951,3 +4951,125 @@ def q203_edge_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# q208: priority aging without rewrites — starvation control says a
+# queued URL's effective priority grows with waiting time:
+# eff = base + slope(tier) * (R - enqueue_round) at scheduling round
+# R. The naive implementation rewrites 10^10 priorities every round.
+# The lazy form stores ONE static key at enqueue time,
+# key = base - slope * enqueue_round, because within a tier
+# eff = key + slope*R and slope*R is a per-round constant: the
+# ordering BY KEY never changes, so aging costs zero writes. Across
+# tiers the slopes differ, so the global top-k is the classic
+# decomposed merge: each tier's top-k by static key (<= 3k rows),
+# eff computed in-row on those, one bounded final sort.
+#
+# The oracle is the EAGER algorithm (recompute eff for every row,
+# global ORDER BY) — two different algorithms, same rows, which is
+# the whole claim. Scale shape: per-tier window over tier partitions
+# (3 bounded partitions at any frontier size after per-partition
+# top-k pushdown via rank filter), final sort on <= 60 rows.
+# ---------------------------------------------------------------------------
+
+_Q208_ROUND = 100
+_Q208_K = 20
+
+_Q208_FRONTIER = """
+  SELECT event_id AS url_id,
+         event_id % 3 AS tier,
+         CAST('0x' || substr(md5('p|' || CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100000 AS base_pri,
+         CAST('0x' || substr(md5('e|' || CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS enq_round,
+         CASE event_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 25 ELSE 60 END AS slope
+  FROM events
+"""
+
+_Q208_ORACLE = f"""
+WITH f AS ({_Q208_FRONTIER}),
+e AS (
+  SELECT url_id, tier, base_pri, enq_round,
+         base_pri + slope * ({_Q208_ROUND} - enq_round) AS eff_pri
+  FROM f
+),
+r AS (
+  SELECT url_id, tier, base_pri, enq_round, eff_pri,
+         ROW_NUMBER() OVER (ORDER BY eff_pri DESC, url_id) AS rank
+  FROM e
+)
+SELECT CAST(rank AS INT) AS rank,
+       CAST(url_id AS BIGINT) AS url_id,
+       CAST(tier AS BIGINT) AS tier,
+       CAST(base_pri AS BIGINT) AS base_pri,
+       CAST(enq_round AS BIGINT) AS enq_round,
+       CAST(eff_pri AS BIGINT) AS eff_pri
+FROM r WHERE rank <= {_Q208_K} ORDER BY rank
+"""
+
+
+@register("q208_priority_aging", oracle=_Q208_ORACLE)
+def q208_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy aged scheduling: per-tier top-k by the write-once static
+    key, eff recomputed in-row only on the 3k survivors, bounded
+    merge — equals the eager global recompute (the oracle)."""
+    from pyspark.sql.window import Window
+
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def _h(salt: str, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    f = ev.select(
+        F.col("event_id").alias("url_id"),
+        (F.col("event_id") % 3).alias("tier"),
+        _h("p|", 100000).alias("base_pri"),
+        _h("e|", 100).alias("enq_round"),
+        F.expr(
+            "CASE event_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 25 ELSE 60 END"
+        ).alias("slope"),
+    )
+    # the write-once static key: ordering within a tier is R-invariant
+    keyed = f.withColumn(
+        "static_key", F.col("base_pri") - F.col("slope") * F.col("enq_round")
+    )
+    wt = Window.partitionBy("tier").orderBy(F.col("static_key").desc(), "url_id")
+    survivors = keyed.withColumn("trn", F.row_number().over(wt)).where(
+        F.col("trn") <= _Q208_K
+    )
+    # eff computed only on <= 3k survivor rows, then one bounded sort
+    ranked = survivors.withColumn(
+        "eff_pri",
+        (
+            F.col("base_pri")
+            + F.col("slope") * (F.lit(_Q208_ROUND) - F.col("enq_round"))
+        ).cast("long"),
+    )
+    wg = Window.orderBy(F.col("eff_pri").desc(), "url_id")
+    return (
+        ranked.withColumn("rank", F.row_number().over(wg))
+        .where(F.col("rank") <= _Q208_K)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("url_id").cast("long").alias("url_id"),
+            F.col("tier").cast("long").alias("tier"),
+            F.col("base_pri").cast("long").alias("base_pri"),
+            F.col("enq_round").cast("long").alias("enq_round"),
+            F.col("eff_pri").cast("long").alias("eff_pri"),
+        )
+        .orderBy("rank")
+    )

@@ -4797,3 +4797,113 @@ def q193_patch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "patches", "window_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q207: hard-negative mining for contrastive (CLIP-style) training —
+# a good negative pair is an image that LOOKS like the anchor but
+# means something else: visually adjacent (pHash hamming in the
+# 11..24 "same composition, different content" band — strictly above
+# the ≤10 duplicate cut, which would poison training with false
+# negatives) with a DIFFERENT caption. Random negatives are trivially
+# easy for the model; banded-LSH adjacency is exactly the "hard" set.
+#
+# Scale shape: candidates come from the SAME 4×16-bit band machinery
+# as q61 (_neardup_pairs with the hamming cap lifted to 24) — one
+# band-key shuffle, bucket-capped against degenerate buckets, never
+# n². Captions join back against the bounded pair table; the
+# per-anchor argmin (hardest negative = min hamming, then min id) is
+# a window over pair-derived groups whose size the bucket cap bounds.
+# The reference has no training-pair concept at all.
+# ---------------------------------------------------------------------------
+
+Q207_IC_PATH = "/tmp/voz_spark_q207_imgcap"
+_Q207_HN_MIN = 11  # exclusive of the ≤10 duplicate band
+_Q207_HN_MAX = 24
+
+_Q207_ORACLE = f"""
+WITH p AS (
+  SELECT image_id, caption, phash FROM read_parquet('{Q207_IC_PATH}/*.parquet')
+),
+{_capped_pairs_sql()},
+h AS (
+  SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming FROM cand
+  WHERE bit_count(xor(ph_a, ph_b)) BETWEEN {_Q207_HN_MIN} AND {_Q207_HN_MAX}
+),
+sym AS (
+  SELECT id_a AS anchor, id_b AS neg, hamming FROM h
+  UNION ALL
+  SELECT id_b, id_a, hamming FROM h
+),
+j AS (
+  SELECT sym.anchor, sym.neg, sym.hamming
+  FROM sym
+  JOIN p pa ON pa.image_id = sym.anchor
+  JOIN p pb ON pb.image_id = sym.neg
+  WHERE pa.caption <> pb.caption
+),
+r AS (
+  SELECT anchor, neg, hamming,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY hamming, neg) AS rn,
+         COUNT(*) OVER (PARTITION BY anchor) AS n_candidates
+  FROM j
+)
+SELECT anchor,
+       neg AS hard_negative,
+       CAST(hamming AS INT) AS hamming,
+       CAST(n_candidates AS BIGINT) AS n_candidates
+FROM r WHERE rn = 1 ORDER BY anchor
+"""
+
+
+@register("q207_hard_negative_mining", oracle=_Q207_ORACLE)
+def q207_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor hardest negative: banded-LSH visual adjacency in the
+    11..24 hamming band, caption-different, argmin (hamming, id)."""
+    from pyspark.sql.window import Window
+
+    p = _materialized(
+        spark,
+        Q207_IC_PATH,
+        f"n={_N_IMAGES};cols=id,caption,phash;v1",
+        lambda: images_df(spark, _N_IMAGES).select("image_id", "caption", "phash"),
+    )
+    h = _neardup_pairs(p, hamming_max=_Q207_HN_MAX).where(
+        F.col("hamming") >= _Q207_HN_MIN
+    )
+    sym = h.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("neg"), "hamming"
+    ).unionByName(
+        h.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("neg"), "hamming")
+    )
+    caps = p.select("image_id", "caption")
+    j = (
+        sym.join(
+            caps.select(
+                F.col("image_id").alias("anchor"), F.col("caption").alias("cap_a")
+            ),
+            "anchor",
+        )
+        .join(
+            caps.select(
+                F.col("image_id").alias("neg"), F.col("caption").alias("cap_b")
+            ),
+            "neg",
+        )
+        .where(F.col("cap_a") != F.col("cap_b"))
+        .select("anchor", "neg", "hamming")
+    )
+    w = Window.partitionBy("anchor").orderBy("hamming", "neg")
+    wc = Window.partitionBy("anchor")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("neg").alias("hard_negative"),
+            F.col("hamming").cast("int").alias("hamming"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+        .orderBy("anchor")
+    )

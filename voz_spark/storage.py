@@ -495,3 +495,137 @@ def q93_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q206: columnar encoding advisor — frame-of-reference (FOR) bit-width
+# per block, measured under two physical layouts of the SAME rows:
+#   clustered — blocks follow ingestion order (adjacent l_orderkey
+#               ranges together, the natural arrival layout);
+#   scattered — blocks assigned by hash (what a careless repartition
+#               produces before the write).
+# A FOR-encoded block stores min(block) once and each value in
+# ceil(log2(max-min+1)) bits, so the block's bit-width IS the layout
+# quality signal: clustered blocks keep the sort-adjacent column
+# narrow (orderkeys within a block span ~block-size values), while
+# hash-scattering inflates every block's range to ~the full domain.
+# This is the measurement behind "sort before write" — at 100 TB the
+# resulting 2-5× parquet size difference is the dominant scan cost.
+#
+# Scale shape: one 4-way tagged union (layout × column) feeding ONE
+# partial-combining (layout, col, block) min/max/count aggregate; the
+# per-block bit math is in-row (length(bin(range)) — no log, engine-
+# portable); the final rollup has 4 keys. No sort, no window.
+# ---------------------------------------------------------------------------
+
+_Q206_BLOCK = 256  # clustered block: l_orderkey div 256 (8-bit in-block range)
+_Q206_SCATTER = 64  # scattered layout: md5 % 64 blocks
+
+_Q206_ORACLE = f"""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         l_orderkey // {_Q206_BLOCK} AS cl_block,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+              CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+           % {_Q206_SCATTER} AS sc_block
+  FROM lineitem
+),
+tagged AS (
+  SELECT 'clustered' AS layout, 'l_orderkey' AS col, cl_block AS block,
+         l_orderkey AS v FROM src
+  UNION ALL
+  SELECT 'clustered', 'l_partkey', cl_block, l_partkey FROM src
+  UNION ALL
+  SELECT 'scattered', 'l_orderkey', sc_block, l_orderkey FROM src
+  UNION ALL
+  SELECT 'scattered', 'l_partkey', sc_block, l_partkey FROM src
+),
+blocks AS (
+  SELECT layout, col, block, COUNT(*) AS n,
+         MAX(v) - MIN(v) AS vrange
+  FROM tagged GROUP BY 1, 2, 3
+),
+bw AS (
+  SELECT layout, col, n,
+         CASE WHEN vrange = 0 THEN 0
+              ELSE length(bin(vrange)) END AS bits
+  FROM blocks
+)
+SELECT layout, col,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(n * bits) AS BIGINT) AS enc_bits,
+       CAST(SUM(n) * 64 AS BIGINT) AS raw_bits,
+       CAST(1000 * SUM(n * bits) // (SUM(n) * 64) AS BIGINT) AS ratio_milli,
+       CAST(MAX(bits) AS BIGINT) AS max_block_bits
+FROM bw GROUP BY 1, 2 ORDER BY layout, col
+"""
+
+
+@register("q206_encoding_advisor", oracle=_Q206_ORACLE)
+def q206_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block FOR bit-widths under clustered vs hash-scattered
+    layouts — the sort-before-write size argument, measured."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.expr(f"l_orderkey div {_Q206_BLOCK}").alias("cl_block"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _Q206_SCATTER
+        ).alias("sc_block"),
+    )
+    parts = []
+    for layout, block_col in (("clustered", "cl_block"), ("scattered", "sc_block")):
+        for col in ("l_orderkey", "l_partkey"):
+            parts.append(
+                li.select(
+                    F.lit(layout).alias("layout"),
+                    F.lit(col).alias("col"),
+                    F.col(block_col).alias("block"),
+                    F.col(col).alias("v"),
+                )
+            )
+    tagged = parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(parts[3])
+    blocks = tagged.groupBy("layout", "col", "block").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("v") - F.min("v")).alias("vrange"),
+    )
+    bw = blocks.select(
+        "layout",
+        "col",
+        "n",
+        F.when(F.col("vrange") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("vrange"))))
+        .cast("long")
+        .alias("bits"),
+    )
+    return (
+        bw.groupBy("layout", "col")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.col("n") * F.col("bits")).cast("long").alias("enc_bits"),
+            (F.sum("n") * 64).cast("long").alias("raw_bits"),
+            F.expr("1000 * sum(n * bits) div (sum(n) * 64)")
+            .cast("long")
+            .alias("ratio_milli"),
+            F.max("bits").cast("long").alias("max_block_bits"),
+        )
+        .orderBy("layout", "col")
+    )
