@@ -5073,3 +5073,143 @@ def q208_priority_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q211: bloom-filter sizing sweep — the engine's seen-filter FPR knob
+# (config.bloom bits/key) priced empirically: every false positive in
+# the prefilter costs an exact anti-join probe row, so FPR × frontier
+# size is the knob's bill. This query builds the DECLARATIVE bloom
+# model (k salted md5 positions mod m — the portable twin of
+# bloom.py's numpy double-hash shards) over the seen set at two
+# sizings (8 bits/key k=4, 16 bits/key k=8), then measures on a
+# disjoint candidate stream: a candidate is a false positive iff ALL
+# k of its positions are set. Outputs measured FPR and the bit-array
+# fill factor per config.
+#
+# Scale shape: the set-bits table is one distinct over seen×k rows
+# (partial-combining); the membership check is one join on position
+# (uniform key) + a count==k group — never a per-row driver loop; m
+# derives from the measured seen count via a broadcast 1-row scalar.
+# The no-false-NEGATIVE contract (the correctness half) is pinned in
+# tests by running the same model over the seen set itself.
+# ---------------------------------------------------------------------------
+
+_Q211_CONFIGS = ((8, 4), (16, 8))  # (bits_per_key, k)
+
+
+def _q211_cfg_sql(bpk: int, k: int) -> str:
+    hashes = "\n    UNION ALL ".join(
+        f"SELECT u, CAST('0x' || substr(md5('b{i}|' || CAST(u AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) AS hv FROM {{src}}"
+        for i in range(k)
+    )
+    return f"""
+  pos_{bpk} AS (
+    SELECT u, hv % (SELECT n_seen * {bpk} FROM nn) AS pos
+    FROM ({hashes.format(src="seen")})
+  ),
+  bits_{bpk} AS (SELECT DISTINCT pos FROM pos_{bpk}),
+  cpos_{bpk} AS (
+    SELECT u, hv % (SELECT n_seen * {bpk} FROM nn) AS pos
+    FROM ({hashes.format(src="cand")})
+  ),
+  hits_{bpk} AS (
+    SELECT c.u, COUNT(*) AS nhit
+    FROM cpos_{bpk} c JOIN bits_{bpk} b USING (pos) GROUP BY 1
+  ),
+  fp_{bpk} AS (SELECT COUNT(*) AS n_fp FROM hits_{bpk} WHERE nhit = {k}),
+  fill_{bpk} AS (SELECT COUNT(*) AS n_set FROM bits_{bpk})"""
+
+
+_Q211_ORACLE = f"""
+WITH seen AS (SELECT event_id * 2 AS u FROM events),
+cand AS (SELECT event_id * 2 + 1 AS u FROM events),
+nn AS (SELECT COUNT(*) AS n_seen FROM seen),
+nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+{",".join(_q211_cfg_sql(bpk, k) for bpk, k in _Q211_CONFIGS)}
+SELECT * FROM (
+  SELECT CAST(8 AS INT) AS bits_per_key, CAST(4 AS INT) AS k,
+         CAST(n_seen AS BIGINT) AS n_seen,
+         CAST(n_seen * 8 AS BIGINT) AS n_bits,
+         CAST(n_set AS BIGINT) AS n_bits_set,
+         CAST(1000 * n_set // (n_seen * 8) AS BIGINT) AS fill_milli,
+         CAST(n_cand AS BIGINT) AS n_candidates,
+         CAST(n_fp AS BIGINT) AS n_false_positive,
+         CAST(1000000 * n_fp // n_cand AS BIGINT) AS fpr_micro
+  FROM nn CROSS JOIN nc CROSS JOIN fp_8 CROSS JOIN fill_8
+  UNION ALL
+  SELECT 16, 8, n_seen, n_seen * 16, n_set,
+         1000 * n_set // (n_seen * 16), n_cand, n_fp,
+         1000000 * n_fp // n_cand
+  FROM nn CROSS JOIN nc CROSS JOIN fp_16 CROSS JOIN fill_16
+) ORDER BY bits_per_key
+"""
+
+
+def _q211_positions(df: DataFrame, k: int, m_col) -> DataFrame:
+    """(u, pos) rows: k salted md5 positions mod m for each key."""
+    salts = F.array(*[F.lit(f"b{i}|") for i in range(k)])
+    return df.select("u", F.explode(salts).alias("salt"), m_col.alias("m")).select(
+        "u",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("salt"), F.col("u").cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("m")
+        ).alias("pos"),
+    )
+
+
+@register("q211_bloom_sizing_sweep", oracle=_Q211_ORACLE)
+def q211_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative bloom model at two sizings over a seen set +
+    disjoint candidate stream: measured FPR and fill factor."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    seen = ev.select((F.col("event_id") * 2).alias("u"))
+    cand = ev.select((F.col("event_id") * 2 + 1).alias("u"))
+    nn = seen.groupBy().agg(F.count(F.lit(1)).alias("n_seen"))
+    nc = cand.groupBy().agg(F.count(F.lit(1)).alias("n_cand"))
+
+    out = []
+    for bpk, k in _Q211_CONFIGS:
+        s = seen.crossJoin(F.broadcast(nn))
+        c = cand.crossJoin(F.broadcast(nn))
+        m = (F.col("n_seen") * bpk).cast("long")
+        bits = _q211_positions(s, k, m).select("pos").distinct()
+        hits = (
+            _q211_positions(c, k, m)
+            .join(bits, "pos")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("nhit"))
+            .where(F.col("nhit") == k)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_fp"))
+        )
+        fill = bits.groupBy().agg(F.count(F.lit(1)).alias("n_set"))
+        out.append(
+            F.broadcast(nn)
+            .crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(fill))
+            .select(
+                F.lit(bpk).cast("int").alias("bits_per_key"),
+                F.lit(k).cast("int").alias("k"),
+                F.col("n_seen").cast("long").alias("n_seen"),
+                (F.col("n_seen") * bpk).cast("long").alias("n_bits"),
+                F.col("n_set").cast("long").alias("n_bits_set"),
+                F.expr(f"1000 * n_set div (n_seen * {bpk})")
+                .cast("long")
+                .alias("fill_milli"),
+                F.col("n_cand").cast("long").alias("n_candidates"),
+                F.col("n_fp").cast("long").alias("n_false_positive"),
+                F.expr("1000000 * n_fp div n_cand").cast("long").alias("fpr_micro"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("bits_per_key")

@@ -1771,3 +1771,149 @@ def q200_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_items").desc(), "host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q209: join-cardinality estimation from MCV statistics — the number
+# a planner needs BEFORE running a join (broadcast vs shuffle, veto a
+# runaway). Exact |A join B| = sum_k dA(k)*dB(k) costs a per-key pass;
+# estimators run on O(1) statistics:
+#   est_basic — the textbook n_A*n_B / max(ndv_A, ndv_B) (uniform
+#               degrees + containment), most engines' default;
+#   est_mcv   — Postgres-style most-common-values: the top-10 keys
+#               per side (a design constant) join EXACTLY, the
+#               residual mass falls back to the uniform formula.
+# The fixture key is planted Zipf (5 hot keys own a third of the
+# rows), where the uniform assumption under-prices the join ~20x and
+# MCV stats recover it — the error columns are the audit, pinned in
+# tests. All arithmetic is integer (div), mirrored in the oracle.
+#
+# Scale shape: per-key degree aggregates (one shuffle each); the
+# exact join runs on the DEGREE tables (one row per key, never raw
+# fan-out — the audit half); MCV extraction is a top-10 window on
+# the degree table; the estimator math is crossJoins of broadcast
+# 1-row/10-row aggregates.
+# ---------------------------------------------------------------------------
+
+_Q209_KEY = "CASE WHEN event_id % 3 = 0 THEN event_id % 5 ELSE 1000 + (event_id % 797) END"
+
+_Q209_ORACLE = f"""
+WITH f AS (SELECT {_Q209_KEY} AS k, event_type FROM events),
+a AS (SELECT k, COUNT(*) AS d FROM f GROUP BY 1),
+b AS (
+  SELECT k, COUNT(*) AS d FROM f
+  WHERE event_type IN ('click', 'view') GROUP BY 1
+),
+ex AS (SELECT SUM(a.d * b.d) AS exact_n FROM a JOIN b USING (k)),
+sa AS (SELECT SUM(d) AS n_a, COUNT(*) AS ndv_a FROM a),
+sb AS (SELECT SUM(d) AS n_b, COUNT(*) AS ndv_b FROM b),
+ma AS (
+  SELECT k, d FROM (
+    SELECT k, d, ROW_NUMBER() OVER (ORDER BY d DESC, k) AS rn FROM a
+  ) WHERE rn <= 10
+),
+mb AS (
+  SELECT k, d FROM (
+    SELECT k, d, ROW_NUMBER() OVER (ORDER BY d DESC, k) AS rn FROM b
+  ) WHERE rn <= 10
+),
+com AS (SELECT ma.k, ma.d AS da, mb.d AS db FROM ma JOIN mb USING (k)),
+cs AS (
+  SELECT COALESCE(SUM(da * db), 0) AS mcv_n,
+         COALESCE(SUM(da), 0) AS sa_m,
+         COALESCE(SUM(db), 0) AS sb_m,
+         COUNT(*) AS n_com
+  FROM com
+),
+mcv AS (
+  SELECT mcv_n + (n_a - sa_m) * (n_b - sb_m)
+                 // GREATEST(ndv_a - n_com, ndv_b - n_com) AS est_mcv
+  FROM cs CROSS JOIN sa CROSS JOIN sb
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(ndv_a AS BIGINT) AS ndv_a,
+       CAST(ndv_b AS BIGINT) AS ndv_b,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(n_a * n_b // GREATEST(ndv_a, ndv_b) AS BIGINT) AS est_basic,
+       CAST(est_mcv AS BIGINT) AS est_mcv,
+       CAST(1000 * abs(n_a * n_b // GREATEST(ndv_a, ndv_b) - exact_n)
+            // exact_n AS BIGINT) AS err_basic_milli,
+       CAST(1000 * abs(est_mcv - exact_n) // exact_n AS BIGINT)
+         AS err_mcv_milli
+FROM sa CROSS JOIN sb CROSS JOIN ex CROSS JOIN mcv
+"""
+
+
+@register("q209_join_cardinality_estimate", oracle=_Q209_ORACLE)
+def q209_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join size vs textbook ndv estimate vs MCV estimate on a
+    planted-Zipf key, with integer-milli errors."""
+    ev = T(spark, sf_dir, "events").select(
+        F.expr(_Q209_KEY).alias("k"), "event_type"
+    )
+    a = ev.groupBy("k").agg(F.count(F.lit(1)).alias("d"))
+    b = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ex = (
+        a.join(b.select("k", F.col("d").alias("db")), "k")
+        .groupBy()
+        .agg(F.sum(F.col("d") * F.col("db")).alias("exact_n"))
+    )
+    sa = a.groupBy().agg(F.sum("d").alias("n_a"), F.count(F.lit(1)).alias("ndv_a"))
+    sb = b.groupBy().agg(F.sum("d").alias("n_b"), F.count(F.lit(1)).alias("ndv_b"))
+
+    def _mcv(side: DataFrame) -> DataFrame:
+        # TakeOrderedAndProject: per-partition top-10 + driver merge —
+        # scale-safe even at 10^8 distinct keys (never a global window)
+        return side.orderBy(F.col("d").desc(), "k").limit(10).select("k", "d")
+
+    com = _mcv(a).join(
+        _mcv(b).select("k", F.col("d").alias("db2")), "k"
+    )
+    cs = com.groupBy().agg(
+        F.coalesce(F.sum(F.col("d") * F.col("db2")), F.lit(0)).alias("mcv_n"),
+        F.coalesce(F.sum("d"), F.lit(0)).alias("sa_m"),
+        F.coalesce(F.sum("db2"), F.lit(0)).alias("sb_m"),
+        F.count(F.lit(1)).alias("n_com"),
+    )
+    mcv = (
+        F.broadcast(cs)
+        .crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            F.expr(
+                "mcv_n + (n_a - sa_m) * (n_b - sb_m)"
+                " div GREATEST(ndv_a - n_com, ndv_b - n_com)"
+            ).alias("est_mcv")
+        )
+    )
+    return (
+        F.broadcast(sa)
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(mcv))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("ndv_a").cast("long").alias("ndv_a"),
+            F.col("ndv_b").cast("long").alias("ndv_b"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.expr("n_a * n_b div GREATEST(ndv_a, ndv_b)")
+            .cast("long")
+            .alias("est_basic"),
+            F.col("est_mcv").cast("long").alias("est_mcv"),
+            F.expr(
+                "1000 * abs(n_a * n_b div GREATEST(ndv_a, ndv_b) - exact_n)"
+                " div exact_n"
+            )
+            .cast("long")
+            .alias("err_basic_milli"),
+            F.expr("1000 * abs(est_mcv - exact_n) div exact_n")
+            .cast("long")
+            .alias("err_mcv_milli"),
+        )
+    )

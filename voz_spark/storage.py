@@ -629,3 +629,133 @@ def q206_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "col")
     )
+
+
+# ---------------------------------------------------------------------------
+# q210: time-travel reads from a commit log — MVCC the lakehouse way:
+# the table IS an append-only log of (key, commit_seq, op, payload);
+# any snapshot is "latest op per key with seq <= T, drop deletes".
+# Reading two snapshots and diffing them answers the operational
+# question every 100 TB deployment eventually asks ("what changed
+# between last week's corpus and today's?") WITHOUT having stored two
+# copies. q93 is the single-merge write path and q116 diffs two
+# materialized tables; this reconstructs arbitrarily many versions
+# from ONE log.
+#
+# Scale shape: one log scan; each snapshot is a max_by(struct) hash
+# aggregate on the uniform key (seq is a total order, both engines
+# pick the same survivor); the diff is a key-partitioned full-outer
+# join of two already-aggregated sides. Nothing is rewritten to move
+# T — that is the point.
+#
+# Log fixture (from documents, deterministic): seq 1 inserts all,
+# seq 2 updates doc_id % 7 == 1, seq 3 deletes doc_id % 11 == 2,
+# seq 4 updates doc_id % 5 == 0. Diff is snapshot@2 vs snapshot@4.
+# ---------------------------------------------------------------------------
+
+_Q210_LOG = """
+  SELECT doc_id, 1 AS seq, 'upsert' AS op, md5(text) AS content FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'upsert', md5('v2:' || text) FROM documents WHERE doc_id % 7 = 1
+  UNION ALL
+  SELECT doc_id, 3, 'delete', NULL FROM documents WHERE doc_id % 11 = 2
+  UNION ALL
+  SELECT doc_id, 4, 'upsert', md5('v4:' || text) FROM documents WHERE doc_id % 5 = 0
+"""
+
+_Q210_ORACLE = f"""
+WITH log AS ({_Q210_LOG}),
+s2 AS (
+  SELECT doc_id, max_by(op, seq) AS op, max_by(content, seq) AS content
+  FROM log WHERE seq <= 2 GROUP BY 1
+),
+v2 AS (SELECT doc_id, content FROM s2 WHERE op <> 'delete'),
+s4 AS (
+  SELECT doc_id, max_by(op, seq) AS op, max_by(content, seq) AS content
+  FROM log WHERE seq <= 4 GROUP BY 1
+),
+v4 AS (SELECT doc_id, content FROM s4 WHERE op <> 'delete'),
+d AS (
+  SELECT COALESCE(v2.doc_id, v4.doc_id) AS doc_id,
+         v2.content AS content_t2,
+         v4.content AS content_t4,
+         CASE WHEN v2.doc_id IS NULL THEN 'added'
+              WHEN v4.doc_id IS NULL THEN 'removed'
+              WHEN v2.content <> v4.content THEN 'changed'
+              ELSE 'same' END AS status
+  FROM v2 FULL OUTER JOIN v4 ON v2.doc_id = v4.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, status,
+       COALESCE(content_t2, '-') AS content_t2,
+       COALESCE(content_t4, '-') AS content_t4
+FROM d WHERE status <> 'same' ORDER BY doc_id
+"""
+
+
+@register("q210_time_travel_diff", oracle=_Q210_ORACLE)
+def q210_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct snapshots T=2 and T=4 from the commit log (max_by
+    per key) and report added/removed/changed keys."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    log = (
+        d.select(
+            "doc_id",
+            F.lit(1).alias("seq"),
+            F.lit("upsert").alias("op"),
+            F.md5("text").alias("content"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 7 == 1).select(
+                "doc_id",
+                F.lit(2).alias("seq"),
+                F.lit("upsert").alias("op"),
+                F.md5(F.concat(F.lit("v2:"), F.col("text"))).alias("content"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 2).select(
+                "doc_id",
+                F.lit(3).alias("seq"),
+                F.lit("delete").alias("op"),
+                F.lit(None).cast("string").alias("content"),
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "doc_id",
+                F.lit(4).alias("seq"),
+                F.lit("upsert").alias("op"),
+                F.md5(F.concat(F.lit("v4:"), F.col("text"))).alias("content"),
+            )
+        )
+    )
+
+    def snapshot(t: int) -> DataFrame:
+        return (
+            log.where(F.col("seq") <= t)
+            .groupBy("doc_id")
+            .agg(
+                F.expr("max_by(op, seq)").alias("op"),
+                F.expr("max_by(content, seq)").alias("content"),
+            )
+            .where(F.col("op") != "delete")
+            .select("doc_id", "content")
+        )
+
+    v2 = snapshot(2).select("doc_id", F.col("content").alias("content_t2"))
+    v4 = snapshot(4).select("doc_id", F.col("content").alias("content_t4"))
+    return (
+        v2.join(v4, "doc_id", "full_outer")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.when(F.col("content_t2").isNull(), F.lit("added"))
+            .when(F.col("content_t4").isNull(), F.lit("removed"))
+            .when(F.col("content_t2") != F.col("content_t4"), F.lit("changed"))
+            .otherwise(F.lit("same"))
+            .alias("status"),
+            F.coalesce("content_t2", F.lit("-")).alias("content_t2"),
+            F.coalesce("content_t4", F.lit("-")).alias("content_t4"),
+        )
+        .where(F.col("status") != "same")
+        .orderBy("doc_id")
+    )
