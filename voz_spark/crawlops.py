@@ -5213,3 +5213,155 @@ def q211_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("bits_per_key")
+
+
+# ---------------------------------------------------------------------------
+# q213: max-min fair budget allocation (water-filling) — q102 splits
+# the round budget PROPORTIONALLY to demand, which lets three hot
+# hosts swallow it; the max-min fair allocation instead raises one
+# water level L: every host gets min(demand, L), with L the largest
+# level the budget funds, and the integer remainder going one unit
+# each to the lowest-numbered still-capped hosts (deterministic).
+# This is the allocation that maximizes the minimum service — no host
+# can gain without a poorer host losing.
+#
+# L has a closed form over the demand-sorted host table: with hosts
+# sorted ascending by demand (prefix sums S_j), the largest j* where
+# S_j + (n-j)*d_j <= B leaves L = (B - S_j*) div (n - j*). Everything
+# is one window pass over the POLITENESS-BOUNDED host table (the
+# frontier never enters the window) and pure integer math, mirrored
+# exactly in the oracle. Σ alloc == B exactly — pinned.
+#
+# Scale shape: one partial-combining host rollup over the log; the
+# sort/window/cutoff run on the bounded per-host table only (q169's
+# discipline); B and L broadcast as 1-row scalars.
+# ---------------------------------------------------------------------------
+
+_Q213_HOST = "CASE WHEN event_id % 10 < 4 THEN event_id % 3 ELSE 3 + event_id % 38 END"
+
+_Q213_ORACLE = f"""
+WITH f AS (SELECT {_Q213_HOST} AS host FROM events),
+t AS (SELECT host, COUNT(*) AS demand FROM f GROUP BY 1),
+s AS (SELECT COUNT(*) AS n, SUM(demand) // 3 AS budget FROM t),
+o AS (
+  SELECT host, demand,
+         ROW_NUMBER() OVER (ORDER BY demand, host) AS j,
+         SUM(demand) OVER (ORDER BY demand, host
+                           ROWS UNBOUNDED PRECEDING) AS sj
+  FROM t
+),
+jstar AS (
+  SELECT COALESCE(MAX(j), 0) AS js FROM o CROSS JOIN s
+  WHERE sj + (n - j) * demand <= budget
+),
+lvl AS (
+  SELECT CASE WHEN js = 0 THEN budget // n
+              ELSE (budget - (SELECT sj FROM o WHERE j = js))
+                   // (n - js) END AS level,
+         CASE WHEN js = 0 THEN 0
+              ELSE (SELECT sj FROM o WHERE j = js) END AS s_base,
+         js
+  FROM jstar CROSS JOIN s
+),
+alloc0 AS (
+  SELECT o.host, o.demand,
+         lvl.level,
+         LEAST(o.demand, lvl.level) AS base_alloc,
+         o.demand > lvl.level AS capped
+  FROM o CROSS JOIN lvl
+),
+rem AS (
+  SELECT budget - SUM(base_alloc) AS r FROM alloc0 CROSS JOIN s
+  GROUP BY budget
+),
+ranked AS (
+  SELECT host, demand, level, base_alloc, capped,
+         CASE WHEN capped THEN ROW_NUMBER() OVER (
+           PARTITION BY capped ORDER BY host) ELSE NULL END AS crank
+  FROM alloc0
+)
+SELECT CAST(host AS BIGINT) AS host,
+       CAST(demand AS BIGINT) AS demand,
+       CAST(level AS BIGINT) AS level,
+       CAST(base_alloc + CASE WHEN capped AND crank <= r THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc,
+       CAST(CASE WHEN capped THEN 1 ELSE 0 END AS INT) AS capped
+FROM ranked CROSS JOIN rem
+ORDER BY host
+"""
+
+
+@register("q213_waterfill_budget", oracle=_Q213_ORACLE)
+def q213_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) fetch-budget allocation over the
+    bounded host table: closed-form level, exact integer remainder."""
+    from pyspark.sql.window import Window
+
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    t = (
+        ev.select(F.expr(_Q213_HOST).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("demand"))
+    )
+    s = t.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.expr("sum(demand) div 3").alias("budget")
+    )
+    wo = Window.orderBy("demand", "host")
+    o = t.withColumn("j", F.row_number().over(wo)).withColumn(
+        "sj", F.sum("demand").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    oc = o.crossJoin(F.broadcast(s))
+    jstar = (
+        oc.where(F.col("sj") + (F.col("n") - F.col("j")) * F.col("demand") <= F.col("budget"))
+        .groupBy()
+        .agg(F.coalesce(F.max("j"), F.lit(0)).alias("js"))
+    )
+    sbase = (
+        o.join(F.broadcast(jstar), F.col("j") == F.col("js"), "inner")
+        .select(F.col("sj").alias("s_at_js"))
+    )
+    lvl = (
+        F.broadcast(jstar)
+        .crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(sbase.groupBy().agg(F.coalesce(F.max("s_at_js"), F.lit(0)).alias("s_base"))))
+        .select(
+            F.when(F.col("js") == 0, F.expr("budget div n"))
+            .otherwise(F.expr("(budget - s_base) div (n - js)"))
+            .alias("level")
+        )
+    )
+    alloc0 = o.crossJoin(F.broadcast(lvl)).select(
+        "host",
+        "demand",
+        "level",
+        F.least("demand", "level").alias("base_alloc"),
+        (F.col("demand") > F.col("level")).alias("capped"),
+    )
+    rem = (
+        alloc0.crossJoin(F.broadcast(s))
+        .groupBy("budget")
+        .agg((F.first("budget") - F.sum("base_alloc")).alias("r"))
+        .select("r")
+    )
+    wc = Window.partitionBy("capped").orderBy("host")
+    ranked = alloc0.withColumn(
+        "crank", F.when(F.col("capped"), F.row_number().over(wc)).otherwise(F.lit(None))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(rem))
+        .select(
+            F.col("host").cast("long").alias("host"),
+            F.col("demand").cast("long").alias("demand"),
+            F.col("level").cast("long").alias("level"),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("capped") & (F.col("crank") <= F.col("r")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+            F.when(F.col("capped"), 1).otherwise(0).cast("int").alias("capped"),
+        )
+        .orderBy("host")
+    )

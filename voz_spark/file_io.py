@@ -326,3 +326,110 @@ def q39_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="voz-q39-") + "/orc"
     write_orc(agg, path)
     return read_orc(spark, path, _Q39_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q214: schema-evolution reconciliation — a long-lived crawl corpus
+# is written by MANY generations of the pipeline, and the schema
+# grows: generation 1 shipped (doc_id, text_len), generation 2 added
+# lang, generation 3 added quality. Reading them as ONE table must
+# not require rewriting 100 TB of old files: the union-by-name read
+# fills absent columns with NULL, and this query audits exactly what
+# that fill did — per generation, row counts and per-added-column
+# null counts — the evidence a schema-migration review wants.
+#
+# Scale shape: each generation reads with its own schema (no casts of
+# live data); unionByName(allowMissingColumns) is a zero-shuffle plan
+# node; the audit is one partial-combining rollup on the bounded
+# generation key. Oracle: DuckDB's read_parquet(union_by_name=true)
+# over the same files — two engines' schema-merge semantics agreeing
+# IS the gate. Fixture is synthesized write-once (sf-independent).
+# ---------------------------------------------------------------------------
+
+Q214_GEN_DIR = "/tmp/voz_spark_q214_generations"
+_Q214_TAG = "q214:v1:3gens:n1000each"
+
+
+def _q214_fixture(spark: SparkSession) -> str:
+    import os
+
+    marker = os.path.join(Q214_GEN_DIR, "_VOZ_FIXTURE")
+    try:
+        with open(marker) as fh:
+            have = fh.read()
+    except OSError:
+        have = None
+    if have != _Q214_TAG:
+        langs = "CASE ABS(id) % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' ELSE 'zh' END"
+        g1 = spark.range(0, 1000).selectExpr(
+            "id AS doc_id",
+            "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            " % 500 AS text_len",
+        )
+        g2 = spark.range(1000, 2000).selectExpr(
+            "id AS doc_id",
+            "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            " % 500 AS text_len",
+            f"{langs} AS lang",
+        )
+        g3 = spark.range(2000, 3000).selectExpr(
+            "id AS doc_id",
+            "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            " % 500 AS text_len",
+            f"{langs} AS lang",
+            "CAST(id % 100 AS BIGINT) AS quality",
+        )
+        for name, df in (("gen=1", g1), ("gen=2", g2), ("gen=3", g3)):
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(Q214_GEN_DIR, name)
+            )
+        with open(marker, "w") as fh:
+            fh.write(_Q214_TAG)
+    return Q214_GEN_DIR
+
+
+_Q214_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, text_len, lang, quality,
+         CAST(doc_id // 1000 + 1 AS BIGINT) AS gen
+  FROM read_parquet('{Q214_GEN_DIR}/gen=*/*.parquet', union_by_name=true)
+)
+SELECT gen,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_null,
+       CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_null,
+       CAST(SUM(text_len) AS BIGINT) AS sum_text_len,
+       COALESCE(MIN(lang), '-') AS min_lang
+FROM u GROUP BY gen ORDER BY gen
+"""
+
+
+@register("q214_schema_evolution_audit", oracle=_Q214_ORACLE)
+def q214_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-by-name read across three schema generations; per-gen
+    null-fill audit of the added columns."""
+    base = _q214_fixture(spark)
+    g1 = spark.read.parquet(f"{base}/gen=1")
+    g2 = spark.read.parquet(f"{base}/gen=2")
+    g3 = spark.read.parquet(f"{base}/gen=3")
+    u = g1.unionByName(g2, allowMissingColumns=True).unionByName(
+        g3, allowMissingColumns=True
+    )
+    return (
+        u.withColumn("gen", (F.expr("doc_id div 1000") + 1).cast("long"))
+        .groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lang_null"),
+            F.sum(F.when(F.col("quality").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_null"),
+            F.sum("text_len").cast("long").alias("sum_text_len"),
+            F.coalesce(F.min("lang"), F.lit("-")).alias("min_lang"),
+        )
+        .orderBy("gen")
+    )

@@ -806,3 +806,174 @@ def q188_stream_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# q212: watermark late-data audit — append-mode windowed aggregation
+# is where streaming results can silently diverge from batch: a row
+# arriving after the watermark passed its window's end is DROPPED,
+# and nothing in the output says so. This query runs a 60s tumbling
+# count with a 60s watermark over a stream with PLANTED lateness
+# (every event_id % 17 == 5 row carries an event time 2400s older than
+# its arrival slot) and an end-of-stream sentinel that advances the
+# watermark past every real window so append mode finalizes them all.
+#
+# The oracle REPLAYS Spark's micro-batch watermark protocol in SQL —
+# the fixture stores each row's batch_id (file == micro-batch, the
+# q178 ordered-file recipe). The protocol was MEASURED against this
+# exact engine (model fit: lag-1 misses 151 windows, lag-2 fits
+# bit-exactly): the watermark applied to batch f's input is
+# max(event time over batches <= f-2) - 60s — the "global watermark
+# lags one extra batch" behavior (stats from f-1 fold in when
+# planning f+1). A trailing no-data batch DOES run when the final
+# watermark advance has pending evictions; the fixture carries TWO
+# far-future sentinel files so that, under the one-batch stats lag,
+# the advance is in force while the last real windows evict.
+# A row is dropped iff its window end <= the (lagged) watermark.
+# Streaming output == SQL replay is the gate; the test separately
+# proves drops actually happened and every on-time row survived. The
+# fixture is synthesized (deterministic 20k arrivals at 0.7s
+# spacing), sf-independent so the oracle's static path is
+# unambiguous.
+#
+# Scale shape: state is one count per open window (the watermark
+# bounds the open set); the late flag is in-row; nothing driver-side.
+# ---------------------------------------------------------------------------
+
+Q212_STREAM_DIR = "/tmp/voz_spark_q212_latestream"
+_Q212_N = 20000
+_Q212_BASE_US = 1_700_000_000_000_000
+_Q212_SPACING_US = 700_000
+_Q212_FILES = 8
+_Q212_WIN_US = 60_000_000
+_Q212_DELAY_US = 60_000_000
+_Q212_LATE_US = 2_400_000_000
+_Q212_SENTINEL_US = _Q212_BASE_US + _Q212_N * _Q212_SPACING_US + 36_000_000_000
+
+
+def _q212_source_dir() -> str:
+    """Write-once ordered-file stream fixture with planted lateness:
+    20k synthetic arrivals at 0.7s spacing split into 8 arrival-
+    contiguous files plus a far-future sentinel file; each row carries
+    its batch_id, arrival micros, and (possibly back-shifted) event
+    time."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Q212_STREAM_DIR
+    marker = os.path.join(out, "_VOZ_FIXTURE")
+    want = f"v2:n={_Q212_N};files={_Q212_FILES};late=2400s;sentinels=2"
+    try:
+        with open(marker) as fh:
+            if fh.read() == want:
+                return out
+    except OSError:
+        pass
+    os.makedirs(out, exist_ok=True)
+    ids = np.arange(_Q212_N, dtype=np.int64)
+    arr_us = _Q212_BASE_US + ids * _Q212_SPACING_US
+    late = ids % 17 == 5
+    event_us = arr_us - late.astype(np.int64) * _Q212_LATE_US
+    bounds = [_Q212_N * k // _Q212_FILES for k in range(_Q212_FILES + 1)]
+
+    def _write(k, a_ids, a_arr, a_ev):
+        tbl = pa.table(
+            {
+                "batch_id": pa.array(np.full(len(a_ids), k, dtype=np.int64)),
+                "event_id": pa.array(a_ids, pa.int64()),
+                "arr_us": pa.array(a_arr, pa.int64()),
+                "event_ts": pa.array(a_ev, pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+        p = os.path.join(out, f"{k:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    for k in range(_Q212_FILES):
+        s = slice(bounds[k], bounds[k + 1])
+        _write(k, ids[s], arr_us[s], event_us[s])
+    for j in range(2):  # two sentinels: advance, then let it apply
+        sent = np.array([_Q212_SENTINEL_US + j * _Q212_WIN_US], dtype=np.int64)
+        _write(_Q212_FILES + j, np.array([-1 - j], dtype=np.int64), sent, sent)
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return out
+
+
+_Q212_ORACLE = f"""
+WITH r AS (
+  SELECT batch_id, event_id, epoch_us(event_ts) AS event_us, arr_us
+  FROM read_parquet('{Q212_STREAM_DIR}/[0-9]*.parquet')
+),
+bmax AS (SELECT batch_id, MAX(event_us) AS bm FROM r GROUP BY 1),
+wm AS (
+  SELECT batch_id,
+         MAX(bm) OVER (ORDER BY batch_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - {_Q212_DELAY_US} AS wm_us
+  FROM bmax
+),
+acc AS (
+  SELECT r.event_id, r.arr_us, r.event_us,
+         (r.event_us // {_Q212_WIN_US}) * {_Q212_WIN_US} AS win_us
+  FROM r JOIN wm USING (batch_id)
+  WHERE r.event_id >= 0
+    AND (wm.wm_us IS NULL
+         OR (r.event_us // {_Q212_WIN_US}) * {_Q212_WIN_US} + {_Q212_WIN_US}
+            > wm.wm_us)
+)
+SELECT CAST(win_us AS BIGINT) AS win_us,
+       CAST(COUNT(*) AS BIGINT) AS n_accepted,
+       CAST(SUM(CASE WHEN event_us < arr_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_accepted
+FROM acc GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("q212_stream_late_audit", oracle=_Q212_ORACLE)
+def q212_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling counts under a 60s watermark over planted
+    late arrivals — equal to the SQL replay of the per-micro-batch
+    watermark/drop protocol."""
+    src = _q212_source_dir()
+    # watermarks require TIMESTAMP (not NTZ); the session pins UTC, so
+    # the fixture's naive micros read as the same instants in both
+    # engines (duckdb epoch_us == spark unix_micros == raw micros)
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("arr_us", LongType()),
+            StructField("event_ts", TimestampType()),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # NOTE: no pre-aggregation filter on the sentinels — a
+    # deterministic filter gets PUSHED DOWN into the file scan, so
+    # the sentinel rows would never reach the EventTimeWatermark node
+    # and the watermark would never advance (measured: batches read 0
+    # rows). The sentinels' own far-future windows never finalize, so
+    # append mode excludes them from the sink without any filter.
+    agg = (
+        ev.withWatermark("event_ts", "60 seconds")
+        .groupBy(F.window("event_ts", "60 seconds").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_accepted"),
+            F.sum(
+                F.when(
+                    F.unix_micros(F.col("event_ts")) < F.col("arr_us"), 1
+                ).otherwise(0)
+            ).alias("n_late_accepted"),
+        )
+    )
+    sink = run_to_memory(agg, "q212_sink", "append", spark)
+    return sink.select(
+        F.unix_micros(F.col("win.start")).cast("long").alias("win_us"),
+        F.col("n_accepted").cast("long").alias("n_accepted"),
+        F.col("n_late_accepted").cast("long").alias("n_late_accepted"),
+    ).orderBy("win_us")
