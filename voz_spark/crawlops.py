@@ -4905,19 +4905,25 @@ def q203_edge_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("src") != F.col("dst"))
     )
+    # both strategies via one in-row explode — a union would re-scan
+    # and re-derive the edge set per branch (4 scans total with the
+    # incidence union below; this shape needs 2)
     sh = e.select(
-        F.lit("1d").alias("strategy"),
         "src",
         "dst",
-        (F.col("src") % _Q203_SHARDS).alias("shard"),
-    ).unionByName(
-        e.select(
-            F.lit("2d").alias("strategy"),
-            "src",
-            "dst",
-            ((F.col("src") % 4) * 4 + (F.col("dst") % 4)).alias("shard"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1d").alias("strategy"),
+                    (F.col("src") % _Q203_SHARDS).alias("shard"),
+                ),
+                F.struct(
+                    F.lit("2d").alias("strategy"),
+                    ((F.col("src") % 4) * 4 + (F.col("dst") % 4)).alias("shard"),
+                ),
+            )
+        ).alias("t"),
+    ).select("src", "dst", "t.strategy", "t.shard")
     loads = sh.groupBy("strategy", "shard").agg(F.count(F.lit(1)).alias("n"))
     lr = loads.groupBy("strategy").agg(
         F.count(F.lit(1)).alias("n_shards_used"),
@@ -4925,8 +4931,9 @@ def q203_edge_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_edges"),
     )
     inc = (
-        sh.select("strategy", F.col("src").alias("v"), "shard")
-        .unionByName(sh.select("strategy", F.col("dst").alias("v"), "shard"))
+        sh.select(
+            "strategy", "shard", F.explode(F.array("src", "dst")).alias("v")
+        )
         .distinct()
     )
     ir = inc.groupBy("strategy").agg(
@@ -5182,7 +5189,10 @@ def q211_bloom_sizing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = seen.crossJoin(F.broadcast(nn))
         c = cand.crossJoin(F.broadcast(nn))
         m = (F.col("n_seen") * bpk).cast("long")
-        bits = _q211_positions(s, k, m).select("pos").distinct()
+        # the built filter is referenced twice (membership join + fill
+        # count) — persist it, exactly as the production filter IS
+        # materialized state (the q25/q81 double-reference lesson)
+        bits = _q211_positions(s, k, m).select("pos").distinct().persist()
         hits = (
             _q211_positions(c, k, m)
             .join(bits, "pos")

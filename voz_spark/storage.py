@@ -590,18 +590,39 @@ def q206_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _Q206_SCATTER
         ).alias("sc_block"),
     )
-    parts = []
-    for layout, block_col in (("clustered", "cl_block"), ("scattered", "sc_block")):
-        for col in ("l_orderkey", "l_partkey"):
-            parts.append(
-                li.select(
-                    F.lit(layout).alias("layout"),
-                    F.lit(col).alias("col"),
-                    F.col(block_col).alias("block"),
-                    F.col(col).alias("v"),
-                )
+    # ONE scan: the 4 (layout, col) branches are an in-row explode of
+    # a struct array, not a 4-way union that would re-read the table
+    # 4x (plan-asserted: a single parquet scan)
+    tagged = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("clustered").alias("layout"),
+                    F.lit("l_orderkey").alias("col"),
+                    F.col("cl_block").alias("block"),
+                    F.col("l_orderkey").alias("v"),
+                ),
+                F.struct(
+                    F.lit("clustered").alias("layout"),
+                    F.lit("l_partkey").alias("col"),
+                    F.col("cl_block").alias("block"),
+                    F.col("l_partkey").alias("v"),
+                ),
+                F.struct(
+                    F.lit("scattered").alias("layout"),
+                    F.lit("l_orderkey").alias("col"),
+                    F.col("sc_block").alias("block"),
+                    F.col("l_orderkey").alias("v"),
+                ),
+                F.struct(
+                    F.lit("scattered").alias("layout"),
+                    F.lit("l_partkey").alias("col"),
+                    F.col("sc_block").alias("block"),
+                    F.col("l_partkey").alias("v"),
+                ),
             )
-    tagged = parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(parts[3])
+        ).alias("t")
+    ).select("t.layout", "t.col", "t.block", "t.v")
     blocks = tagged.groupBy("layout", "col", "block").agg(
         F.count(F.lit(1)).alias("n"),
         (F.max("v") - F.min("v")).alias("vrange"),
