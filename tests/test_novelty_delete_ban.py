@@ -1,0 +1,111 @@
+"""Semantics tests for q215 (novelty curve), q216 (delete-touch
+plan), q217 (redirect ban closure)."""
+
+import hashlib
+from collections import defaultdict
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_q215_novelty_vs_python(spark, sf_dir):
+    """Replay trigram shingling and first-seen rounds in Python;
+    round 0 is 100% novel by definition; later rounds are strictly
+    below 100% (the corpus repeats itself)."""
+    from voz_spark.corpus_ops import q215_novelty_curve
+    from voz_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    pres = defaultdict(set)  # round -> shingles
+    n_docs = defaultdict(int)
+    for r in docs:
+        rd = r["doc_id"] % 6
+        n_docs[rd] += 1
+        tk = r["text"].split(" ")
+        for i in range(len(tk) - 2):
+            pres[rd].add(" ".join(tk[i : i + 3]))
+    first = {}
+    for rd in sorted(pres):
+        for g in pres[rd]:
+            first.setdefault(g, rd)
+
+    rows = {r["round"]: r for r in q215_novelty_curve(spark, sf_dir).collect()}
+    assert set(rows) == set(pres)
+    for rd, shingles in pres.items():
+        novel = sum(1 for g in shingles if first[g] == rd)
+        got = rows[rd]
+        assert got["n_docs"] == n_docs[rd]
+        assert got["n_shingles"] == len(shingles)
+        assert got["n_novel"] == novel
+        assert got["novelty_milli"] == 1000 * novel // len(shingles)
+    assert rows[0]["novelty_milli"] == 1000  # everything is new at round 0
+    assert all(rows[rd]["novelty_milli"] < 1000 for rd in rows if rd > 0)
+
+
+def test_q216_bucket_layout_beats_date_layout(spark, sf_dir):
+    """Python replay of both layouts' touch sets; the bucketed layout
+    must touch no more partitions than requested users' buckets and
+    carry strictly lower rewrite amplification than the date layout."""
+    from voz_spark.session import load_table
+    from voz_spark.storage import q216_delete_touch_plan
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id").collect()
+    parts = defaultdict(lambda: [0, 0])  # (layout, part) -> [n_rows, n_del]
+    for r in ev:
+        req = r["user_id"] % 29 == 3
+        day = int(r["ts"].strftime("%Y%m%d"))
+        for layout, part in (("date", day), ("bucket", r["user_id"] % 32)):
+            p = parts[(layout, part)]
+            p[0] += 1
+            p[1] += int(req)
+    want = {}
+    for layout in ("date", "bucket"):
+        ps = {k[1]: v for k, v in parts.items() if k[0] == layout}
+        touched = {p: v for p, v in ps.items() if v[1] > 0}
+        ndel = sum(v[1] for v in touched.values())
+        nrw = sum(v[0] for v in touched.values())
+        want[layout] = (len(ps), len(touched), ndel, nrw, 1000 * nrw // ndel)
+
+    rows = {r["layout"]: r for r in q216_delete_touch_plan(spark, sf_dir).collect()}
+    assert set(rows) == {"date", "bucket"}
+    for layout, (np_, nt, ndel, nrw, amp) in want.items():
+        g = rows[layout]
+        assert (
+            g["n_partitions"],
+            g["n_touched"],
+            g["n_delete_rows"],
+            g["n_rows_rewritten"],
+            g["amplification_milli"],
+        ) == (np_, nt, ndel, nrw, amp)
+    # same rows deleted either way; the layouts differ only in cost
+    assert rows["date"]["n_delete_rows"] == rows["bucket"]["n_delete_rows"]
+    assert (
+        rows["bucket"]["amplification_milli"] < rows["date"]["amplification_milli"]
+    )
+
+
+def test_q217_ban_closure_vs_python(spark, sf_dir):
+    """Resolve every chain in Python (follow u -> u-1 to the multiple
+    of 7) and replay the rollup; transitive bans exist on clean hosts
+    and direct bans are total on banned hosts."""
+    from voz_spark.crawlops import q217_redirect_ban_closure
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for u in range(1000):
+        t = u - (u % 7)  # terminal of the chain
+        host, th = u % 20, t % 20
+        a = agg[host]
+        a[0] += 1
+        a[1] += int(u % 7 == 0)
+        a[2] += int(host in (7, 13))
+        a[3] += int(host not in (7, 13) and th in (7, 13))
+
+    rows = {r["host"]: r for r in q217_redirect_ban_closure(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for host, (n, nt, nd, ntr) in agg.items():
+        g = rows[host]
+        assert (g["n_urls"], g["n_terminal"], g["n_direct_banned"], g["n_transitive_banned"]) == (n, nt, nd, ntr)
+    assert sum(r["n_transitive_banned"] for r in rows.values()) > 0
+    for h in (7, 13):
+        assert rows[h]["n_direct_banned"] == rows[h]["n_urls"]

@@ -1835,3 +1835,91 @@ def q205_bitmap_segment_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("n_match_bitmap"),
         F.col("n_direct").cast("int").alias("n_match_direct"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# q215: crawl novelty curve — "how much NEW text does each crawl
+# round actually add?" The value of round r is not its row count but
+# its share of shingles never seen in rounds < r; when the novelty
+# rate flattens, further crawling of that source is paying for
+# duplicates (the measurement behind recrawl-budget decay, feeding
+# q139's ROI and q100's tiers). Rounds here are doc_id % 6 — the
+# deterministic stand-in for crawl-round provenance.
+#
+# Scale shape: shingling (word trigrams) is in-row (one transform per
+# doc, no pair joins); the stream aggregates FIRST to distinct
+# (shingle, round) — partial-combining — then per-shingle min(round)
+# and the bounded per-round rollup. One shuffle on the shingle key,
+# one on the 6-value round key. Shingles stay plain strings so both
+# engines agree trivially; production would xxhash64 them (q24's
+# idiom) without changing the shape.
+# ---------------------------------------------------------------------------
+
+_Q215_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, doc_id % 6 AS round, string_split(text, ' ') AS tk FROM documents
+),
+tri AS (
+  SELECT doc_id, round,
+         UNNEST(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+           AS g
+  FROM tok WHERE len(tk) >= 3
+),
+pres AS (SELECT DISTINCT round, g FROM tri),
+first AS (SELECT g, MIN(round) AS first_round FROM pres GROUP BY 1),
+docs AS (SELECT doc_id % 6 AS round, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+SELECT CAST(pres.round AS BIGINT) AS round,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first.first_round = pres.round THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(1000 * SUM(CASE WHEN first.first_round = pres.round THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS novelty_milli
+FROM pres JOIN first USING (g) JOIN docs ON docs.round = pres.round
+GROUP BY pres.round, n_docs ORDER BY pres.round
+"""
+
+
+@register("q215_novelty_curve", oracle=_Q215_ORACLE)
+def q215_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round distinct shingles and first-seen (novel) share —
+    in-row trigram shingling, distinct-then-min, bounded rollup."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("round"), F.split("text", " ").alias("tk")
+    )
+    tri = d.where(F.size("tk") >= 3).select(
+        "round",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 3),"
+                " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
+            )
+        ).alias("g"),
+    )
+    pres = tri.distinct()
+    first = pres.groupBy("g").agg(F.min("round").alias("first_round"))
+    docs = (
+        T(spark, sf_dir, "documents")
+        .groupBy((F.col("doc_id") % 6).alias("round"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        pres.join(first, "g")
+        .groupBy("round")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_round") == F.col("round"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .join(docs, "round")
+        .select(
+            F.col("round").cast("long").alias("round"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.expr("1000 * n_novel div n_shingles").cast("long").alias("novelty_milli"),
+        )
+        .orderBy("round")
+    )

@@ -5375,3 +5375,103 @@ def q213_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q217: ban closure through redirects — a domain ban list only works
+# if it survives redirection: a URL on an innocuous host that 301s
+# into a banned host must be treated as banned, or the crawler
+# launders banned content through one hop of indirection. This query
+# resolves every URL to its redirect terminal by POINTER DOUBLING
+# (the q96 algorithm: squaring the functional map, log2(max chain)
+# rounds — 3 rounds cover chains of 8) and rolls up, per host, how
+# many URLs are banned directly vs transitively (clean host, banned
+# terminal).
+#
+# Fixture is closed-form integer arithmetic (u terminal iff u%7==0,
+# else u -> u-1; host = u%20; banned hosts {7, 13}), generated
+# identically by spark.range and DuckDB range — no files. The oracle
+# intentionally mirrors the ITERATIVE squaring (unrolled materialized
+# self-joins, the q96 discipline), not the fixture's closed form —
+# the algorithm is what's under test.
+#
+# Scale shape: each doubling round is ONE equi-join of the map with
+# itself on a uniform key; 10^10 URLs resolve in ~33 rounds with no
+# driver involvement; the ban check is an in-row predicate (a
+# broadcast semi-join against the ban table in production).
+# ---------------------------------------------------------------------------
+
+_Q217_N = 1000
+_Q217_ROUNDS = 3  # 2^3 = 8 >= max chain length 7
+
+
+def _q217_m_sql() -> str:
+    steps = [
+        f"m0 AS MATERIALIZED (SELECT u AS src, CASE WHEN u % 7 = 0 THEN u"
+        f" ELSE u - 1 END AS dst FROM range({_Q217_N}) t(u))"
+    ]
+    for r in range(1, _Q217_ROUNDS + 1):
+        steps.append(
+            f"m{r} AS MATERIALIZED (SELECT a.src, b.dst"
+            f" FROM m{r - 1} a JOIN m{r - 1} b ON a.dst = b.src)"
+        )
+    return ",\n".join(steps)
+
+
+_Q217_ORACLE = f"""
+WITH {_q217_m_sql()},
+r AS (
+  SELECT src, dst,
+         src % 20 AS host,
+         dst % 20 AS term_host
+  FROM m{_Q217_ROUNDS}
+)
+SELECT CAST(host AS BIGINT) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN src % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terminal,
+       CAST(CASE WHEN host IN (7, 13) THEN COUNT(*) ELSE 0 END AS BIGINT)
+         AS n_direct_banned,
+       CAST(SUM(CASE WHEN host NOT IN (7, 13) AND term_host IN (7, 13)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_transitive_banned
+FROM r GROUP BY host ORDER BY host
+"""
+
+
+@register("q217_redirect_ban_closure", oracle=_Q217_ORACLE)
+def q217_redirect_ban_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every URL through the redirect map by pointer doubling,
+    then count direct vs redirect-laundered bans per host."""
+    m = spark.range(_Q217_N).select(
+        F.col("id").alias("src"),
+        F.when(F.col("id") % 7 == 0, F.col("id")).otherwise(F.col("id") - 1).alias(
+            "dst"
+        ),
+    )
+    for _ in range(_Q217_ROUNDS):
+        b = m.select(F.col("src").alias("bsrc"), F.col("dst").alias("bdst"))
+        m = m.join(b, m["dst"] == b["bsrc"]).select(
+            "src", F.col("bdst").alias("dst")
+        )
+    r = m.select(
+        "src",
+        "dst",
+        (F.col("src") % 20).alias("host"),
+        (F.col("dst") % 20).alias("term_host"),
+    )
+    banned = F.col("host").isin(7, 13)
+    return (
+        r.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("src") % 7 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_terminal"),
+            F.sum(F.when(banned, 1).otherwise(0)).cast("long").alias("n_direct_banned"),
+            F.sum(
+                F.when(~banned & F.col("term_host").isin(7, 13), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_transitive_banned"),
+        )
+        .orderBy("host")
+    )

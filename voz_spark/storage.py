@@ -780,3 +780,101 @@ def q210_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("status") != "same")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216: deletion-touch planning — a right-to-be-forgotten request
+# ("purge these users") must REWRITE every file containing a matching
+# row, so the physical layout decides whether a 3% user purge costs
+# 3% of the corpus or all of it:
+#   date layout   — partitioned by event day (the natural ingestion
+#                   layout): every requested user's rows smear across
+#                   every day, so nearly every partition is touched;
+#   bucket layout — partitioned by user_id % 32: a request touches
+#                   only its users' buckets, and the rewrite
+#                   amplification (rows rewritten per row deleted)
+#                   drops by the bucket fan-out.
+# The governance twin of q206's sort-before-write argument; q137
+# scrubs fields in-row, this prices the row-level purge.
+#
+# Scale shape: ONE scan; the two layouts are an in-row struct-array
+# explode (the q206 discipline, plan-asserted upstream); per-
+# (layout, partition) counts partial-combine; the layout rollup has
+# 2 keys. The request set is a hash predicate in-row — at production
+# scale it is a broadcast semi-join against the request table.
+# ---------------------------------------------------------------------------
+
+# ~3% of users request deletion; a plain modulo keeps the request
+# set non-empty at every test SF (user domains start at 0)
+_Q216_REQ = "CAST(user_id % 29 = 3 AS INT)"
+_Q216_REQ_SPARK = "user_id % 29 = 3"
+
+_Q216_ORACLE = f"""
+WITH r AS (
+  SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS day,
+         user_id % 32 AS bucket,
+         {_Q216_REQ} AS req
+  FROM events
+),
+t AS (
+  SELECT 'date' AS layout, day AS part, req FROM r
+  UNION ALL
+  SELECT 'bucket', bucket, req FROM r
+),
+p AS (
+  SELECT layout, part, COUNT(*) AS n_rows, SUM(req) AS n_del
+  FROM t GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+       CAST(SUM(CASE WHEN n_del > 0 THEN n_del ELSE 0 END) AS BIGINT)
+         AS n_delete_rows,
+       CAST(SUM(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_rewritten,
+       CAST(1000 * SUM(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END)
+            // SUM(CASE WHEN n_del > 0 THEN n_del ELSE 0 END) AS BIGINT)
+         AS amplification_milli
+FROM p GROUP BY layout ORDER BY layout
+"""
+
+
+@register("q216_delete_touch_plan", oracle=_Q216_ORACLE)
+def q216_delete_touch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitions touched and rewrite amplification of a user-purge
+    request under date-partitioned vs user-bucketed layouts."""
+    ev = T(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyyMMdd").cast("long").alias("day"),
+        (F.col("user_id") % 32).alias("bucket"),
+        F.expr(_Q216_REQ_SPARK).cast("int").alias("req"),
+    )
+    t = ev.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("date").alias("layout"), F.col("day").alias("part")),
+                F.struct(F.lit("bucket").alias("layout"), F.col("bucket").alias("part")),
+            )
+        ).alias("lp"),
+        "req",
+    ).select("lp.layout", "lp.part", "req")
+    p = t.groupBy("layout", "part").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("req").alias("n_del")
+    )
+    touched_rows = F.when(F.col("n_del") > 0, F.col("n_rows")).otherwise(0)
+    touched_del = F.when(F.col("n_del") > 0, F.col("n_del")).otherwise(0)
+    return (
+        p.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum(F.when(F.col("n_del") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_touched"),
+            F.sum(touched_del).cast("long").alias("n_delete_rows"),
+            F.sum(touched_rows).cast("long").alias("n_rows_rewritten"),
+        )
+        .withColumn(
+            "amplification_milli",
+            F.expr("1000 * n_rows_rewritten div n_delete_rows").cast("long"),
+        )
+        .orderBy("layout")
+    )
