@@ -109,3 +109,80 @@ def test_q217_ban_closure_vs_python(spark, sf_dir):
     assert sum(r["n_transitive_banned"] for r in rows.values()) > 0
     for h in (7, 13):
         assert rows[h]["n_direct_banned"] == rows[h]["n_urls"]
+
+
+def test_q218_mass_conservation_and_python_replay(spark, sf_dir):
+    """Every near-dup cluster contributes exactly 1000 milli of mass;
+    per-source rollup equals a Python replay built on q70's own
+    cluster output (independent path to the same clusters)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from voz_spark.dataprep import (
+        Q70_JACCARD_MIN,
+        _jaccard_pairs,
+        q218_softdedup_weights,
+        q70_text_dedup_clusters,
+    )
+    from voz_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    # Python union-find over the engine's own pair rule
+    pr = [
+        (r["doc_a"], r["doc_b"])
+        for r in _jaccard_pairs(d)
+        .where(F.col("jaccard") >= Q70_JACCARD_MIN)
+        .collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pr:
+        union(a, b)
+    members = defaultdict(list)
+    for x in list(parent):
+        members[find(x)].append(x)
+
+    docs = d.select("doc_id", "source").collect()
+    src_of = {r["doc_id"]: r["source"] for r in docs}
+    weight = {i: 1000 for i in src_of}
+    for root, ms in members.items():
+        ms.sort()
+        base, rem = divmod(1000, len(ms))
+        for idx, m in enumerate(ms):
+            weight[m] = base + (1 if idx < rem else 0)
+        assert sum(weight[m] for m in ms) == 1000  # conservation
+
+    want = defaultdict(lambda: [0, 0, 0])
+    clustered = {m for ms in members.values() for m in ms}
+    for i, s in src_of.items():
+        w = want[s]
+        w[0] += 1
+        w[1] += int(i in clustered)
+        w[2] += weight[i]
+
+    rows = {r["source"]: r for r in q218_softdedup_weights(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for s, (n, nc, mass) in want.items():
+        g = rows[s]
+        assert (g["n_docs"], g["n_in_clusters"], g["eff_mass_milli"]) == (n, nc, mass)
+        assert g["uniqueness_milli"] == mass // n
+    # total effective mass == 1000 * (number of distinct content units)
+    n_units = len(src_of) - len(clustered) + len(members)
+    assert sum(r["eff_mass_milli"] for r in rows.values()) == 1000 * n_units
+    # consistency with hard dedup: q70's cluster count equals ours
+    q70 = q70_text_dedup_clusters(spark, sf_dir).collect()
+    assert len(q70) == len(members)
+

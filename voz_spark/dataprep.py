@@ -2797,3 +2797,131 @@ def q194_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q218: soft dedup — duplicate-aware sampling weights. Hard dedup
+# (q70) keeps one survivor per near-dup cluster and throws the rest
+# away; the soft policy keeps EVERY copy but weights it 1/cluster_size
+# at sampling time, so each distinct content unit contributes exactly
+# one unit of training mass no matter how many mirrors the crawl
+# fetched (the Dolma/RedPajama-style alternative when provenance
+# diversity matters — different mirrors carry different metadata).
+# Mass conservation is the defining invariant: Σ weight over any
+# cluster == 1000 milli exactly — integer largest-remainder inside
+# the cluster (ordered by doc_id), never float division.
+#
+# Per-source rollup: effective mass vs raw doc count = how much of
+# each source survives dedup as UNIQUE contribution (feeding q78's
+# mixture weights with dedup-corrected sizes).
+#
+# Scale shape: identical candidate/cluster machinery as q70 (rare-
+# shingle bounded pair join + O(log^2) connected components); the
+# weight is an in-row expression over the cluster-size table; the
+# rollup keys on the bounded source domain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q218_softdedup_weights",
+    oracle=f"""
+WITH RECURSIVE sh AS ({{shingles}}),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+rare AS (SELECT shingle FROM ds GROUP BY shingle HAVING COUNT(*) <= 10),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ds a JOIN rare r ON a.shingle = r.shingle
+            JOIN ds b ON b.shingle = r.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {Q70_JACCARD_MIN}
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+csize AS (SELECT cluster, COUNT(*) AS csz FROM comp GROUP BY cluster),
+w AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(cs.csz, 1) AS csz,
+         CASE WHEN cs.csz IS NULL THEN CAST(1000 AS BIGINT)
+              ELSE 1000 // cs.csz
+                   + CASE WHEN ROW_NUMBER() OVER (
+                       PARTITION BY COALESCE(c.cluster, d.doc_id)
+                       ORDER BY d.doc_id)
+                       <= 1000 % cs.csz THEN 1 ELSE 0 END
+         END AS weight_milli
+  FROM documents d
+  LEFT JOIN comp c ON c.node = d.doc_id
+  LEFT JOIN csize cs ON cs.cluster = c.cluster
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_clusters,
+       CAST(SUM(weight_milli) AS BIGINT) AS eff_mass_milli,
+       CAST(SUM(weight_milli) // COUNT(*) AS BIGINT) AS uniqueness_milli
+FROM w GROUP BY source ORDER BY source
+""".replace("{shingles}", _shingles_sql()),
+)
+def q218_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source effective training mass under 1/cluster_size soft
+    dedup weights; Σ weight over each cluster is exactly 1000 milli
+    (integer largest-remainder by doc_id)."""
+    from pyspark.sql import Window
+
+    from voz_spark.graph import connected_components
+
+    d = T(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(d).where(F.col("jaccard") >= Q70_JACCARD_MIN)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).withColumnRenamed("component", "cluster")
+    csize = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
+    # partition the remainder window by coalesce(cluster, doc_id): the
+    # un-clustered majority must not collapse into one NULL partition
+    wcl = Window.partitionBy(F.expr("coalesce(cluster, doc_id)")).orderBy("doc_id")
+    w = (
+        d.select("doc_id", "source")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(csize, "cluster", "left")
+        .withColumn(
+            "weight_milli",
+            F.when(F.col("csz").isNull(), F.lit(1000).cast("long")).otherwise(
+                F.expr("1000 div csz")
+                + F.when(
+                    F.row_number().over(wcl) <= F.expr("1000 % csz"), 1
+                ).otherwise(0)
+            ),
+        )
+        .withColumn("csz", F.coalesce("csz", F.lit(1)))
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("csz") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_clusters"),
+            F.sum("weight_milli").cast("long").alias("eff_mass_milli"),
+            F.expr("sum(weight_milli) div count(1)").cast("long").alias(
+                "uniqueness_milli"
+            ),
+        )
+        .orderBy("source")
+    )
