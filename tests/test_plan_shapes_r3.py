@@ -30,6 +30,10 @@ def test_q169_frontier_shuffles_exactly_once(spark, sf_dir):
     data is the priority histogram; the events scan is not re-read."""
     from voz_spark.crawlops import q169_frontier_spill_tiers
 
+    # hermetic plan: an earlier test may have left the bin table
+    # cached, which folds the asserted exchange into a pre-existing
+    # InMemoryRelation's inner final plan and breaks the counts
+    spark.catalog.clearCache()
     plan = _formatted_plan(q169_frontier_spill_tiers(spark, sf_dir))
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
