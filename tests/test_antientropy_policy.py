@@ -102,3 +102,46 @@ def test_q201_ucb_matches_independent_recompute(spark, sf_dir):
         assert r["scheduled"] == (
             1 if want_explore or r["mean_milli"] + r["bonus_milli"] >= 400 else 0
         )
+
+
+def test_q219_policy_stack_composition(spark, sf_dir):
+    """The stack is consistent with its stages: hosts/decisions equal
+    q201's output; allocations are a water-fill over exactly the
+    scheduled hosts summing to Σdemand/4; drain is ceil(demand/alloc);
+    unscheduled hosts get zero."""
+    from voz_spark.crawlops import q201_crawl_policy_ucb, q219_schedule_policy_stack
+
+    pol = {r["host"]: r for r in q201_crawl_policy_ucb(spark, sf_dir).collect()}
+    rows = {r["host"]: r for r in q219_schedule_policy_stack(spark, sf_dir).collect()}
+    assert set(rows) == set(pol)
+
+    sched = {h for h, p in pol.items() if p["scheduled"] == 1}
+    demand = {h: pol[h]["n_trials"] for h in sched}
+    budget = sum(demand.values()) // 4
+
+    # python water-fill replay over the scheduled subset
+    n = len(demand)
+    hosts = sorted(demand.items(), key=lambda kv: (kv[1], kv[0]))
+    js, s_base, sj = 0, 0, 0
+    for idx, (h, d) in enumerate(hosts, start=1):
+        sj += d
+        if sj + (n - idx) * d <= budget:
+            js, s_base = idx, sj
+    level = budget // n if js == 0 else (budget - s_base) // (n - js)
+    base = {h: min(d, level) for h, d in demand.items()}
+    r = budget - sum(base.values())
+    for h in sorted(h for h, d in demand.items() if d > level)[:r]:
+        base[h] += 1
+
+    for h, row in rows.items():
+        assert row["ucb_milli"] == pol[h]["ucb_milli"]
+        assert row["decision"] == pol[h]["decision"]
+        assert row["scheduled"] == pol[h]["scheduled"]
+        if h in sched:
+            assert row["alloc"] == base[h]
+            if row["alloc"] > 0:
+                assert row["rounds_to_drain"] == -(-row["demand"] // row["alloc"])
+        else:
+            assert row["alloc"] == 0 and row["rounds_to_drain"] == -1
+    assert sum(row["alloc"] for row in rows.values()) == budget
+    assert any(row["capped"] for row in rows.values())

@@ -5301,22 +5301,19 @@ ORDER BY host
 """
 
 
-@register("q213_waterfill_budget", oracle=_Q213_ORACLE)
-def q213_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Max-min fair (water-filling) fetch-budget allocation over the
-    bounded host table: closed-form level, exact integer remainder."""
+def waterfill_alloc(t: DataFrame, budget_div: int) -> DataFrame:
+    """Max-min fair allocation over a bounded (host, demand) table.
+
+    budget = sum(demand) div budget_div. Returns (host, demand, level,
+    alloc, capped) with Σ alloc == budget exactly (integer remainder
+    to the lowest-numbered capped hosts). All windows run on the
+    bounded host table — the caller guarantees t is host-grained.
+    """
     from pyspark.sql.window import Window
 
-    from voz_spark.session import load_table
-
-    ev = load_table(spark, sf_dir, "events").select("event_id")
-    t = (
-        ev.select(F.expr(_Q213_HOST).alias("host"))
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).alias("demand"))
-    )
     s = t.groupBy().agg(
-        F.count(F.lit(1)).alias("n"), F.expr("sum(demand) div 3").alias("budget")
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum(demand) div {budget_div}").alias("budget"),
     )
     wo = Window.orderBy("demand", "host")
     o = t.withColumn("j", F.row_number().over(wo)).withColumn(
@@ -5324,7 +5321,10 @@ def q213_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oc = o.crossJoin(F.broadcast(s))
     jstar = (
-        oc.where(F.col("sj") + (F.col("n") - F.col("j")) * F.col("demand") <= F.col("budget"))
+        oc.where(
+            F.col("sj") + (F.col("n") - F.col("j")) * F.col("demand")
+            <= F.col("budget")
+        )
         .groupBy()
         .agg(F.coalesce(F.max("j"), F.lit(0)).alias("js"))
     )
@@ -5335,7 +5335,13 @@ def q213_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl = (
         F.broadcast(jstar)
         .crossJoin(F.broadcast(s))
-        .crossJoin(F.broadcast(sbase.groupBy().agg(F.coalesce(F.max("s_at_js"), F.lit(0)).alias("s_base"))))
+        .crossJoin(
+            F.broadcast(
+                sbase.groupBy().agg(
+                    F.coalesce(F.max("s_at_js"), F.lit(0)).alias("s_base")
+                )
+            )
+        )
         .select(
             F.when(F.col("js") == 0, F.expr("budget div n"))
             .otherwise(F.expr("(budget - s_base) div (n - js)"))
@@ -5357,24 +5363,36 @@ def q213_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = Window.partitionBy("capped").orderBy("host")
     ranked = alloc0.withColumn(
-        "crank", F.when(F.col("capped"), F.row_number().over(wc)).otherwise(F.lit(None))
+        "crank",
+        F.when(F.col("capped"), F.row_number().over(wc)).otherwise(F.lit(None)),
     )
-    return (
-        ranked.crossJoin(F.broadcast(rem))
-        .select(
-            F.col("host").cast("long").alias("host"),
-            F.col("demand").cast("long").alias("demand"),
-            F.col("level").cast("long").alias("level"),
-            (
-                F.col("base_alloc")
-                + F.when(F.col("capped") & (F.col("crank") <= F.col("r")), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("alloc"),
-            F.when(F.col("capped"), 1).otherwise(0).cast("int").alias("capped"),
+    return ranked.crossJoin(F.broadcast(rem)).select(
+        F.col("host").cast("long").alias("host"),
+        F.col("demand").cast("long").alias("demand"),
+        F.col("level").cast("long").alias("level"),
+        (
+            F.col("base_alloc")
+            + F.when(F.col("capped") & (F.col("crank") <= F.col("r")), 1).otherwise(0)
         )
-        .orderBy("host")
+        .cast("long")
+        .alias("alloc"),
+        F.when(F.col("capped"), 1).otherwise(0).cast("int").alias("capped"),
     )
+
+
+@register("q213_waterfill_budget", oracle=_Q213_ORACLE)
+def q213_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) fetch-budget allocation over the
+    bounded host table: closed-form level, exact integer remainder."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    t = (
+        ev.select(F.expr(_Q213_HOST).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("demand"))
+    )
+    return waterfill_alloc(t, 3).orderBy("host")
 
 
 # ---------------------------------------------------------------------------
@@ -5472,6 +5490,125 @@ def q217_redirect_ban_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_transitive_banned"),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219: the scheduling policy stack — the round planner's host-level
+# decisions composed end-to-end: q201's UCB policy decides WHICH
+# hosts get fetch slots this round (explore/exploit), the water-fill
+# allocator (q213's machinery, shared helper) decides HOW MANY each
+# scheduled host gets from a budget of Σdemand/4 — max-min fair, so
+# the UCB winners cannot starve the long tail — and the drain
+# forecast says how many rounds each queue needs at that rate.
+# Unscheduled hosts appear with alloc 0: the report is the complete
+# per-host round plan, the engine analogue of the reference's single
+# hard-coded "fetch everything" loop (src/main.py:153-200).
+#
+# Oracle: q201's FULL SQL embedded as a CTE (the q175 composition
+# discipline — the downstream stage is gated on the upstream stage's
+# own oracled output), then the water-fill SQL over the scheduled
+# subset. Engine side reuses q201's DataFrame and the shared
+# waterfill_alloc helper — composition parity at both layers.
+#
+# Scale shape: everything after q201's one host rollup runs on the
+# bounded host table; windows are host-bounded; budget/level are
+# broadcast scalars; ceil-division drain is in-row.
+# ---------------------------------------------------------------------------
+
+_Q219_ORACLE = f"""
+WITH policy AS ({_Q201_ORACLE}),
+t AS (
+  SELECT host, n_trials AS demand FROM policy WHERE scheduled = 1
+),
+s AS (SELECT COUNT(*) AS n, SUM(demand) // 4 AS budget FROM t),
+o AS (
+  SELECT host, demand,
+         ROW_NUMBER() OVER (ORDER BY demand, host) AS j,
+         SUM(demand) OVER (ORDER BY demand, host
+                           ROWS UNBOUNDED PRECEDING) AS sj
+  FROM t
+),
+jstar AS (
+  SELECT COALESCE(MAX(j), 0) AS js FROM o CROSS JOIN s
+  WHERE sj + (n - j) * demand <= budget
+),
+lvl AS (
+  SELECT CASE WHEN js = 0 THEN budget // n
+              ELSE (budget - (SELECT sj FROM o WHERE j = js))
+                   // (n - js) END AS level
+  FROM jstar CROSS JOIN s
+),
+alloc0 AS (
+  SELECT o.host, o.demand, lvl.level,
+         LEAST(o.demand, lvl.level) AS base_alloc,
+         o.demand > lvl.level AS capped
+  FROM o CROSS JOIN lvl
+),
+rem AS (
+  SELECT budget - SUM(base_alloc) AS r FROM alloc0 CROSS JOIN s GROUP BY budget
+),
+ranked AS (
+  SELECT host, demand, level, base_alloc, capped,
+         CASE WHEN capped THEN ROW_NUMBER() OVER (
+           PARTITION BY capped ORDER BY host) ELSE NULL END AS crank
+  FROM alloc0
+),
+fill AS (
+  SELECT host, demand, level,
+         base_alloc + CASE WHEN capped AND crank <= r THEN 1 ELSE 0 END AS alloc,
+         CASE WHEN capped THEN 1 ELSE 0 END AS capped
+  FROM ranked CROSS JOIN rem
+)
+SELECT CAST(p.host AS BIGINT) AS host,
+       CAST(p.ucb_milli AS BIGINT) AS ucb_milli,
+       p.decision,
+       CAST(p.scheduled AS INT) AS scheduled,
+       CAST(COALESCE(f.demand, p.n_trials) AS BIGINT) AS demand,
+       CAST(COALESCE(f.alloc, 0) AS BIGINT) AS alloc,
+       CAST(COALESCE(f.capped, 0) AS INT) AS capped,
+       CAST(CASE WHEN COALESCE(f.alloc, 0) = 0 THEN -1
+                 ELSE (f.demand + f.alloc - 1) // f.alloc END AS BIGINT)
+         AS rounds_to_drain
+FROM policy p LEFT JOIN fill f ON f.host = p.host
+ORDER BY host
+"""
+
+
+@register("q219_schedule_policy_stack", oracle=_Q219_ORACLE)
+def q219_schedule_policy_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB host selection -> max-min fair budget over the selected
+    hosts -> per-host drain forecast; one row per host."""
+    pol = q201_crawl_policy_ucb(spark, sf_dir)
+    t = pol.where(F.col("scheduled") == 1).select(
+        "host", F.col("n_trials").alias("demand")
+    )
+    fill = waterfill_alloc(t, 4)
+    return (
+        pol.join(
+            fill.select(
+                "host",
+                F.col("demand").alias("f_demand"),
+                F.col("alloc").alias("f_alloc"),
+                F.col("capped").alias("f_capped"),
+            ),
+            "host",
+            "left",
+        )
+        .select(
+            F.col("host").cast("long").alias("host"),
+            F.col("ucb_milli").cast("long").alias("ucb_milli"),
+            "decision",
+            F.col("scheduled").cast("int").alias("scheduled"),
+            F.coalesce("f_demand", "n_trials").cast("long").alias("demand"),
+            F.coalesce("f_alloc", F.lit(0)).cast("long").alias("alloc"),
+            F.coalesce("f_capped", F.lit(0)).cast("int").alias("capped"),
+            F.when(F.coalesce("f_alloc", F.lit(0)) == 0, F.lit(-1))
+            .otherwise(F.expr("(f_demand + f_alloc - 1) div f_alloc"))
+            .cast("long")
+            .alias("rounds_to_drain"),
         )
         .orderBy("host")
     )
