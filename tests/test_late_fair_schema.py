@@ -124,3 +124,41 @@ def test_q214_union_by_name_null_fill(spark, sf_dir):
     assert rows[2]["n_lang_null"] == 0 and rows[2]["n_quality_null"] == 1000
     assert rows[3]["n_lang_null"] == 0 and rows[3]["n_quality_null"] == 0
     assert rows[1]["min_lang"] == "-" and rows[2]["min_lang"] == "de"
+
+
+def test_q220_stream_novelty_equals_batch_first_seen(spark, sf_dir):
+    """Python replay of the fixture's first-seen accounting; novelty
+    decays monotonically (coupon collector) and totals the distinct
+    trigram count; streaming dedup credits first ARRIVAL == min
+    round because rounds arrive in order."""
+    import hashlib
+    from collections import defaultdict
+
+    from voz_spark.streaming import (
+        _Q220_DOCS,
+        _Q220_ROUNDS,
+        _Q220_TOKENS,
+        _Q220_VOCAB,
+        q220_stream_novelty,
+    )
+
+    first = {}
+    for r in range(_Q220_ROUNDS):
+        for i in range(_Q220_DOCS):
+            if i % _Q220_ROUNDS != r:
+                continue
+            toks = [
+                f"t{int(hashlib.md5(f'{i}:{j}'.encode()).hexdigest()[:15], 16) % _Q220_VOCAB}"
+                for j in range(_Q220_TOKENS)
+            ]
+            for k in range(len(toks) - 2):
+                first.setdefault(" ".join(toks[k : k + 3]), r)
+    want = defaultdict(int)
+    for g, r in first.items():
+        want[r] += 1
+
+    rows = {r["round"]: r["n_novel"] for r in q220_stream_novelty(spark, sf_dir).collect()}
+    assert rows == dict(want)
+    vals = [rows[r] for r in sorted(rows)]
+    assert vals == sorted(vals, reverse=True)  # novelty only decays here
+    assert sum(vals) == len(first) <= _Q220_VOCAB**3

@@ -977,3 +977,128 @@ def q212_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_accepted").cast("long").alias("n_accepted"),
         F.col("n_late_accepted").cast("long").alias("n_late_accepted"),
     ).orderBy("win_us")
+
+
+# ---------------------------------------------------------------------------
+# q220: STREAMING novelty — q215's first-seen accounting computed
+# ONLINE: as crawl rounds arrive, each trigram shingle is credited to
+# the round that saw it FIRST, without ever recomputing the corpus.
+# The operator is streaming dropDuplicates on the shingle key (the
+# q54 seen-set concept applied to content instead of URLs): the first
+# arrival survives carrying its round, later copies are dropped by
+# state, and a complete-mode rollup counts novel shingles per round.
+# The oracle is the BATCH first-seen SQL (min(round) per shingle)
+# over the same fixture — ordered arrival makes first-arrival ==
+# min(round), so streaming-vs-batch equivalence is the gate.
+#
+# Scale note: state is one entry per DISTINCT shingle — bounded here;
+# an unbounded deployment uses dropDuplicatesWithinWatermark (the
+# q148 note) or the standing-index join of q120.
+#
+# Fixture: 600 synthetic docs (18 tokens from a 12-word vocab, md5-
+# derived), 6 round files in arrival order — sf-independent so the
+# oracle's static path is unambiguous. Low vocab => novelty decays
+# fast (coupon collector), which the test pins.
+# ---------------------------------------------------------------------------
+
+Q220_STREAM_DIR = "/tmp/voz_spark_q220_novstream"
+_Q220_DOCS = 600
+_Q220_TOKENS = 18
+_Q220_VOCAB = 12
+_Q220_ROUNDS = 6
+
+
+def _q220_source_dir() -> str:
+    import hashlib
+
+    import pandas as pd
+
+    out = Q220_STREAM_DIR
+    marker = os.path.join(out, "_VOZ_FIXTURE")
+    want = f"v1:d={_Q220_DOCS};t={_Q220_TOKENS};v={_Q220_VOCAB}"
+    try:
+        with open(marker) as fh:
+            if fh.read() == want:
+                return out
+    except OSError:
+        pass
+    os.makedirs(out, exist_ok=True)
+
+    def text(i: int) -> str:
+        toks = []
+        for j in range(_Q220_TOKENS):
+            h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+            toks.append(f"t{h % _Q220_VOCAB}")
+        return " ".join(toks)
+
+    for r in range(_Q220_ROUNDS):
+        ids = [i for i in range(_Q220_DOCS) if i % _Q220_ROUNDS == r]
+        pdf = pd.DataFrame(
+            {"doc_id": ids, "round": [r] * len(ids), "text": [text(i) for i in ids]}
+        )
+        p = os.path.join(out, f"{r:03d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + r, 1_700_000_000 + r))
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return out
+
+
+_Q220_ORACLE = f"""
+WITH d AS (
+  SELECT round, string_split(text, ' ') AS tk
+  FROM read_parquet('{Q220_STREAM_DIR}/[0-9]*.parquet')
+),
+tri AS (
+  SELECT round,
+         UNNEST(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+           AS g
+  FROM d WHERE len(tk) >= 3
+),
+first AS (SELECT g, MIN(round) AS round FROM tri GROUP BY g)
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(COUNT(*) AS BIGINT) AS n_novel
+FROM first GROUP BY round ORDER BY round
+"""
+
+
+@register("q220_stream_novelty", oracle=_Q220_ORACLE)
+def q220_stream_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online first-seen shingle accounting: streaming dropDuplicates
+    on the shingle key + complete-mode per-round rollup — equal to
+    the batch min(round) SQL."""
+    src = _q220_source_dir()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("round", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tri = (
+        ev.select("round", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 3)
+        .select(
+            "round",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 3),"
+                    " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .dropDuplicates(["g"])
+        .groupBy("round")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    sink = run_to_memory(tri, "q220_sink", "complete", spark)
+    return sink.select(
+        F.col("round").cast("long").alias("round"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+    ).orderBy("round")
