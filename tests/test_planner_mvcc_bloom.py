@@ -138,3 +138,62 @@ def test_q211_bloom_model_vs_python_and_no_false_negatives(spark, sf_dir):
         )
     assert rows[16]["fpr_micro"] <= rows[8]["fpr_micro"]
     assert rows[8]["n_false_positive"] > 0  # the sweep actually measures something
+
+
+def test_q221_scd2_slices_reproduce_time_travel(spark, sf_dir):
+    """Python replay of the interval build, plus the cross-query
+    consistency gate: slicing the SCD2 table at seq 2 and seq 4
+    reproduces q210's snapshots (and therefore its diff) exactly."""
+    from voz_spark.session import load_table
+    from voz_spark.storage import q210_time_travel_diff, q221_scd2_history
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = []  # (doc_id, from, to, content, is_current)
+    snap = {2: {}, 4: {}}
+    for r in docs:
+        i, text = r["doc_id"], r["text"]
+        log = [(1, "upsert", _md5(text))]
+        if i % 7 == 1:
+            log.append((2, "upsert", _md5("v2:" + text)))
+        if i % 11 == 2:
+            log.append((3, "delete", None))
+        if i % 5 == 0:
+            log.append((4, "upsert", _md5("v4:" + text)))
+        for k, (seq, op, content) in enumerate(log):
+            nxt = log[k + 1][0] if k + 1 < len(log) else None
+            if op == "delete":
+                continue
+            to = (nxt - 1) if nxt is not None else 9999
+            cur = 1 if nxt is None else 0
+            want.append((i, seq, to, content, cur))
+            for t in (2, 4):
+                if seq <= t <= to:
+                    snap[t][i] = content
+
+    rows = q221_scd2_history(spark, sf_dir).collect()
+    got = [
+        (r["doc_id"], r["valid_from_seq"], r["valid_to_seq"], r["content"], r["is_current"])
+        for r in rows
+    ]
+    assert sorted(got) == sorted(want)
+    # every doc has exactly one current version unless its last op was
+    # a delete with no re-upsert
+    cur = [g for g in got if g[4] == 1]
+    assert len(cur) == len({g[0] for g in cur})
+
+    # SCD2 slice at T == q210 snapshot -> same diff
+    diff = {}
+    keys = set(snap[2]) | set(snap[4])
+    for i in keys:
+        v2, v4 = snap[2].get(i), snap[4].get(i)
+        if v2 is None and v4 is not None:
+            diff[i] = ("added", "-", v4)
+        elif v4 is None and v2 is not None:
+            diff[i] = ("removed", v2, "-")
+        elif v2 != v4:
+            diff[i] = ("changed", v2, v4)
+    q210 = {
+        r["doc_id"]: (r["status"], r["content_t2"], r["content_t4"])
+        for r in q210_time_travel_diff(spark, sf_dir).collect()
+    }
+    assert q210 == diff

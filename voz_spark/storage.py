@@ -713,12 +713,12 @@ FROM d WHERE status <> 'same' ORDER BY doc_id
 """
 
 
-@register("q210_time_travel_diff", oracle=_Q210_ORACLE)
-def q210_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reconstruct snapshots T=2 and T=4 from the commit log (max_by
-    per key) and report added/removed/changed keys."""
+def _q210_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared MVCC commit-log fixture (q210/q221): seq 1 inserts
+    all docs, 2 updates doc_id%7==1, 3 deletes %11==2, 4 updates
+    %5==0 — mirrors _Q210_LOG exactly."""
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    log = (
+    return (
         d.select(
             "doc_id",
             F.lit(1).alias("seq"),
@@ -750,6 +750,13 @@ def q210_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register("q210_time_travel_diff", oracle=_Q210_ORACLE)
+def q210_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct snapshots T=2 and T=4 from the commit log (max_by
+    per key) and report added/removed/changed keys."""
+    log = _q210_log(spark, sf_dir)
 
     def snapshot(t: int) -> DataFrame:
         return (
@@ -877,4 +884,64 @@ def q216_delete_touch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000 * n_rows_rewritten div n_delete_rows").cast("long"),
         )
         .orderBy("layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221: SCD2 history build — the warehouse's other answer to "what
+# did this row look like at time T": instead of replaying the log per
+# query (q210), materialize each key's VERSION INTERVALS once —
+# (valid_from_seq, valid_to_seq, is_current) per version, deletes
+# closing the interval without opening a new one. Any as-of read then
+# becomes a range predicate on the interval columns (and composes
+# with q53's binned range join at scale).
+#
+# Scale shape: one log scan, one per-key window (lead over seq inside
+# the key partition — state O(1) per row); no self-join, no driver
+# work. Consistency with q210 is pinned in tests: slicing the SCD2
+# table at seq 2 and 4 reproduces the time-travel snapshots exactly.
+# ---------------------------------------------------------------------------
+
+_Q221_ORACLE = f"""
+WITH log AS ({_Q210_LOG}),
+v AS (
+  SELECT doc_id, seq, op, content,
+         LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS next_seq
+  FROM log
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(seq AS BIGINT) AS valid_from_seq,
+       CAST(COALESCE(next_seq - 1, 9999) AS BIGINT) AS valid_to_seq,
+       COALESCE(content, '-') AS content,
+       CAST(CASE WHEN next_seq IS NULL AND op <> 'delete' THEN 1 ELSE 0 END
+            AS INT) AS is_current
+FROM v WHERE op <> 'delete'
+ORDER BY doc_id, valid_from_seq
+"""
+
+
+@register("q221_scd2_history", oracle=_Q221_ORACLE)
+def q221_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize version-validity intervals from the commit log:
+    one per-key lead window, deletes close intervals."""
+    from pyspark.sql.window import Window
+
+    log = _q210_log(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    v = log.withColumn("next_seq", F.lead("seq").over(w))
+    return (
+        v.where(F.col("op") != "delete")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("seq").cast("long").alias("valid_from_seq"),
+            F.coalesce(F.col("next_seq") - 1, F.lit(9999))
+            .cast("long")
+            .alias("valid_to_seq"),
+            F.coalesce("content", F.lit("-")).alias("content"),
+            F.when(F.col("next_seq").isNull() & (F.col("op") != "delete"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_current"),
+        )
+        .orderBy("doc_id", "valid_from_seq")
     )
