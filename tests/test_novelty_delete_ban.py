@@ -186,3 +186,55 @@ def test_q218_mass_conservation_and_python_replay(spark, sf_dir):
     q70 = q70_text_dedup_clusters(spark, sf_dir).collect()
     assert len(q70) == len(members)
 
+
+
+def test_q222_linkage_vs_python_and_quality(spark, sf_dir):
+    """Python replay of blocking + scoring + argmax; every A user
+    whose true B record survives under at least one blocking key gets
+    it back as 'match' or 'possible'; decoys never win over a true
+    candidate with a higher score."""
+    from collections import defaultdict
+
+    from voz_spark.dataprep import q222_record_linkage
+    from voz_spark.session import load_table
+
+    users = sorted(
+        {r["user_id"] for r in load_table(spark, sf_dir, "events").select("user_id").collect()}
+    )
+    A = {u: (f"n{u % 97}", f"c{u % 13}", 1950 + u % 50) for u in users}
+    B = {}
+    for u in users:
+        if u % 9 != 4:
+            B[u + 100000] = (
+                f"n{(u + 1) % 97}" if u % 5 == 0 else f"n{u % 97}",
+                f"c{(u + 1) % 13}" if u % 7 == 2 else f"c{u % 13}",
+                1950 + ((u + 1) % 50 if u % 11 == 6 else u % 50),
+            )
+        if u % 10 == 3:
+            B[u + 200000] = (f"n{(u + 43) % 97}", f"c{(u + 5) % 13}", 1950 + (u + 17) % 50)
+
+    best = {}
+    for u, (an, ac, ay) in A.items():
+        cands = []
+        for bid, (bn, bc, by) in B.items():
+            if an != bn and ay != by:
+                continue  # blocked out
+            score = 40 * (an == bn) + 30 * (ay == by) + 20 * (ac == bc)
+            cands.append((-score, bid))
+        if cands:
+            s, bid = min(cands)
+            best[u] = (bid, -s)
+
+    rows = {r["a_id"]: r for r in q222_record_linkage(spark, sf_dir).collect()}
+    assert set(rows) == set(best)
+    for u, (bid, score) in best.items():
+        g = rows[u]
+        assert (g["best_b_id"], g["score"]) == (bid, score)
+        want_dec = "match" if score >= 60 else ("possible" if score >= 30 else "nonmatch")
+        assert g["decision"] == want_dec
+        assert g["is_true"] == (1 if bid == u + 100000 else 0)
+    # linkage quality on this fixture: every decided 'match' is true
+    matches = [r for r in rows.values() if r["decision"] == "match"]
+    assert matches and all(r["is_true"] == 1 for r in matches)
+    # and some true links exist only at 'possible' strength (noise)
+    assert any(r["decision"] == "possible" and r["is_true"] == 1 for r in rows.values())

@@ -2925,3 +2925,191 @@ def q218_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222: record linkage (entity resolution) — the same user appears in
+# two systems with noisy fields and no shared key; linking them is
+# the classic Fellegi-Sunter shape: BLOCK to avoid the n² pair space
+# (a pair is a candidate only if it agrees on at least one blocking
+# key — name or birth-year here, multi-pass blocking unioned then
+# deduped), score candidates by integer agreement weights (+40 name,
+# +30 yob, +20 city), and decide match / possible / nonmatch by
+# thresholds. Per A-record we keep the best-scoring B candidate
+# (argmax, deterministic tie-break) with the ground-truth flag the
+# synthetic construction provides.
+#
+# This is dedup's cross-SYSTEM sibling: q20/q70 collapse copies
+# within one corpus; linkage aligns records ACROSS corpora where no
+# content hash can match (fields are independently noisy).
+#
+# Scale shape: blocking keys are the only join keys (uniform-ish by
+# construction; a production system adds the q31-style block-size cap
+# against degenerate blocks); the pair set is distinct-deduped across
+# blocking passes; scoring is in-row; the per-A argmax is a window
+# whose partitions blocking bounds.
+#
+# Fixture (deterministic from the events user domain): system A has
+# every user; system B drops u%9==4, perturbs name for u%5==0, city
+# for u%7==2, yob for u%11==6, and adds decoy records (u%10==3,
+# shifted id + fields). Truth: b_id == a_id + 100000.
+# ---------------------------------------------------------------------------
+
+_Q222_A = """
+  SELECT user_id AS a_id,
+         'n' || CAST(user_id % 97 AS VARCHAR) AS name,
+         'c' || CAST(user_id % 13 AS VARCHAR) AS city,
+         1950 + user_id % 50 AS yob
+  FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+_Q222_B = """
+  SELECT user_id + 100000 AS b_id,
+         CASE WHEN user_id % 5 = 0 THEN 'n' || CAST((user_id + 1) % 97 AS VARCHAR)
+              ELSE 'n' || CAST(user_id % 97 AS VARCHAR) END AS name,
+         CASE WHEN user_id % 7 = 2 THEN 'c' || CAST((user_id + 1) % 13 AS VARCHAR)
+              ELSE 'c' || CAST(user_id % 13 AS VARCHAR) END AS city,
+         CASE WHEN user_id % 11 = 6 THEN 1950 + (user_id + 1) % 50
+              ELSE 1950 + user_id % 50 END AS yob
+  FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 9 <> 4
+  UNION ALL
+  SELECT user_id + 200000,
+         'n' || CAST((user_id + 43) % 97 AS VARCHAR),
+         'c' || CAST((user_id + 5) % 13 AS VARCHAR),
+         1950 + (user_id + 17) % 50
+  FROM (SELECT DISTINCT user_id FROM events) WHERE user_id % 10 = 3
+"""
+
+_Q222_ORACLE = f"""
+WITH a AS ({_Q222_A}),
+b AS ({_Q222_B}),
+cand AS (
+  SELECT DISTINCT a.a_id, b.b_id, a.name = b.name AS m_name,
+         a.city = b.city AS m_city, a.yob = b.yob AS m_yob
+  FROM a JOIN b ON a.name = b.name OR a.yob = b.yob
+),
+scored AS (
+  SELECT a_id, b_id,
+         40 * CAST(m_name AS INT) + 30 * CAST(m_yob AS INT)
+           + 20 * CAST(m_city AS INT) AS score
+  FROM cand
+),
+best AS (
+  SELECT a_id, b_id, score,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY score DESC, b_id) AS rn
+  FROM scored
+)
+SELECT CAST(a_id AS BIGINT) AS a_id,
+       CAST(b_id AS BIGINT) AS best_b_id,
+       CAST(score AS BIGINT) AS score,
+       CASE WHEN score >= 60 THEN 'match'
+            WHEN score >= 30 THEN 'possible'
+            ELSE 'nonmatch' END AS decision,
+       CAST(CASE WHEN b_id = a_id + 100000 THEN 1 ELSE 0 END AS INT) AS is_true
+FROM best WHERE rn = 1 ORDER BY a_id
+"""
+
+
+@register("q222_record_linkage", oracle=_Q222_ORACLE)
+def q222_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass-blocked Fellegi-Sunter linkage: name/yob blocks,
+    integer agreement scores, per-A argmax with truth flag."""
+    from pyspark.sql.window import Window
+
+    users = T(spark, sf_dir, "events").select("user_id").distinct()
+    a = users.select(
+        F.col("user_id").alias("a_id"),
+        F.concat(F.lit("n"), (F.col("user_id") % 97).cast("string")).alias("name"),
+        F.concat(F.lit("c"), (F.col("user_id") % 13).cast("string")).alias("city"),
+        (F.lit(1950) + F.col("user_id") % 50).alias("yob"),
+    )
+    b_main = users.where(F.col("user_id") % 9 != 4).select(
+        (F.col("user_id") + 100000).alias("b_id"),
+        F.concat(
+            F.lit("n"),
+            F.when(
+                F.col("user_id") % 5 == 0, (F.col("user_id") + 1) % 97
+            ).otherwise(F.col("user_id") % 97).cast("string"),
+        ).alias("name"),
+        F.concat(
+            F.lit("c"),
+            F.when(
+                F.col("user_id") % 7 == 2, (F.col("user_id") + 1) % 13
+            ).otherwise(F.col("user_id") % 13).cast("string"),
+        ).alias("city"),
+        (
+            F.lit(1950)
+            + F.when(
+                F.col("user_id") % 11 == 6, (F.col("user_id") + 1) % 50
+            ).otherwise(F.col("user_id") % 50)
+        ).alias("yob"),
+    )
+    b_decoy = users.where(F.col("user_id") % 10 == 3).select(
+        (F.col("user_id") + 200000).alias("b_id"),
+        F.concat(F.lit("n"), ((F.col("user_id") + 43) % 97).cast("string")).alias(
+            "name"
+        ),
+        F.concat(F.lit("c"), ((F.col("user_id") + 5) % 13).cast("string")).alias(
+            "city"
+        ),
+        (F.lit(1950) + (F.col("user_id") + 17) % 50).alias("yob"),
+    )
+    b = b_main.unionByName(b_decoy)
+    # multi-pass blocking: name-block pairs ∪ yob-block pairs, deduped
+    bn = a.join(
+        b.select(
+            F.col("b_id"),
+            F.col("name").alias("b_name"),
+            F.col("city").alias("b_city"),
+            F.col("yob").alias("b_yob"),
+        ),
+        a["name"] == F.col("b_name"),
+    )
+    by = a.join(
+        b.select(
+            F.col("b_id"),
+            F.col("name").alias("b_name"),
+            F.col("city").alias("b_city"),
+            F.col("yob").alias("b_yob"),
+        ),
+        a["yob"] == F.col("b_yob"),
+    )
+    cand = (
+        bn.unionByName(by)
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("name") == F.col("b_name")).alias("m_name"),
+            (F.col("city") == F.col("b_city")).alias("m_city"),
+            (F.col("yob") == F.col("b_yob")).alias("m_yob"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "a_id",
+        "b_id",
+        (
+            40 * F.col("m_name").cast("int")
+            + 30 * F.col("m_yob").cast("int")
+            + 20 * F.col("m_city").cast("int")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(), "b_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("best_b_id"),
+            F.col("score").cast("long").alias("score"),
+            F.when(F.col("score") >= 60, F.lit("match"))
+            .when(F.col("score") >= 30, F.lit("possible"))
+            .otherwise(F.lit("nonmatch"))
+            .alias("decision"),
+            F.when(F.col("b_id") == F.col("a_id") + 100000, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_true"),
+        )
+        .orderBy("a_id")
+    )
