@@ -1923,3 +1923,421 @@ def q215_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# ---------------------------------------------------------------------------
+# q224: tokenizer training — iterative BPE merge rounds (Sennrich et
+# al. 2016; the training loop behind every production BPE/WordPiece
+# vocab). q76 computes ONE round of adjacent-pair counts; this runs
+# the actual iteration: R rounds of (count adjacent symbol pairs
+# weighted by word frequency → pick the global argmax pair → merge
+# every greedy-leftmost non-overlapping occurrence inside every word).
+#
+# Scale shape: the corpus is scanned ONCE into the word-frequency
+# table (bounded by |vocab|, persisted); every round after that runs
+# on that bounded table — one partial-combining pair aggregate, one
+# O(1) argmax scalar to the driver (the global-argmax dependency is
+# inherent to BPE; industrial trainers do exactly this), and one
+# IN-ROW fold that rewrites each word's symbol array with zero
+# shuffle. Nothing per-round touches the corpus again.
+#
+# Two algorithms, one answer (q208 discipline): Spark merges via a
+# left-fold over the symbol array (a just-merged symbol is strictly
+# longer than the pair's left element, so the fold is exactly greedy
+# leftmost non-overlapping); the oracle merges via the declarative
+# gaps-and-islands form (mark matching positions, take odd offsets
+# within each run of consecutive marks, drop consumed right halves).
+# Their agreement on every word IS the correctness gate.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled BPE round k: argmax pair m{k} from s{k}, merged
+    symbol stream s{k+1}."""
+    return f"""
+p{k} AS (
+  SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, wt
+  FROM s{k} QUALIFY r IS NOT NULL
+),
+m{k} AS (SELECT l, r, SUM(wt) AS c FROM p{k} GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+t{k} AS (
+  SELECT word, wt, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+         CASE WHEN sym = (SELECT l FROM m{k})
+               AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT r FROM m{k})
+              THEN 1 ELSE 0 END AS mk
+  FROM s{k}
+),
+g{k} AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, mk ORDER BY pos) AS isl FROM t{k}
+),
+k{k} AS (
+  SELECT *, CASE WHEN mk = 1
+                  AND ROW_NUMBER() OVER (PARTITION BY word, mk, isl ORDER BY pos) % 2 = 1
+                 THEN 1 ELSE 0 END AS tk
+  FROM g{k}
+),
+s{k + 1} AS (
+  SELECT word, wt, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN tk = 1 THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT *, lag(tk, 1, 0) OVER (PARTITION BY word ORDER BY pos) AS ptk FROM k{k})
+  WHERE ptk = 0
+)"""
+
+
+_Q224_ORACLE = (
+    """
+WITH words AS (
+  SELECT word, COUNT(*) AS wt FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+  ) GROUP BY word
+),
+s1 AS (
+  SELECT word, wt,
+         generate_subscripts(string_split(word, ''), 1) AS pos,
+         unnest(string_split(word, '')) AS sym
+  FROM words
+),"""
+    + ",".join(_bpe_round_sql(k) for k in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS round, l AS left_sym, r AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    + "\nORDER BY round"
+)
+
+
+@register("q224_bpe_merge_rounds", oracle=_Q224_ORACLE)
+def q224_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three BPE training rounds over the corpus word-frequency table:
+    per round the argmax adjacent symbol pair (count-desc, then
+    lexicographic) and its weighted count; merges applied greedy-
+    leftmost via an in-row fold."""
+    d = T(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .persist()  # the one corpus scan; rounds touch only this
+    )
+    syms = words.select(
+        "word", "wt", F.expr("filter(split(word, ''), x -> x <> '')").alias("syms")
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = syms.where(F.size("syms") >= 2).select(
+            "wt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("wt").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        lft, rgt, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rnd, lft, rgt, cnt))
+        lft_sql, rgt_sql = lft.replace("'", "''"), rgt.replace("'", "''")
+        # greedy-leftmost merge: fold is exact because a just-merged
+        # symbol (len(l)+len(r)) can never equal the pair's left
+        # element (len(l)), so no accidental re-merge chains
+        syms = syms.withColumn(
+            "syms",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lft_sql}'"
+                f" AND x = '{rgt_sql}' "
+                "THEN concat(slice(acc, 1, size(acc) - 1),"
+                " array(concat(element_at(acc, -1), x))) "
+                "ELSE concat(acc, array(x)) END)"
+            ),
+        )
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q225: target-affinity data selection (the DSIR shape — Xie et al.
+# 2023 "Data Selection for Language Models via Importance Resampling"):
+# given a small CURATED target corpus and a huge raw pool, score every
+# pool document by how much its hashed-n-gram feature distribution
+# looks like the target rather than the pool at large, and select the
+# top slice. Features are word bigrams hashed into B=256 buckets (a
+# DESIGN constant like q202's sketch grid — independent of vocab
+# size), so both "distributions" are bounded 256-row tables.
+#
+# Exactness: per-bucket target/pool probabilities are integer
+# micro-probabilities (1e6 * n_b DIV total — same integer division
+# both engines); a doc's score is the SUM over its bigram instances
+# of (target_micro - pool_micro), a pure BIGINT accumulation (order-
+# independent), and the length-normalized affinity divides ONCE in
+# IEEE double at the end. DSIR's log-likelihood-ratio weights are
+# replaced by this linear difference because ln() is not bit-stable
+# across engines; the ranking intent (over-represented-in-target
+# features pull a doc up, pool-generic features pull it down) is
+# preserved and documented.
+#
+# Scale shape: one corpus scan builds bigram instances in-row; the
+# two distribution aggregates land on the 256-key bounded domain; the
+# scoring join is (doc bigram stream) x (256-row dim) — broadcast by
+# construction; the final top-k is TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+
+_Q225_B = 256  # feature buckets — design constant
+_Q225_TOPK = 50
+
+_Q225_BIGRAMS_DUCK = """
+  SELECT doc_id, word || ' ' || lead(word, 1) OVER w AS bigram
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS word,
+           generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+    FROM documents
+  )
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY bigram IS NOT NULL
+"""
+
+_Q225_ORACLE = f"""
+WITH bg AS (
+  SELECT doc_id, ('0x' || substr(md5(bigram), 1, 15))::BIGINT % {_Q225_B} AS bucket
+  FROM ({_Q225_BIGRAMS_DUCK})
+),
+seedb AS (SELECT bucket FROM bg WHERE doc_id % 20 = 0),
+poolb AS (SELECT doc_id, bucket FROM bg WHERE doc_id % 20 <> 0),
+tdist AS (
+  SELECT bucket, (1000000 * COUNT(*)) // (SELECT COUNT(*) FROM seedb) AS tp
+  FROM seedb GROUP BY bucket
+),
+rdist AS (
+  SELECT bucket, (1000000 * COUNT(*)) // (SELECT COUNT(*) FROM poolb) AS rp
+  FROM poolb GROUP BY bucket
+),
+scored AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(COALESCE(t.tp, 0) - r.rp) AS score
+  FROM poolb p
+  LEFT JOIN tdist t ON t.bucket = p.bucket
+  JOIN rdist r ON r.bucket = p.bucket
+  GROUP BY p.doc_id
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id, d.source,
+       CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(s.score AS BIGINT) AS score,
+       ROUND(CAST(s.score AS DOUBLE) / s.n_bigrams, 6) AS affinity
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY affinity DESC, doc_id
+LIMIT {_Q225_TOPK}
+"""
+
+
+@register("q225_target_affinity_selection", oracle=_Q225_ORACLE)
+def q225_target_affinity_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped selection: rank raw-pool docs by hashed-bigram
+    affinity to a curated seed split (integer micro-probability
+    difference summed over the doc's bigram instances)."""
+    d = T(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    bg = (
+        d.select("doc_id", words.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("bigram"), 1, 15), 16, 10).cast("long")
+                % _Q225_B
+            ).alias("bucket"),
+        )
+        .persist()
+    )
+    seedb = bg.where(F.col("doc_id") % 20 == 0)
+    poolb = bg.where(F.col("doc_id") % 20 != 0)
+    tn = seedb.count()  # O(1) scalars: distribution totals
+    rn = poolb.count()
+    tdist = seedb.groupBy("bucket").agg(
+        F.expr(f"1000000 * count(1) div {tn}").alias("tp")
+    )
+    rdist = poolb.groupBy("bucket").agg(
+        F.expr(f"1000000 * count(1) div {rn}").alias("rp")
+    )
+    scored = (
+        poolb.join(F.broadcast(tdist), "bucket", "left")  # 256-row design dim
+        .join(F.broadcast(rdist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce("tp", F.lit(0)) - F.col("rp")).alias("score"),
+        )
+    )
+    out = (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("score").cast("long").alias("score"),
+            F.round(
+                F.col("score").cast("double") / F.col("n_bigrams"), 6
+            ).alias("affinity"),
+        )
+        .orderBy(F.desc("affinity"), "doc_id")
+        .limit(_Q225_TOPK)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q227: line-level boilerplate extraction (the jusText / trafilatura
+# shape every HTML->training-text pipeline runs): classify each line
+# of a page by LINK DENSITY (share of its words inside <a>...</a>
+# anchors) and length, keep content lines, and rebuild the cleaned
+# document. q106 removes CROSS-document boilerplate paragraphs; this
+# is the WITHIN-page structural gate that runs before it (nav bars,
+# footers, ad blocks are link-dense or too short on the page they sit
+# in, regardless of corpus-wide frequency).
+#
+# The page fixture is synthesized in-query (q222 discipline): each
+# doc's words are chunked into 8-word content lines wrapped by a
+# planted anchor-menu nav line, an ad block after the first chunk, a
+# link-spiked footer, with every 3rd content line carrying ONE inline
+# anchor (anchors alone must NOT kill a content line).
+#
+# Scale shape: the whole operator is IN-ROW — lines, per-line word
+# and anchor-word counts (non-greedy <a>(.*?)</a> extraction, lazy
+# regex is bit-identical across engines on this markup), the keep
+# rule (>=4 content words AND link density <= 500 milli), and the
+# cleaned-text md5 are all array lambdas inside one projection: the
+# plan is Scan -> Project with ZERO exchanges (q68 shape). No
+# explode, no window, no shuffle.
+# ---------------------------------------------------------------------------
+
+_Q227_NAV = "<a> home </a> <a> about </a> <a> contact </a>"
+_Q227_AD = "buy now <a> click here today </a>"
+_Q227_FOOT = "<a> privacy </a> <a> terms </a> copyright"
+
+
+_Q227_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, source,
+         ['{_Q227_NAV}']
+         || chunks[1:1]
+         || ['{_Q227_AD}']
+         || chunks[2:len(chunks)]
+         || ['{_Q227_FOOT}'] AS lines
+  FROM (
+    SELECT doc_id, source,
+           list_transform(
+             range(0, CAST((len(w) + 7) // 8 AS INT)),
+             i -> array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')
+           ) AS chunks
+    FROM (SELECT doc_id, source,
+                 string_split_regex(trim(text), '\\s+') AS w
+          FROM documents)
+  )
+),
+feat AS (
+  SELECT doc_id, source,
+         list_transform(lines, l -> {{
+           'line': l,
+           'nw': len(list_filter(string_split_regex(l, '\\s+'),
+                     x -> x <> '' AND substr(x, 1, 1) <> '<')),
+           'nl': COALESCE(list_sum(list_transform(
+                     regexp_extract_all(l, '<a>(.*?)</a>', 1),
+                     s -> len(list_filter(string_split_regex(trim(s), '\\s+'),
+                              x -> x <> '')))), 0)
+         }}) AS ls
+  FROM pages
+),
+cls AS (
+  SELECT doc_id, source, ls,
+         list_filter(ls, s -> s.nw >= 4 AND 1000 * s.nl <= 500 * s.nw) AS kept
+  FROM feat
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(list_sum(list_transform(kept, s -> s.nw)), 0) AS BIGINT)
+         AS kept_words,
+       CAST(COALESCE(list_sum(list_transform(ls, s -> s.nl)), 0) AS BIGINT)
+         AS link_words,
+       md5(array_to_string(list_transform(kept, s -> s.line), ' ')) AS clean_md5
+FROM cls
+ORDER BY doc_id
+"""
+
+
+@register("q227_boilerplate_strip", oracle=_Q227_ORACLE)
+def q227_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density line classifier over synthesized pages: drop
+    nav/ad/footer lines (link-dense or short), keep content lines,
+    rebuild the clean text — all in-row, zero-shuffle."""
+    d = T(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(sequence(0, int((size(split(trim(text), '\\\\s+')) + 7) div 8) - 1),"
+            " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i * 8 + 1, 8)))"
+        ).alias("chunks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"concat(array('{_Q227_NAV}'), slice(chunks, 1, 1),"
+            f" array('{_Q227_AD}'),"
+            " slice(chunks, 2, greatest(size(chunks) - 1, 0)),"
+            f" array('{_Q227_FOOT}'))"
+        ).alias("lines"),
+    )
+    feat = pages.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(lines, l -> struct("
+            "l AS line,"
+            " size(filter(split(l, '\\\\s+'),"
+            "   x -> x <> '' AND substr(x, 1, 1) <> '<')) AS nw,"
+            " aggregate(regexp_extract_all(l, '<a>(.*?)</a>', 1), 0,"
+            "   (a, s) -> a + size(filter(split(trim(s), '\\\\s+'), x -> x <> '')))"
+            " AS nl))"
+        ).alias("ls"),
+    )
+    cls = feat.withColumn(
+        "kept",
+        F.expr("filter(ls, s -> s.nw >= 4 AND 1000 * s.nl <= 500 * s.nw)"),
+    )
+    return cls.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("ls") - F.size("kept")).cast("long").alias("n_dropped"),
+        F.expr("aggregate(kept, 0L, (a, s) -> a + s.nw)").alias("kept_words"),
+        F.expr("aggregate(ls, 0L, (a, s) -> a + s.nl)").alias("link_words"),
+        F.md5(F.expr("array_join(transform(kept, s -> s.line), ' ')")).alias(
+            "clean_md5"
+        ),
+    ).orderBy("doc_id")

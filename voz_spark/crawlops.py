@@ -5612,3 +5612,123 @@ def q219_schedule_policy_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226: crawl-trap detection — the frontier-hygiene audit that keeps a
+# 10^10-URL crawl from drowning in infinite URL spaces (calendar
+# pages, session-id query params, faceted-search combinatorics:
+# Heydon & Najork's classic "spider trap" problem). A trap is a URL
+# TEMPLATE (path with digit runs and query values normalized away)
+# that accumulates many distinct URLs whose fetched content barely
+# varies: the crawler spends fetches and gets nothing new.
+#
+# Fixture (synthesized from events, q222 discipline): three URL
+# classes per host — a calendar trap (/cal/<date>, every URL distinct,
+# content CONSTANT per host), real item pages (/item/<id>, content
+# varies with the URL), and a session-id trap (/p/view?session=<id>,
+# unbounded URLs, content constant per host).
+#
+# Scale shape: template normalization is an in-row regexp; the audit
+# is ONE partial-combining aggregate on the (host, template) key
+# (bounded: templates per host is small by construction of
+# normalization — that is the point of templating); distinct URL /
+# content counts partial-aggregate map-side. The trap rule is
+# integer-only: >= 5 URLs AND 1000 * n_content <= 200 * n_urls
+# (content-to-URL ratio <= 1/5).
+# ---------------------------------------------------------------------------
+
+_Q226_URLS_DUCK = """
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         CASE event_id % 3
+           WHEN 0 THEN '/cal/' || strftime(ts, '%Y-%m-%d')
+           WHEN 1 THEN '/item/' || CAST(event_id % 500 AS VARCHAR)
+           ELSE '/p/view?session=' || CAST(event_id AS VARCHAR)
+         END AS path,
+         CASE event_id % 3
+           WHEN 0 THEN 'empty-calendar-' || CAST(user_id % 20 AS VARCHAR)
+           WHEN 1 THEN 'item-' || CAST(event_id % 500 AS VARCHAR)
+           ELSE 'page-' || CAST(user_id % 20 AS VARCHAR)
+         END AS content_key
+  FROM events
+"""
+
+_Q226_ORACLE = f"""
+WITH urls AS ({_Q226_URLS_DUCK}),
+t AS (
+  SELECT host,
+         regexp_replace(regexp_replace(path, '=[^&]*', '=V', 'g'),
+                        '[0-9]+', 'N', 'g') AS template,
+         path, content_key
+  FROM urls
+),
+agg AS (
+  SELECT host, template,
+         COUNT(DISTINCT path) AS n_urls,
+         COUNT(DISTINCT content_key) AS n_content
+  FROM t GROUP BY host, template
+)
+SELECT host, template,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_content AS BIGINT) AS n_content,
+       CAST(CASE WHEN n_urls >= 5 AND 1000 * n_content <= 200 * n_urls
+            THEN 1 ELSE 0 END AS INT) AS is_trap,
+       CAST(n_urls - n_content AS BIGINT) AS wasted_fetches
+FROM agg
+ORDER BY host, template
+"""
+
+
+@register("q226_crawl_trap_detection", oracle=_Q226_ORACLE)
+def q226_crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(host, template) URL-space audit: templates with many
+    distinct URLs but near-constant content are flagged as crawl
+    traps; wasted_fetches counts the URLs that returned nothing new."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+    cls = F.col("event_id") % 3
+    urls = ev.select(
+        host.alias("host"),
+        F.when(cls == 0, F.concat(F.lit("/cal/"), F.date_format("ts", "yyyy-MM-dd")))
+        .when(cls == 1, F.concat(F.lit("/item/"), (F.col("event_id") % 500).cast("string")))
+        .otherwise(
+            F.concat(F.lit("/p/view?session="), F.col("event_id").cast("string"))
+        )
+        .alias("path"),
+        F.when(
+            cls == 0,
+            F.concat(F.lit("empty-calendar-"), (F.col("user_id") % 20).cast("string")),
+        )
+        .when(cls == 1, F.concat(F.lit("item-"), (F.col("event_id") % 500).cast("string")))
+        .otherwise(F.concat(F.lit("page-"), (F.col("user_id") % 20).cast("string")))
+        .alias("content_key"),
+    )
+    t = urls.select(
+        "host",
+        F.regexp_replace(
+            F.regexp_replace("path", r"=[^&]*", "=V"), r"[0-9]+", "N"
+        ).alias("template"),
+        "path",
+        "content_key",
+    )
+    agg = t.groupBy("host", "template").agg(
+        F.countDistinct("path").alias("n_urls"),
+        F.countDistinct("content_key").alias("n_content"),
+    )
+    return agg.select(
+        "host",
+        "template",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_content").cast("long").alias("n_content"),
+        F.when(
+            (F.col("n_urls") >= 5)
+            & (1000 * F.col("n_content") <= 200 * F.col("n_urls")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_trap"),
+        (F.col("n_urls") - F.col("n_content")).cast("long").alias("wasted_fetches"),
+    ).orderBy("host", "template")

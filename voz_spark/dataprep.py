@@ -3113,3 +3113,137 @@ def q222_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q223: prefix-filtering EXACT similarity self-join (the AllPairs /
+# PPJoin family — Bayardo et al. 2007, Xiao et al. 2008). The MinHash
+# path (q24/q25) is probabilistic: band collisions can MISS a true
+# near-dup pair. Prefix filtering is the exact complement: order every
+# doc's shingle set by one GLOBAL total order (ascending document
+# frequency, rarest first, shingle text as tie-break) and keep only
+# the first  p = n - ceil(t*n) + 1  shingles as the doc's PREFIX. Two
+# sets with Jaccard >= t MUST share at least one prefix token under
+# any shared total order (pigeonhole: disjoint prefixes imply the
+# overlap is confined to the suffixes, which are too small), so the
+# prefix self-join produces a candidate superset with NO false
+# negatives; exact Jaccard verification then keeps the true pairs.
+#
+# Scale shape: df is one shingle-keyed aggregate; the per-doc rank
+# window partitions by doc_id (bounded by shingles-per-doc, never
+# global); the self-join runs only over prefix rows — rare shingles by
+# construction of the ordering (a boilerplate shingle with huge df
+# sorts LAST and never enters a prefix unless the doc is nearly all
+# boilerplate) — with the standard length filter
+# ceil(t*na) <= nb <= floor(na/t) applied inside the join condition.
+# At t = 1/2 both bounds are integer-exact: 2*nb >= na AND nb <= 2*na.
+# The final threshold J >= 1/2 is likewise evaluated in integers
+# (3*i >= na + nb) so no float comparison decides membership in either
+# engine. Verification is the q26 candidate-pair intersection shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q223_prefix_filter_join",
+    oracle=f"""
+WITH sh AS ({_shingles_sql()}),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+dfs AS (SELECT shingle, COUNT(*) AS df FROM ds GROUP BY shingle),
+ranked AS (
+  SELECT ds.doc_id, ds.shingle, s.n,
+         ROW_NUMBER() OVER (PARTITION BY ds.doc_id ORDER BY d.df, ds.shingle) AS rk
+  FROM ds JOIN dfs d ON ds.shingle = d.shingle
+          JOIN sizes s ON s.doc_id = ds.doc_id
+),
+pref AS (SELECT doc_id, shingle, n FROM ranked WHERE rk <= n - CEIL(0.5 * n) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND 2 * b.n >= a.n AND b.n <= 2 * a.n
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ds a ON a.doc_id = c.doc_a
+  JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT CAST(i.doc_a AS BIGINT) AS doc_a, CAST(i.doc_b AS BIGINT) AS doc_b,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+       ROUND(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 3 * i.n_inter >= sa.n + sb.n
+ORDER BY jaccard DESC, doc_a, doc_b
+""",
+)
+def q223_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 1/2 similarity self-join via df-ordered prefix
+    filtering: complete (no false negatives, unlike banded MinHash)
+    with the candidate space bounded by rare-prefix collisions plus
+    the integer length filter."""
+    from pyspark.sql.window import Window as W
+
+    ds = _spark_shingles(T(spark, sf_dir, "documents")).distinct().persist()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfs = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = W.partitionBy("doc_id").orderBy("df", "shingle")
+    # persist: the prefix table feeds BOTH sides of the self-join (the
+    # q25/q81 lesson — an unpersisted double-referenced subplan re-runs
+    # its whole window+join subtree once per reference)
+    pref = (
+        ds.join(dfs, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .where(F.col("rk") <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1)
+        .select("doc_id", "shingle", "n")
+        .persist()
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("pna")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("pnb")
+    )
+    cand = (
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (2 * F.col("pnb") >= F.col("pna"))
+            & (F.col("pnb") <= 2 * F.col("pna")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    inter = (
+        cand.join(ds.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(ds.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(3 * F.col("n_inter") >= F.col("na") + F.col("nb"))
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    )
