@@ -473,6 +473,9 @@ def test_q149_packing_matches_bruteforce(spark, sf_dir):
     )
 
     buckets = [int(x) for x in _Q149_BUCKETS.split(",")]
+    # run the query FIRST so the write-once fixture exists even when
+    # this test runs alone in a fresh /tmp
+    got = {r.bucket: r for r in q149_aspect_bucket_packing(spark, sf_dir).collect()}
     pdf = spark.read.parquet(Q143_SIZES_PATH).toPandas()
     cells = defaultdict(int)
     for _, r in pdf.iterrows():
@@ -480,7 +483,6 @@ def test_q149_packing_matches_bruteforce(spark, sf_dir):
         bk = min(buckets, key=lambda b: (abs(ratio - b), b))
         shard = hashlib.md5(r.image_id.encode()).hexdigest()[0]
         cells[(bk, shard)] += 1
-    got = {r.bucket: r for r in q149_aspect_bucket_packing(spark, sf_dir).collect()}
     per_bucket = defaultdict(lambda: [0, 0, 0, 0])
     for (bk, _), cnt in cells.items():
         s = per_bucket[bk]
@@ -565,6 +567,9 @@ def test_q152_direction_and_bruteforce_parity(spark, sf_dir):
         q152_thumbnail_pairs,
     )
 
+    # run the query FIRST: it materializes the write-once fixture, so
+    # the direct fixture read below works in a fresh /tmp too
+    got = {tuple(r) for r in q152_thumbnail_pairs(spark, sf_dir).collect()}
     pdf = spark.read.parquet(Q152_THUMBS_PATH).toPandas()
     info = {r.image_id: (int(r.phash) & 0xFFFFFFFFFFFFFFFF, int(r.w) * int(r.h)) for r in pdf.itertuples()}
     buckets = defaultdict(list)
@@ -587,7 +592,6 @@ def test_q152_direction_and_bruteforce_parity(spark, sf_dir):
         if max(aa, ab) >= _Q152_AREA_RATIO * min(aa, ab):
             t, o = (a, b) if aa <= ab else (b, a)
             expect.add((t, o, ham, 1000 * max(aa, ab) // min(aa, ab)))
-    got = {tuple(r) for r in q152_thumbnail_pairs(spark, sf_dir).collect()}
     assert got == expect
     planted = {
         (f"img{i:05d}", f"img{i - 1:05d}") for i in range(_Q152_N) if i % 8 == 5
