@@ -1,0 +1,151 @@
+"""Semantics tests for q228 (consistent-hash ring audit), q229
+(code-switch segmentation), q230 (KMV set algebra) — each pinned
+against an independent pure-Python replay."""
+
+import hashlib
+import re
+from collections import defaultdict
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_q228_ring_vs_python_and_consistency_property(spark, sf_dir):
+    """Replay the ring assignment; every moved host must land on the
+    NEW shard (ring_moved_to_survivor == 0) and modulo churn must be
+    several times the ring churn."""
+    from voz_spark.crawlops import (
+        _Q228_HOSTS,
+        _Q228_K,
+        _Q228_V,
+        q228_consistent_ring_audit,
+    )
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").collect()
+    load = defaultdict(int)
+    for r in ev:
+        load[r["event_id"] % _Q228_HOSTS] += 1
+
+    def ring(k):
+        pts = sorted(
+            (_h60(f"ring:{s}:{v}"), s) for s in range(k) for v in range(_Q228_V)
+        )
+        return pts
+
+    r16, r17 = ring(_Q228_K), ring(_Q228_K + 1)
+
+    def assign(pts, h):
+        for pos, s in pts:
+            if pos >= h:
+                return s
+        return pts[0][1]
+
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])  # shard -> stats
+    for host, n in load.items():
+        h = _h60(str(host))
+        s16, s17 = assign(r16, h), assign(r17, h)
+        st = want[s16]
+        st[0] += 1
+        st[1] += n
+        if s17 != s16:
+            st[2] += 1
+            if s17 != _Q228_K:
+                st[3] += 1
+        if host % _Q228_K != host % (_Q228_K + 1):
+            st[4] += 1
+    rows = {r["shard"]: r for r in q228_consistent_ring_audit(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for s, (nh, nu, rm, rms, mm) in want.items():
+        r = rows[s]
+        assert (
+            r["n_hosts"], r["n_urls"], r["ring_moved"],
+            r["ring_moved_to_survivor"], r["mod_moved_from_here"],
+        ) == (nh, nu, rm, rms, mm)
+    # the consistent-hashing guarantee + the modulo pathology
+    assert all(r["ring_moved_to_survivor"] == 0 for r in rows.values())
+    ring_total = sum(r["ring_moved"] for r in rows.values())
+    mod_total = sum(r["mod_moved_from_here"] for r in rows.values())
+    assert mod_total > 3 * ring_total > 0
+
+
+_STOP = {"the", "a", "of", "and", "to", "in", "is"}
+
+
+def test_q229_segments_vs_python(spark, sf_dir):
+    """Replay paragraph langid + island merge; doc counts must match
+    exactly and the fixture must actually contain code-switch docs."""
+    from voz_spark.corpus_ops import _Q229_PARA, q229_code_switch_segments
+    from voz_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    want = {}
+    for d in docs:
+        w = re.split(r"\s+", d["text"].strip())
+        paras = [
+            " ".join(w[i * _Q229_PARA : (i + 1) * _Q229_PARA])
+            for i in range((len(w) + _Q229_PARA - 1) // _Q229_PARA)
+        ]
+        preds = []
+        for p in paras:
+            toks = p.split(" ")
+            preds.append("en" if 20 * sum(t in _STOP for t in toks) >= len(toks) else "unk")
+        segs = []
+        for p in preds:
+            if not segs or segs[-1][0] != p:
+                segs.append([p, 0])
+            segs[-1][1] += 1
+        want[d["doc_id"]] = (
+            d["lang"], len(preds), len(segs),
+            sum(n for p, n in segs if p == "en"),
+            max(n for _, n in segs),
+        )
+    rows = {r["doc_id"]: r for r in q229_code_switch_segments(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for did, (lang, np_, ns, ne, mr) in want.items():
+        r = rows[did]
+        assert (r["lang"], r["n_paras"], r["n_segments"], r["n_en_paras"], r["max_run"]) == (
+            lang, np_, ns, ne, mr,
+        )
+    assert any(r["n_segments"] > 1 for r in rows.values())
+
+
+def test_q230_kmv_algebra_vs_python(spark, sf_dir):
+    """Replay the merged sketches and estimates; exact counts must
+    match a set replay, rho must match, and estimates must agree with
+    the replay formula to float tolerance AND sit within 60% of the
+    exact answer (k=64 accuracy sanity)."""
+    from voz_spark.dataprep import _KMV_K, _KMV_SPACE, q230_kmv_set_algebra
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    users = defaultdict(set)
+    for r in ev:
+        users[r["event_type"]].add(r["user_id"])
+    hs = {
+        t: sorted(hashlib.md5(str(u).encode()).hexdigest()[:12] for u in us)
+        for t, us in users.items()
+    }
+    sk = {t: set(v[:_KMV_K]) for t, v in hs.items()}
+    rows = {(r["ta"], r["tb"]): r for r in q230_kmv_set_algebra(spark, sf_dir).collect()}
+    types = sorted(users)
+    expect_pairs = {(a, b) for i, a in enumerate(types) for b in types[i + 1 :]}
+    assert set(rows) == expect_pairs
+    for (a, b), r in rows.items():
+        eu = len(users[a] | users[b])
+        ei = len(users[a] & users[b])
+        merged = sorted(sk[a] | sk[b])[:_KMV_K]
+        rho = sum(1 for h in merged if h in sk[a] and h in sk[b])
+        if len(merged) < _KMV_K:
+            est_u = float(len(merged))
+        else:
+            est_u = (_KMV_K - 1) * _KMV_SPACE / int(merged[-1], 16)
+        est_i = rho * est_u / _KMV_K
+        assert (r["exact_union"], r["exact_inter"], r["rho"]) == (eu, ei, rho)
+        assert abs(r["est_union"] - est_u) < 1e-4
+        assert abs(r["est_inter"] - est_i) < 1e-4
+        # sketch quality: within 60% relative error at k=64
+        assert abs(est_u - eu) <= 0.6 * eu
+        if ei >= 20:
+            assert abs(est_i - ei) <= 0.6 * ei

@@ -2341,3 +2341,139 @@ def q227_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_md5"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q229: code-switch language segmentation — the mC4/CCNet shape for
+# documents that MIX languages: language-ID per PARAGRAPH (q34's
+# stopword-density rule at paragraph granularity), then merge
+# consecutive same-prediction paragraphs into segments with the
+# gaps-and-islands idiom (q13's sessionize applied to language runs).
+# A corpus pipeline splits such documents at segment boundaries
+# instead of mislabeling (or dropping) the whole document on its
+# majority language.
+#
+# Scale shape: paragraphs are built IN-ROW (q227's chunking) and
+# exploded bounded-per-doc; the lag + running-sum island window
+# partitions by doc_id (never global); one per-doc rollup ends it.
+# One doc-keyed shuffle total.
+# ---------------------------------------------------------------------------
+
+_Q229_PARA = 10  # words per synthesized paragraph
+
+_Q229_ORACLE = f"""
+WITH paras AS (
+  SELECT doc_id, lang,
+         generate_subscripts(ps, 1) AS para_no, unnest(ps) AS para
+  FROM (
+    SELECT doc_id, lang,
+           list_transform(
+             range(0, CAST((len(w) + {_Q229_PARA - 1}) // {_Q229_PARA} AS INT)),
+             i -> array_to_string(
+               w[i * {_Q229_PARA} + 1 : i * {_Q229_PARA} + {_Q229_PARA}], ' ')
+           ) AS ps
+    FROM (SELECT doc_id, lang,
+                 string_split_regex(trim(text), '\\s+') AS w
+          FROM documents)
+  )
+),
+pred AS (
+  SELECT doc_id, lang, para_no,
+         CASE WHEN 20 * len(list_filter(string_split(para, ' '),
+                    t -> t IN ({", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is"])})))
+                   >= len(string_split(para, ' '))
+              THEN 'en' ELSE 'unk' END AS plang
+  FROM paras
+),
+chg AS (
+  SELECT doc_id, lang, para_no, plang,
+         CASE WHEN plang = lag(plang) OVER (PARTITION BY doc_id ORDER BY para_no)
+              THEN 0 ELSE 1 END AS is_new
+  FROM pred
+),
+seg AS (
+  SELECT doc_id, lang, para_no, plang,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY para_no
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM chg
+),
+runs AS (
+  SELECT doc_id, lang, seg_id, any_value(plang) AS plang,
+         COUNT(*) AS run_len
+  FROM seg GROUP BY doc_id, lang, seg_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(SUM(run_len) AS BIGINT) AS n_paras,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN plang = 'en' THEN run_len ELSE 0 END) AS BIGINT)
+         AS n_en_paras,
+       CAST(MAX(run_len) AS BIGINT) AS max_run
+FROM runs
+GROUP BY doc_id, lang
+ORDER BY doc_id
+"""
+
+
+@register("q229_code_switch_segments", oracle=_Q229_ORACLE)
+def q229_code_switch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level language ID + island merge: per doc the number
+    of paragraphs, contiguous same-language segments, en paragraphs,
+    and the longest single-language run."""
+    from voz_spark.dataprep import _EN_STOP
+
+    d = T(spark, sf_dir, "documents")
+    stop_sql = ", ".join(f"'{w}'" for w in _EN_STOP)
+    paras = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"transform(sequence(0, int((size(split(trim(text), '\\\\s+')) + {_Q229_PARA - 1})"
+                f" div {_Q229_PARA}) - 1),"
+                f" i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
+                f" i * {_Q229_PARA} + 1, {_Q229_PARA})))"
+            ).alias("ps"),
+        )
+        .select("doc_id", "lang", F.posexplode("ps").alias("p0", "para"))
+        .select("doc_id", "lang", (F.col("p0") + 1).alias("para_no"), "para")
+    )
+    pred = paras.select(
+        "doc_id",
+        "lang",
+        "para_no",
+        F.expr(
+            f"CASE WHEN 20 * size(filter(split(para, ' '), t -> t IN ({stop_sql})))"
+            " >= size(split(para, ' ')) THEN 'en' ELSE 'unk' END"
+        ).alias("plang"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("para_no")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = pred.withColumn(
+        "seg_id",
+        F.sum(
+            F.when(F.col("plang") == F.lag("plang").over(w), 0).otherwise(1)
+        ).over(w2),
+    )
+    runs = seg.groupBy("doc_id", "lang", "seg_id").agg(
+        F.first("plang").alias("plang"), F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_id", "lang")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_paras"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("plang") == "en", F.col("run_len")).otherwise(0))
+            .cast("long")
+            .alias("n_en_paras"),
+            F.max("run_len").cast("long").alias("max_run"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "n_paras",
+            "n_segments",
+            "n_en_paras",
+            "max_run",
+        )
+        .orderBy("doc_id")
+    )

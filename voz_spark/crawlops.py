@@ -5732,3 +5732,184 @@ def q226_crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_trap"),
         (F.col("n_urls") - F.col("n_content")).cast("long").alias("wasted_fetches"),
     ).orderBy("host", "template")
+
+
+# ---------------------------------------------------------------------------
+# q228: consistent-hash RING routing audit (Karger et al. 1997) — the
+# third stable-routing strategy beside q157's rendezvous hashing and
+# the modulo baseline. A ring with V virtual nodes per shard maps a
+# key to the first ring position clockwise >= hash(key) (wrapping to
+# the ring's global minimum). The audit computes, for K=16 shards
+# growing to K+1: per-shard host/URL load under the ring, ring churn
+# (hosts that move — provably they ALL move onto the NEW shard), and
+# the modulo baseline's churn (~K/(K+1) of all hosts scatter between
+# SURVIVOR shards, invalidating politeness state fleet-wide).
+#
+# Scale shape: the ring is a DESIGN-constant array (K*V = 128 / 136
+# sorted (pos, shard) structs) built by one tiny aggregate and
+# broadcast as a 1-row cross join; per-host assignment is an in-row
+# first-match lookup over that array (no join fan-out, no window);
+# the host rollup is the only real shuffle (q157 shape). Hash = the
+# house md5 60-bit integer idiom, bit-identical in both engines.
+# ---------------------------------------------------------------------------
+
+_Q228_HOSTS = 997
+_Q228_K = 16
+_Q228_V = 8  # virtual nodes per shard
+
+_Q228_H60_DUCK = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_Q228_ORACLE = f"""
+WITH hosts AS (
+  SELECT event_id % {_Q228_HOSTS} AS host, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM events GROUP BY 1
+),
+hh AS (
+  SELECT host, n_urls,
+         {_Q228_H60_DUCK.format(x="CAST(host AS VARCHAR)")} AS h
+  FROM hosts
+),
+vn AS (
+  SELECT s, v,
+         {_Q228_H60_DUCK.format(x="'ring:' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS pos
+  FROM (SELECT unnest(range(0, {_Q228_K + 1})) AS s) shards,
+       (SELECT unnest(range(0, {_Q228_V})) AS v) vns
+),
+ring16 AS (
+  SELECT list(struct_pack(pos := pos, shard := s) ORDER BY pos) AS ring
+  FROM vn WHERE s < {_Q228_K}
+),
+ring17 AS (
+  SELECT list(struct_pack(pos := pos, shard := s) ORDER BY pos) AS ring
+  FROM vn
+),
+asg AS (
+  SELECT host, n_urls,
+         COALESCE(list_filter(r16.ring, x -> x.pos >= h)[1].shard,
+                  r16.ring[1].shard) AS shard,
+         COALESCE(list_filter(r17.ring, x -> x.pos >= h)[1].shard,
+                  r17.ring[1].shard) AS shard_after_grow,
+         host
+  FROM hh, ring16 r16, ring17 r17
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN shard_after_grow <> shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS ring_moved,
+       CAST(SUM(CASE WHEN shard_after_grow <> shard
+                      AND shard_after_grow <> {_Q228_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS ring_moved_to_survivor,
+       CAST(SUM(CASE WHEN host % {_Q228_K} <> host % {_Q228_K + 1}
+                THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved_from_here
+FROM asg
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("q228_consistent_ring_audit", oracle=_Q228_ORACLE)
+def q228_consistent_ring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring (V=8 vnodes) host->shard routing with
+    K -> K+1 churn per shard vs the modulo baseline;
+    ring_moved_to_survivor must be 0 (the consistent-hashing
+    guarantee)."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hosts = (
+        ev.select((F.col("event_id") % _Q228_HOSTS).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )
+    hh = hosts.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("host").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    vn = spark.range(_Q228_K + 1).select(
+        F.col("id").cast("int").alias("s"),
+        F.explode(F.expr(f"sequence(0, {_Q228_V - 1})")).alias("v"),
+    ).select(
+        "s",
+        "v",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ring:"),
+                        F.col("s").cast("string"),
+                        F.lit(":"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    ring16 = vn.where(F.col("s") < _Q228_K).agg(
+        F.sort_array(F.collect_list(F.struct("pos", F.col("s").alias("shard")))).alias(
+            "ring16"
+        )
+    )
+    ring17 = vn.agg(
+        F.sort_array(F.collect_list(F.struct("pos", F.col("s").alias("shard")))).alias(
+            "ring17"
+        )
+    )
+    lookup = (
+        "coalesce(get(filter({r}, x -> x.pos >= h), 0).shard, get({r}, 0).shard)"
+    )
+    asg = (
+        hh.crossJoin(F.broadcast(ring16))
+        .crossJoin(F.broadcast(ring17))
+        .select(
+            "host",
+            "n_urls",
+            F.expr(lookup.format(r="ring16")).alias("shard"),
+            F.expr(lookup.format(r="ring17")).alias("shard_after_grow"),
+        )
+    )
+    return (
+        asg.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("n_urls").cast("long").alias("n_urls"),
+            F.sum(
+                F.when(F.col("shard_after_grow") != F.col("shard"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ring_moved"),
+            F.sum(
+                F.when(
+                    (F.col("shard_after_grow") != F.col("shard"))
+                    & (F.col("shard_after_grow") != _Q228_K),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ring_moved_to_survivor"),
+            F.sum(
+                F.when(
+                    F.col("host") % _Q228_K != F.col("host") % (_Q228_K + 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("mod_moved_from_here"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_hosts",
+            "n_urls",
+            "ring_moved",
+            "ring_moved_to_survivor",
+            "mod_moved_from_here",
+        )
+        .orderBy("shard")
+    )

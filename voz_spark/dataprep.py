@@ -3247,3 +3247,211 @@ def q223_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q230: KMV sketch SET ALGEBRA (Beyer et al. 2007, "On synopses for
+# distinct-value estimation under multiset operations") — the property
+# that makes KMV the production distinct sketch: two groups' sketches
+# MERGE (k smallest of the union of their kept hashes) into the union
+# sketch without touching raw data, and the intersection is estimated
+# from the same merged sketch as (members of both sketches among the
+# merged k) / k x union-estimate. q59 builds per-group sketches; this
+# runs the algebra over every event-type PAIR with the exact
+# counts computed alongside as the audit (q202 discipline).
+#
+# Scale shape: sketches are k=64 rows per group — the pair merge is a
+# bounded self-join (|pairs| x 2k rows) and its rank window partitions
+# by pair with <= 2k rows each; only the exact AUDIT side (which a
+# production run drops) scans the raw distinct table. Estimates are
+# deterministic: 48-bit md5-hex order, integer rho, one shared
+# float expression both engines evaluate identically.
+# ---------------------------------------------------------------------------
+
+_Q230_EST = (
+    "CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE) "
+    "ELSE CAST({km1} AS DOUBLE) * CAST({space} AS DOUBLE) / "
+    "CAST(CAST('0x' || kth AS BIGINT) AS DOUBLE) END"
+)
+
+
+@register(
+    "q230_kmv_set_algebra",
+    oracle=f"""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS hs
+  FROM events
+),
+sk AS (
+  SELECT event_type, hs FROM (
+    SELECT event_type, hs,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hs) AS rn
+    FROM (SELECT DISTINCT event_type, hs FROM u)
+  ) WHERE rn <= {_KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+member AS (
+  SELECT p.ta, p.tb, s.hs,
+         MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, s.hs
+),
+merged AS (
+  SELECT ta, tb, hs, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hs) AS rn
+  FROM member
+),
+msk AS (
+  SELECT ta, tb, COUNT(*) AS n_kept,
+         MAX(CASE WHEN rn = {_KMV_K} THEN hs END) AS kth,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS rho
+  FROM merged WHERE rn <= {_KMV_K}
+  GROUP BY ta, tb
+),
+exact AS (
+  SELECT p.ta, p.tb,
+         COUNT(DISTINCT u.user_id) AS exact_union,
+         COUNT(DISTINCT CASE WHEN ina.user_id IS NOT NULL
+                              AND inb.user_id IS NOT NULL
+                             THEN u.user_id END) AS exact_inter
+  FROM pairs p
+  JOIN u ON u.event_type IN (p.ta, p.tb)
+  LEFT JOIN (SELECT DISTINCT event_type, user_id FROM u) ina
+    ON ina.event_type = p.ta AND ina.user_id = u.user_id
+  LEFT JOIN (SELECT DISTINCT event_type, user_id FROM u) inb
+    ON inb.event_type = p.tb AND inb.user_id = u.user_id
+  GROUP BY p.ta, p.tb
+)
+SELECT m.ta, m.tb,
+       CAST(e.exact_union AS BIGINT) AS exact_union,
+       CAST(e.exact_inter AS BIGINT) AS exact_inter,
+       CAST(m.rho AS BIGINT) AS rho,
+       ROUND({_Q230_EST.format(k=_KMV_K, km1=_KMV_K - 1, space=int(_KMV_SPACE))}, 6)
+         AS est_union,
+       ROUND(CAST(m.rho AS DOUBLE) *
+             ({_Q230_EST.format(k=_KMV_K, km1=_KMV_K - 1, space=int(_KMV_SPACE))})
+             / CAST({_KMV_K} AS DOUBLE), 6) AS est_inter
+FROM msk m JOIN exact e ON e.ta = m.ta AND e.tb = m.tb
+ORDER BY m.ta, m.tb
+""",
+)
+def q230_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event-type pair: KMV union/intersection estimates from the
+    MERGED 64-minimum sketch (never re-reading raw data) with the
+    exact distinct counts alongside as the audit."""
+    from pyspark.sql.window import Window
+
+    ev = T(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    u = ev.select(
+        "event_type",
+        "user_id",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12).alias("hs"),
+    ).persist()
+    # q59's salted two-phase k-smallest: phase 1 bounds any window
+    # partition to its salt's share, phase 2 ranks <= k*salts rows
+    h = u.select("event_type", "hs").distinct()
+    salted = h.withColumn(
+        "_salt", F.pmod(F.xxhash64("hs"), F.lit(_KMV_SALTS)).cast("int")
+    )
+    w0 = Window.partitionBy("event_type", "_salt").orderBy("hs")
+    cand = (
+        salted.withColumn("_rn", F.row_number().over(w0))
+        .where(F.col("_rn") <= _KMV_K)
+        .drop("_rn", "_salt")
+    )
+    w1 = Window.partitionBy("event_type").orderBy("hs")
+    sk = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    types = u.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    member = (
+        F.broadcast(pairs)
+        .join(
+            sk.alias("s"),
+            (F.col("s.event_type") == F.col("ta"))
+            | (F.col("s.event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "hs")
+        .agg(
+            F.max(
+                F.when(F.col("s.event_type") == F.col("ta"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("s.event_type") == F.col("tb"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w2 = Window.partitionBy("ta", "tb").orderBy("hs")
+    merged = member.withColumn("rn", F.row_number().over(w2)).where(
+        F.col("rn") <= _KMV_K
+    )
+    msk = merged.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hs"))).alias("kth"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("rho"),
+    )
+    uu = u.select("event_type", "user_id")
+    mem2 = (
+        F.broadcast(pairs)
+        .join(
+            uu.alias("x"),
+            (F.col("x.event_type") == F.col("ta"))
+            | (F.col("x.event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("x.event_type") == F.col("ta"), 1).otherwise(0)
+            ).alias("ia"),
+            F.max(
+                F.when(F.col("x.event_type") == F.col("tb"), 1).otherwise(0)
+            ).alias("ib"),
+        )
+    )
+    exact = mem2.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("ia") * F.col("ib")).alias("exact_inter"),
+    )
+    est_sql = (
+        _Q230_EST.format(k=_KMV_K, km1=_KMV_K - 1, space=int(_KMV_SPACE))
+        .replace("CAST('0x' || kth AS BIGINT)", "CAST(conv(kth, 16, 10) AS BIGINT)")
+    )
+    out = (
+        msk.join(exact, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.col("rho").cast("long").alias("rho"),
+            F.round(F.expr(est_sql), 6).alias("est_union"),
+            F.round(
+                F.expr(
+                    f"CAST(rho AS DOUBLE) * ({est_sql}) / CAST({_KMV_K} AS DOUBLE)"
+                ),
+                6,
+            ).alias("est_inter"),
+        )
+        .orderBy("ta", "tb")
+    )
+    return out
