@@ -149,3 +149,77 @@ def test_q230_kmv_algebra_vs_python(spark, sf_dir):
         assert abs(est_u - eu) <= 0.6 * eu
         if ei >= 20:
             assert abs(est_i - ei) <= 0.6 * ei
+
+
+def test_q231_incremental_merge_equals_recompute_and_is_incremental(spark, sf_dir):
+    """Python full-recompute replay must equal the merged view, and
+    the delta batch must actually change standing cells (the merge is
+    exercised, not a no-op)."""
+    from decimal import Decimal
+
+    from voz_spark.session import load_table
+    from voz_spark.storage import q231_incremental_view_merge
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "user_id", "value"
+    ).collect()
+    full, base = {}, {}
+    for r in ev:
+        key = (r["event_type"], r["ts"].strftime("%Y-%m-%d"))
+        for tgt in ([full, base] if r["event_id"] % 10 < 8 else [full]):
+            cell = tgt.setdefault(key, [0, Decimal(0), set()])
+            cell[0] += 1
+            cell[1] += Decimal(str(round(r["value"], 3)))
+            cell[2].add(r["user_id"])
+    rows = {(r["event_type"], r["day"]): r for r in q231_incremental_view_merge(spark, sf_dir).collect()}
+    assert set(rows) == set(full)
+    for key, (n, sv, us) in full.items():
+        r = rows[key]
+        assert (r["n_events"], r["n_users"]) == (n, len(us))
+        assert abs(Decimal(str(r["sum_value"])) - sv) < Decimal("0.001")
+    changed = [k for k in full if full[k][0] != base.get(k, [0])[0]]
+    assert changed  # the delta actually touched standing cells
+
+
+def test_q232_walks_vs_python(spark, sf_dir):
+    """Replay the hash-deterministic walks; every step must follow a
+    graph edge and match the argmin-md5 choice exactly."""
+    from voz_spark.relational import _Q232_STARTS, _Q232_STEPS, q232_deterministic_walks
+    from voz_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    pair_orders = defaultdict(int)
+    for ps in orders.values():
+        s = sorted(ps)
+        for i, u in enumerate(s):
+            for v in s[i + 1 :]:
+                pair_orders[(u, v)] += 1
+    adj = defaultdict(set)
+    for (u, v), w in pair_orders.items():
+        if w >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    starts = sorted(adj)[:_Q232_STARTS]
+    want = []
+    for wk in starts:
+        node = wk
+        want.append((wk, 0, node))
+        for k in range(1, _Q232_STEPS + 1):
+            node = min(
+                adj[node],
+                key=lambda d: (hashlib.md5(f"{wk}:{k}:{d}".encode()).hexdigest(), d),
+            )
+            want.append((wk, k, node))
+    got = [
+        (r["walker"], r["step"], r["node"])
+        for r in q232_deterministic_walks(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # walk validity: each step follows an edge
+    pos = {(w, s): n for w, s, n in got}
+    for (w, s), n in pos.items():
+        if s > 0:
+            assert n in adj[pos[(w, s - 1)]]

@@ -1917,3 +1917,110 @@ def q209_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("err_mcv_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q232: deterministic random-walk sampling (the DeepWalk / node2vec
+# positive-pair generator, made reproducible for a distributed
+# pipeline): from a fixed start set, take K=3 walk steps where the
+# "random" neighbor choice at step k is argmin over the neighbors of
+# md5(walker:k:neighbor) — a pure function of (walker, step,
+# neighbor), so every engine, retry, and re-partitioning produces THE
+# SAME walks (the q58 no-RNG discipline applied to graph sampling).
+# Graph = q55's strong co-purchase edges, both directions.
+#
+# Scale shape: each step is ONE equi-join of the current frontier
+# (|walkers| rows) against the adjacency list, and the choice is a
+# per-walker argmin window bounded by the current node's degree —
+# O(K) joins total, no driver-side walk state, walks embarrassingly
+# parallel across walkers.
+# ---------------------------------------------------------------------------
+
+_Q232_STARTS = 20
+_Q232_STEPS = 3
+
+
+def _q232_step_sql(k: int) -> str:
+    return f"""
+s{k} AS (
+  SELECT walker, dst AS node FROM (
+    SELECT c.walker, a.dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.walker
+             ORDER BY md5(CAST(c.walker AS VARCHAR) || ':{k}:' || CAST(a.dst AS VARCHAR)), a.dst
+           ) AS rn
+    FROM s{k - 1} c JOIN adj a ON a.src = c.node
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "q232_deterministic_walks",
+    oracle=f"""
+WITH {_EDGES_CTE},
+adj AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+s0 AS (
+  SELECT src AS walker, src AS node FROM (SELECT DISTINCT src FROM adj)
+  ORDER BY src LIMIT {_Q232_STARTS}
+),{",".join(_q232_step_sql(k) for k in range(1, _Q232_STEPS + 1))}
+SELECT CAST(walker AS BIGINT) AS walker, CAST(step AS INT) AS step,
+       CAST(node AS BIGINT) AS node
+FROM (
+  SELECT walker, 0 AS step, node FROM s0
+  {" ".join(f"UNION ALL SELECT walker, {k} AS step, node FROM s{k}" for k in range(1, _Q232_STEPS + 1))}
+)
+ORDER BY walker, step
+""",
+)
+def q232_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3 hash-deterministic walk steps from the 20 smallest nodes of
+    the co-purchase graph; each step one frontier-adjacency equi-join
+    + a degree-bounded per-walker argmin."""
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _copurchase_edges(li)
+    adj = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()
+    )
+    cur = (
+        adj.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(_Q232_STARTS)
+        .select(F.col("src").alias("walker"), F.col("src").alias("node"))
+    )
+    levels = [cur.withColumn("step", F.lit(0))]
+    for k in range(1, _Q232_STEPS + 1):
+        w = Window.partitionBy("walker").orderBy(
+            F.md5(
+                F.concat(
+                    F.col("walker").cast("string"),
+                    F.lit(f":{k}:"),
+                    F.col("dst").cast("string"),
+                )
+            ),
+            "dst",
+        )
+        cur = (
+            cur.join(adj, cur["node"] == adj["src"])
+            .select("walker", "dst")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("walker", F.col("dst").alias("node"))
+        )
+        levels.append(cur.withColumn("step", F.lit(k)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        F.col("walker").cast("long").alias("walker"),
+        F.col("step").cast("int").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    ).orderBy("walker", "step")

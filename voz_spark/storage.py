@@ -945,3 +945,82 @@ def q221_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "valid_from_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# q231: incremental view maintenance (IVM) — the warehouse pattern
+# that keeps a materialized rollup fresh without re-scanning the
+# standing fact table: maintain MERGEABLE partial state per view key
+# (count, DECIMAL sum — and for COUNT DISTINCT, which is NOT
+# mergeable from its final form, the classic two-level sub-rollup:
+# per-(key, user) counts whose merge IS mergeable), apply a delta
+# batch by unioning delta partials with the state and re-aggregating,
+# and the result must equal a full recompute bit-for-bit.
+#
+# Fixture: the standing base is events with event_id % 10 < 8; the
+# delta batch is the remaining 20%. The Spark side computes
+# state(base) ⊎ partials(delta); the ORACLE is the full recompute
+# over all of events — two algorithms, one answer (q208 discipline):
+# their equality IS the IVM correctness proof.
+#
+# Scale shape: the delta pass scans ONLY delta rows; the merge
+# shuffles state-sized tables on the view key (bounded by |view|,
+# not |facts|); the user sub-rollup merge is likewise keyed by
+# (view key, user) — never a fact re-scan. Money sums ride DECIMAL
+# through both levels so merge order cannot change a bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q231_incremental_view_merge",
+    oracle="""
+WITH ud AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id,
+         COUNT(*) AS n, SUM(CAST(ROUND(value, 3) AS DECIMAL(18,3))) AS sv
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, day,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(sv) AS DECIMAL(18,3)) AS DOUBLE) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def q231_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a 20% delta batch into the standing rollup's mergeable
+    partial state (two-level for COUNT DISTINCT); oracled against the
+    full recompute — equality is the IVM proof."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        F.round("value", 3).cast("decimal(18,3)").alias("v"),
+    )
+
+    def sub_rollup(df: DataFrame) -> DataFrame:
+        # mergeable per-(view key, user) partials
+        return df.groupBy("event_type", "day", "user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+
+    base_state = sub_rollup(ev.where(F.col("event_id") % 10 < 8))
+    delta_state = sub_rollup(ev.where(F.col("event_id") % 10 >= 8))
+    # the merge: union of partials re-aggregated on the SAME keys —
+    # work proportional to |state| + |delta partials|, never the facts
+    merged = (
+        base_state.unionByName(delta_state)
+        .groupBy("event_type", "day", "user_id")
+        .agg(F.sum("n").alias("n"), F.sum("sv").cast("decimal(18,3)").alias("sv"))
+    )
+    return (
+        merged.groupBy("event_type", "day")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("sv").cast("decimal(18,3)").cast("double").alias("sum_value"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        .orderBy("event_type", "day")
+    )
