@@ -223,3 +223,96 @@ def test_q232_walks_vs_python(spark, sf_dir):
     for (w, s), n in pos.items():
         if s > 0:
             assert n in adj[pos[(w, s - 1)]]
+
+
+def test_q233_grid_join_vs_bruteforce(spark, sf_dir):
+    """Brute-force O(n^2) distance truth must equal the grid join's
+    band histogram exactly — the 3x3 probe provably loses nothing."""
+    import itertools
+    import math
+
+    from voz_spark.relational import _Q233_EPS, _Q233_SPACE, q233_grid_neighbor_join
+    from voz_spark.session import load_table
+
+    ids = [
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .where("event_id % 5 = 0")
+        .collect()
+    ]
+    pts = {
+        i: (_h60(f"{i}:x") % _Q233_SPACE, _h60(f"{i}:y") % _Q233_SPACE) for i in ids
+    }
+    bands = defaultdict(lambda: [0, 0])
+    for a, b in itertools.combinations(sorted(pts), 2):
+        d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        if d2 <= _Q233_EPS * _Q233_EPS:
+            bd = int(math.floor(math.sqrt(d2))) // 5
+            bands[bd][0] += 1
+            bands[bd][1] += d2
+    got = {r["band"]: (r["n_pairs"], r["sum_d2"]) for r in q233_grid_neighbor_join(spark, sf_dir).collect()}
+    assert got == {k: tuple(v) for k, v in bands.items()}
+    assert sum(v[0] for v in got.values()) > 0
+
+
+def test_q234_funnel_vs_python(spark, sf_dir):
+    """Replay the strictly-ordered min-timestamp funnel per user."""
+    from voz_spark.relational import q234_ordered_funnel
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_type"]))
+    n = [0, 0, 0]
+    for evs in by_user.values():
+        t1 = min((t for t, e in evs if e == "view"), default=None)
+        if t1 is None:
+            continue
+        n[0] += 1
+        t2 = min((t for t, e in evs if e == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        n[1] += 1
+        t3 = min((t for t, e in evs if e == "purchase" and t > t2), default=None)
+        if t3 is not None:
+            n[2] += 1
+    rows = {r["stage"]: r for r in q234_ordered_funnel(spark, sf_dir).collect()}
+    assert [rows[s]["n_users"] for s in (1, 2, 3)] == n
+    assert rows[2]["conv_from_prev_milli"] == 1000 * n[1] // n[0]
+    assert rows[3]["conv_from_prev_milli"] == 1000 * n[2] // n[1]
+    assert rows[3]["conv_from_first_milli"] == 1000 * n[2] // n[0]
+    assert n[0] >= n[1] >= n[2] > 0  # monotone, non-degenerate
+
+
+def test_q235_retention_vs_python(spark, sf_dir):
+    """Replay cohorting; day_offset 0 is always 1000 milli and equals
+    the cohort size."""
+    from voz_spark.relational import q235_retention_cohorts
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["ts"].date())
+    cohort = {u: min(ds) for u, ds in days.items()}
+    size = defaultdict(int)
+    for u in cohort:
+        size[cohort[u]] += 1
+    cells = defaultdict(int)
+    for u, ds in days.items():
+        for d in ds:
+            cells[(cohort[u], (d - cohort[u]).days)] += 1
+    rows = {
+        (r["cohort_day"], r["day_offset"]): r
+        for r in q235_retention_cohorts(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(d.strftime("%Y-%m-%d"), o) for d, o in cells}
+    for (d, o), na in cells.items():
+        r = rows[(d.strftime("%Y-%m-%d"), o)]
+        assert (r["n_active"], r["cohort_size"]) == (na, size[d])
+        assert r["retention_milli"] == 1000 * na // size[d]
+    for (cd, o), r in rows.items():
+        if o == 0:
+            assert r["retention_milli"] == 1000 and r["n_active"] == r["cohort_size"]

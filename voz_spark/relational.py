@@ -2024,3 +2024,290 @@ def q232_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("int").alias("step"),
         F.col("node").cast("long").alias("node"),
     ).orderBy("walker", "step")
+
+
+# ---------------------------------------------------------------------------
+# q233: grid-bucketed epsilon-neighbor self-join — the spatial join
+# pattern (points within distance eps) that a naive approach writes
+# as an O(n^2) cross join and Spark cannot optimize on its own: snap
+# every point to an eps-sized grid cell, probe each point's 3x3 cell
+# neighborhood (an in-row 9-way explode), equi-join probe cells
+# against point cells, and verify the exact INTEGER squared distance.
+# Each unordered pair is generated exactly once (a's probe hits the
+# single cell b sits in; id_a < id_b), so no distinct pass is needed.
+#
+# Coordinates are md5-derived integers (the q58 no-RNG discipline) in
+# a 1000x1000 space; eps = 25 = the cell size, so the 3x3 probe
+# provably covers every candidate (any pair within eps differs by
+# < 1 cell in each axis).
+#
+# Scale shape: one in-row x9 explode + ONE equi-join on the cell key
+# + in-row integer arithmetic; the cell key is uniform by md5
+# construction (no hot cell), and the output is a bounded histogram.
+# ---------------------------------------------------------------------------
+
+_Q233_EPS = 25
+_Q233_SPACE = 1000
+
+_Q233_PTS_DUCK = f"""
+  SELECT event_id AS id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':x'), 1, 15))::BIGINT
+           % {_Q233_SPACE} AS x,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':y'), 1, 15))::BIGINT
+           % {_Q233_SPACE} AS y
+  FROM events WHERE event_id % 5 = 0
+"""
+
+
+@register(
+    "q233_grid_neighbor_join",
+    oracle=f"""
+WITH pts AS ({_Q233_PTS_DUCK}),
+cells AS (
+  SELECT id, x, y, x // {_Q233_EPS} AS cx, y // {_Q233_EPS} AS cy FROM pts
+),
+probe AS (
+  SELECT id, x, y, cx + dx.d AS pcx, cy + dy.d AS pcy
+  FROM cells,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM probe a JOIN cells b ON a.pcx = b.cx AND a.pcy = b.cy AND a.id < b.id
+),
+nbr AS (SELECT * FROM pairs WHERE d2 <= {_Q233_EPS * _Q233_EPS})
+SELECT CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) AS BIGINT) // 5 AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM nbr
+GROUP BY band
+ORDER BY band
+""",
+)
+def q233_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points within eps=25 via 3x3 grid-cell probing: distance-band
+    histogram of the exact integer-squared-distance neighbor pairs."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
+    hx = F.conv(
+        F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":x"))), 1, 15),
+        16, 10,
+    ).cast("long") % _Q233_SPACE
+    hy = F.conv(
+        F.substring(F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":y"))), 1, 15),
+        16, 10,
+    ).cast("long") % _Q233_SPACE
+    cells = ev.select(
+        F.col("event_id").alias("id"),
+        hx.alias("x"),
+        hy.alias("y"),
+    ).select(
+        "id", "x", "y",
+        F.expr(f"x div {_Q233_EPS}").alias("cx"),
+        F.expr(f"y div {_Q233_EPS}").alias("cy"),
+    )
+    probe = cells.select(
+        "id", "x", "y",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1),"
+                " dx -> transform(sequence(-1, 1),"
+                " dy -> struct(cx + dx AS pcx, cy + dy AS pcy))))"
+            )
+        ).alias("p"),
+    ).select("id", "x", "y", F.col("p.pcx").alias("pcx"), F.col("p.pcy").alias("pcy"))
+    b = cells.select(
+        F.col("id").alias("id_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"), F.col("cx").alias("cx"), F.col("cy").alias("cy"),
+    )
+    pairs = probe.join(
+        b,
+        (probe["pcx"] == b["cx"]) & (probe["pcy"] == b["cy"]) & (probe["id"] < b["id_b"]),
+    ).select(
+        (
+            (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb"))
+            + (F.col("y") - F.col("yb")) * (F.col("y") - F.col("yb"))
+        ).alias("d2")
+    )
+    nbr = pairs.where(F.col("d2") <= _Q233_EPS * _Q233_EPS)
+    return (
+        nbr.select(
+            F.expr("CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE))) div 5 AS BIGINT)").alias("band"),
+            "d2",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234: ordered funnel conversion (view -> click -> purchase) — the
+# event-SEQUENCE funnel every product-analytics stack ships (distinct
+# from q73's gate-attrition funnel, which has no ordering): a user
+# reaches stage k only with an event of stage k's type strictly AFTER
+# their stage-(k-1) arrival time. Computed as K-1 chained
+# min-aggregate + join steps (funnel depth is a design constant) —
+# no per-user sequence materialization, no window over raw events.
+#
+# Scale shape: each stage is one user-keyed aggregate over ONLY that
+# stage's event type (filter pushed to the scan) plus a user-keyed
+# join against the (already tiny) reached-users table; output is 3
+# rows of integer counts and DIV-exact milli conversion rates.
+# ---------------------------------------------------------------------------
+
+_Q234_STAGES = ["view", "click", "purchase"]
+
+
+@register(
+    "q234_ordered_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT stage, label, n_users, conv_from_prev_milli, conv_from_first_milli
+FROM (
+  SELECT 1 AS stage, 'view' AS label, CAST(n1 AS BIGINT) AS n_users,
+         CAST(1000 AS BIGINT) AS conv_from_prev_milli,
+         CAST(1000 AS BIGINT) AS conv_from_first_milli FROM c
+  UNION ALL
+  SELECT 2, 'click', CAST(n2 AS BIGINT),
+         CAST(1000 * n2 // n1 AS BIGINT), CAST(1000 * n2 // n1 AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+         CAST(1000 * n3 // n2 AS BIGINT), CAST(1000 * n3 // n1 AS BIGINT) FROM c
+)
+ORDER BY stage
+""",
+)
+def q234_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view->click->purchase funnel: users reaching
+    each stage and milli conversion vs previous stage and stage 1."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    rows = c.selectExpr(
+        "stack(3,"
+        " 1, 'view', CAST(n1 AS BIGINT), CAST(1000 AS BIGINT), CAST(1000 AS BIGINT),"
+        " 2, 'click', CAST(n2 AS BIGINT), CAST(1000 * n2 div n1 AS BIGINT),"
+        "   CAST(1000 * n2 div n1 AS BIGINT),"
+        " 3, 'purchase', CAST(n3 AS BIGINT), CAST(1000 * n3 div n2 AS BIGINT),"
+        "   CAST(1000 * n3 div n1 AS BIGINT)"
+        ") AS (stage, label, n_users, conv_from_prev_milli, conv_from_first_milli)"
+    )
+    return rows.select(
+        F.col("stage").cast("int").alias("stage"),
+        "label",
+        "n_users",
+        "conv_from_prev_milli",
+        "conv_from_first_milli",
+    ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q235: retention cohort matrix — users cohorted by FIRST active day,
+# each later active day credited to (cohort_day, day_offset); the
+# classic warehouse triangle that shows decay per acquisition cohort.
+# Retention is integer milli (1000 * active DIV cohort size).
+#
+# Scale shape: distinct (user, day) first (one partial-combining
+# aggregate), cohort day via a per-user min re-joined (user-keyed,
+# mergeable — no window over raw events), then ONE bounded rollup on
+# (cohort_day, offset) — at most days^2 / 2 cells regardless of user
+# count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q235_retention_cohorts",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+c0 AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id),
+sz AS (SELECT d0, COUNT(*) AS cohort_size FROM c0 GROUP BY d0),
+cell AS (
+  SELECT c0.d0, date_diff('day', c0.d0, ud.day) AS day_offset,
+         COUNT(*) AS n_active
+  FROM ud JOIN c0 ON c0.user_id = ud.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(c.d0, '%Y-%m-%d') AS cohort_day,
+       CAST(c.day_offset AS INT) AS day_offset,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(1000 * c.n_active // s.cohort_size AS BIGINT) AS retention_milli
+FROM cell c JOIN sz s ON s.d0 = c.d0
+ORDER BY cohort_day, day_offset
+""",
+)
+def q235_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort first-day x day-offset) active-user matrix with milli
+    retention; day_offset 0 always equals the cohort size."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    ud = ev.distinct()
+    c0 = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    sz = c0.groupBy("d0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cell = (
+        ud.join(c0, "user_id")
+        .groupBy("d0", F.datediff("day", "d0").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cell.join(sz, "d0")
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.expr("CAST(1000 * n_active div cohort_size AS BIGINT)").alias(
+                "retention_milli"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
