@@ -46,6 +46,11 @@ EXTRA = [
     # and the capstone image-corpus funnel (all six gates + CC)
     "q179_dedup_pr_curve",
     "q182_image_corpus_build",
+    # round-3 wave 3: exact prefix-filter similarity join (the
+    # heaviest new operator — the complete no-false-negative dedup
+    # path) and the DSIR-shaped selection scorer
+    "q223_prefix_filter_join",
+    "q225_target_affinity_selection",
 ]
 
 
