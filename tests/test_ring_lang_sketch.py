@@ -316,3 +316,55 @@ def test_q235_retention_vs_python(spark, sf_dir):
     for (cd, o), r in rows.items():
         if o == 0:
             assert r["retention_milli"] == 1000 and r["n_active"] == r["cohort_size"]
+
+
+def test_q236_skipgram_vs_python(spark, sf_dir):
+    """Replay window-2 skip-gram extraction over the replayed walks;
+    pair counts must match with multiplicity and every pair must be
+    symmetric (directed both ways with equal counts)."""
+    from voz_spark.relational import (
+        _Q232_STARTS,
+        _Q232_STEPS,
+        _Q236_WINDOW,
+        q236_skipgram_pairs,
+    )
+    from voz_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    pair_orders = defaultdict(int)
+    for ps in orders.values():
+        s = sorted(ps)
+        for i, u in enumerate(s):
+            for v in s[i + 1 :]:
+                pair_orders[(u, v)] += 1
+    adj = defaultdict(set)
+    for (u, v), w in pair_orders.items():
+        if w >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    walks = []
+    for wk in sorted(adj)[:_Q232_STARTS]:
+        node, walk = wk, [wk]
+        for k in range(1, _Q232_STEPS + 1):
+            node = min(
+                adj[node],
+                key=lambda d: (hashlib.md5(f"{wk}:{k}:{d}".encode()).hexdigest(), d),
+            )
+            walk.append(node)
+        walks.append(walk)
+    want = defaultdict(int)
+    for walk in walks:
+        for i, c in enumerate(walk):
+            for j, x in enumerate(walk):
+                if i != j and abs(i - j) <= _Q236_WINDOW:
+                    want[(c, x)] += 1
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in q236_skipgram_pairs(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    for (c, x), n in got.items():
+        assert got[(x, c)] == n  # symmetric multiplicity

@@ -2311,3 +2311,78 @@ def q235_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q236: skip-gram training-pair extraction — the word2vec/DeepWalk
+# consumer of q232's deterministic walks: within each walk, every
+# ordered (center, context) pair at step distance 1..2 becomes a
+# positive training example, counted with multiplicity across walks.
+# Together q232+q236 are the full reproducible graph-embedding
+# sampling pipeline (walk -> window -> pair table).
+#
+# Scale shape: the walk table is tiny relative to the graph
+# (|walkers| x (K+1) rows); the windowing is a walk-keyed self-join
+# with the |step difference| predicate inside the join condition —
+# fan-out bounded by the design-constant window, then ONE
+# partial-combining pair rollup.
+# ---------------------------------------------------------------------------
+
+_Q236_WINDOW = 2
+
+_Q236_WALKS_CTE = f"""
+adj AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+s0 AS (
+  SELECT src AS walker, src AS node FROM (SELECT DISTINCT src FROM adj)
+  ORDER BY src LIMIT {_Q232_STARTS}
+),{",".join(_q232_step_sql(k) for k in range(1, _Q232_STEPS + 1))},
+walks AS (
+  SELECT walker, 0 AS step, node FROM s0
+  {" ".join(f"UNION ALL SELECT walker, {k} AS step, node FROM s{k}" for k in range(1, _Q232_STEPS + 1))}
+)"""
+
+
+@register(
+    "q236_skipgram_pairs",
+    oracle=f"""
+WITH {_EDGES_CTE},
+{_Q236_WALKS_CTE}
+SELECT CAST(a.node AS BIGINT) AS center, CAST(b.node AS BIGINT) AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walker = b.walker AND a.step <> b.step
+ AND ABS(a.step - b.step) <= {_Q236_WINDOW}
+GROUP BY a.node, b.node
+ORDER BY center, context
+""",
+)
+def q236_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (center, context) skip-gram pairs at step distance
+    <= 2 within each q232 walk, counted with multiplicity."""
+    walks = q232_deterministic_walks(spark, sf_dir).persist()
+    a = walks.select(
+        F.col("walker").alias("wa"), F.col("step").alias("sa"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walker").alias("wb"), F.col("step").alias("sb"), F.col("node").alias("context")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("wa") == F.col("wb"))
+            & (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= _Q236_WINDOW),
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            F.col("center").cast("long").alias("center"),
+            F.col("context").cast("long").alias("context"),
+            "n_pairs",
+        )
+        .orderBy("center", "context")
+    )
