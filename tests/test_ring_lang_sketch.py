@@ -368,3 +368,38 @@ def test_q236_skipgram_vs_python(spark, sf_dir):
     assert got == dict(want)
     for (c, x), n in got.items():
         assert got[(x, c)] == n  # symmetric multiplicity
+
+
+def test_q237_profile_vs_python(spark, sf_dir):
+    """Replay the per-column profile: rows/nulls/NDV exact for every
+    column; min/max strings exact for int/string/timestamp columns and
+    value-checked (to rounding) for doubles."""
+    from voz_spark.relational import _Q237_COLS, q237_data_profile
+    from voz_spark.session import load_table
+
+    rows = {
+        (r["table_name"], r["column_name"]): r
+        for r in q237_data_profile(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(t, c) for t, c, _ in _Q237_COLS}
+    for table in ("orders", "events", "documents"):
+        cols = [(c, k) for t, c, k in _Q237_COLS if t == table]
+        data = load_table(spark, sf_dir, table).select([c for c, _ in cols]).collect()
+        for c, k in cols:
+            vals = [r[c] for r in data]
+            nn = [v for v in vals if v is not None]
+            r = rows[(table, c)]
+            assert (r["n_rows"], r["n_nulls"], r["ndv"]) == (
+                len(vals), len(vals) - len(nn), len(set(nn)),
+            )
+            if k == "int":
+                assert (r["min_str"], r["max_str"]) == (str(min(nn)), str(max(nn)))
+            elif k == "str":
+                assert (r["min_str"], r["max_str"]) == (min(nn), max(nn))
+            elif k == "ts":
+                assert r["min_str"] == min(nn).strftime("%Y-%m-%d %H:%M:%S")
+                assert r["max_str"] == max(nn).strftime("%Y-%m-%d %H:%M:%S")
+            else:  # double: engine-stable DECIMAL(18,3) string
+                assert abs(float(r["min_str"]) - min(nn)) < 0.001
+                assert abs(float(r["max_str"]) - max(nn)) < 0.001
+                assert r["min_str"].count(".") == 1 and len(r["min_str"].split(".")[1]) == 3

@@ -2386,3 +2386,111 @@ def q236_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("center", "context")
     )
+
+
+# ---------------------------------------------------------------------------
+# q237: data-profile report — the per-column quality summary every
+# warehouse/dbt deployment runs before trusting a table: row count,
+# null count, exact NDV, and min/max (rendered engine-stably: DECIMAL
+# strings for floats, strftime for timestamps) for a fixed column set
+# across three tables.
+#
+# Scale shape: ONE aggregate pass per table computes every column's
+# stats together (the multi-countDistinct EXPAND is a deliberate
+# single-scan trade; at 100 TB swap exact NDV for the q59 KMV sketch
+# per column — same report schema); the per-column rows come from an
+# in-row stack() unpivot of that single aggregate row, so the whole
+# report is three scans + three 1-row aggregates.
+# ---------------------------------------------------------------------------
+
+_Q237_COLS = [
+    ("orders", "o_orderkey", "int"),
+    ("orders", "o_totalprice", "double"),
+    ("orders", "o_orderpriority", "str"),
+    ("events", "user_id", "int"),
+    ("events", "value", "double"),
+    ("events", "event_type", "str"),
+    ("events", "ts", "ts"),
+    ("documents", "lang", "str"),
+    ("documents", "n_chars", "int"),
+    ("documents", "source", "str"),
+]
+
+
+def _q237_minmax_sql(col: str, kind: str, agg: str, engine: str) -> str:
+    if kind == "double":
+        return (
+            f"CAST(CAST(ROUND({agg}({col}), 3) AS DECIMAL(18,3)) AS VARCHAR)"
+            if engine == "duckdb"
+            else f"CAST(CAST(ROUND({agg}({col}), 3) AS DECIMAL(18,3)) AS STRING)"
+        )
+    if kind == "ts":
+        return (
+            f"strftime({agg}({col}), '%Y-%m-%d %H:%M:%S')"
+            if engine == "duckdb"
+            else f"date_format({agg}({col}), 'yyyy-MM-dd HH:mm:ss')"
+        )
+    if kind == "int":
+        return (
+            f"CAST({agg}({col}) AS VARCHAR)"
+            if engine == "duckdb"
+            else f"CAST({agg}({col}) AS STRING)"
+        )
+    return f"{agg}({col})"
+
+
+def _q237_table_sql(table: str, engine: str) -> str:
+    cols = [(c, k) for t, c, k in _Q237_COLS if t == table]
+    rows = []
+    for c, k in cols:
+        rows.append(
+            f"SELECT '{table}' AS table_name, '{c}' AS column_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,"
+            f" {_q237_minmax_sql(c, k, 'MIN', engine)} AS min_str,"
+            f" {_q237_minmax_sql(c, k, 'MAX', engine)} AS max_str"
+            f" FROM {table}"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+@register(
+    "q237_data_profile",
+    oracle=(
+        _q237_table_sql("orders", "duckdb")
+        + "\nUNION ALL\n"
+        + _q237_table_sql("events", "duckdb")
+        + "\nUNION ALL\n"
+        + _q237_table_sql("documents", "duckdb")
+        + "\nORDER BY table_name, column_name"
+    ),
+)
+def q237_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (rows, nulls, exact NDV, engine-stable
+    min/max strings) over orders/events/documents — one aggregate
+    pass per table, stacked to rows in-row."""
+    outs = []
+    for table in ("orders", "events", "documents"):
+        cols = [(c, k) for t, c, k in _Q237_COLS if t == table]
+        aggs = []
+        stack_args = []
+        for c, k in cols:
+            aggs.append(f"CAST(COUNT(*) AS BIGINT) AS nr_{c}")
+            aggs.append(f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nn_{c}")
+            aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+            aggs.append(f"{_q237_minmax_sql(c, k, 'MIN', 'spark')} AS mn_{c}")
+            aggs.append(f"{_q237_minmax_sql(c, k, 'MAX', 'spark')} AS mx_{c}")
+            stack_args.append(f"'{c}', nr_{c}, nn_{c}, nd_{c}, mn_{c}, mx_{c}")
+        one = T(spark, sf_dir, table).selectExpr(*aggs)
+        outs.append(
+            one.selectExpr(
+                f"'{table}' AS table_name",
+                f"stack({len(cols)}, {', '.join(stack_args)})"
+                " AS (column_name, n_rows, n_nulls, ndv, min_str, max_str)",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name", "column_name")
