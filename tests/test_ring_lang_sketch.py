@@ -403,3 +403,90 @@ def test_q237_profile_vs_python(spark, sf_dir):
                 assert abs(float(r["min_str"]) - min(nn)) < 0.001
                 assert abs(float(r["max_str"]) - max(nn)) < 0.001
                 assert r["min_str"].count(".") == 1 and len(r["min_str"].split(".")[1]) == 3
+
+
+def test_q238_anomaly_vs_python(spark, sf_dir):
+    """Replay daily counts + spike, median/MAD, and the outlier rule;
+    the planted spike day must be flagged."""
+    import statistics
+
+    from voz_spark.crawlops import _Q238_SPIKE, _Q238_SPIKE_DAY, q238_metric_anomaly_days
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r["ts"].strftime("%Y-%m-%d")] += 1
+    if _Q238_SPIKE_DAY in daily:
+        daily[_Q238_SPIKE_DAY] += _Q238_SPIKE
+    med = round(statistics.median(daily.values()), 4)
+    devs = {d: abs(n - med) for d, n in daily.items()}
+    mad = round(statistics.median(devs.values()), 4)
+    rows = {r["day"]: r for r in q238_metric_anomaly_days(spark, sf_dir).collect()}
+    assert set(rows) == set(daily)
+    for d, n in daily.items():
+        r = rows[d]
+        assert r["n"] == n
+        assert abs(r["abs_dev"] - round(devs[d], 4)) < 1e-9
+        assert r["is_outlier"] == int(devs[d] > 3 * max(mad, 1.0))
+    if _Q238_SPIKE_DAY in daily:
+        assert rows[_Q238_SPIKE_DAY]["is_outlier"] == 1
+
+
+def test_q239_backfill_vs_python(spark, sf_dir):
+    """Replay expected-vs-present partitions and gap islanding; the
+    planted view hole must appear as one contiguous 3-day gap when its
+    days fall inside the calendar span."""
+    from datetime import timedelta
+
+    from voz_spark.crawlops import q239_backfill_gaps
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    present = set()
+    types = set()
+    lo = hi = None
+    for r in ev:
+        d = r["ts"].date()
+        lo = d if lo is None or d < lo else lo
+        hi = d if hi is None or d > hi else hi
+        types.add(r["event_type"])
+        day = d.strftime("%Y-%m-%d")
+        if (r["event_type"] == "view" and "2024-01-10" <= day <= "2024-01-12") or (
+            r["event_type"] == "error" and day == "2024-01-20"
+        ):
+            continue
+        present.add((r["event_type"], day))
+    missing = defaultdict(list)
+    d = lo
+    while d <= hi:
+        day = d.strftime("%Y-%m-%d")
+        for t in types:
+            if (t, day) not in present:
+                missing[t].append(day)
+        d += timedelta(days=1)
+    want = set()
+    for t, days in missing.items():
+        run = [days[0]]
+        from datetime import date as _date
+
+        def _next(a, b):
+            ya, ma, da = map(int, a.split("-"))
+            yb, mb, db = map(int, b.split("-"))
+            return (_date(yb, mb, db) - _date(ya, ma, da)).days == 1
+
+        for prev, cur in zip(days, days[1:]):
+            if _next(prev, cur):
+                run.append(cur)
+            else:
+                want.add((t, run[0], run[-1], len(run)))
+                run = [cur]
+        want.add((t, run[0], run[-1], len(run)))
+    got = {
+        (r["event_type"], r["gap_start"], r["gap_end"], r["n_days"])
+        for r in q239_backfill_gaps(spark, sf_dir).collect()
+    }
+    assert got == want
+    view_gaps = {g for g in got if g[0] == "view" and g[1] <= "2024-01-12" and g[2] >= "2024-01-10"}
+    if lo.strftime("%Y-%m-%d") <= "2024-01-10" and hi.strftime("%Y-%m-%d") >= "2024-01-12":
+        assert any(g[3] >= 3 for g in view_gaps)

@@ -5913,3 +5913,186 @@ def q228_consistent_ring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q238: robust metric anomaly detection — the crawl-ops monitoring
+# gate that pages a human: per-day fetch volume judged against the
+# MEDIAN and the MAD (median absolute deviation), the robust
+# statistics that a single broken day cannot drag (unlike mean/std).
+# A planted +500 spike on 2024-01-15 (q222 in-query synthesis) makes
+# the alarm fire deterministically.
+#
+# Exactness: medians use the proven percentile/quantile_cont idiom
+# (relational.py q-median) with ROUND(…,4) pinning; the outlier rule
+# compares against the ROUNDED med/mad so both engines decide
+# identically.
+#
+# Scale shape: one day rollup (bounded by calendar days), two 1-row
+# median aggregates over that bounded table, broadcast back — the
+# raw fact table is scanned once.
+# ---------------------------------------------------------------------------
+
+_Q238_SPIKE_DAY = "2024-01-15"
+_Q238_SPIKE = 500
+
+
+@register(
+    "q238_metric_anomaly_days",
+    oracle=f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(*) + CASE WHEN strftime(ts, '%Y-%m-%d') = '{_Q238_SPIKE_DAY}'
+                    THEN {_Q238_SPIKE} ELSE 0 END AS n
+  FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+),
+med AS (SELECT ROUND(CAST(quantile_cont(n, 0.5) AS DOUBLE), 4) AS m FROM daily),
+dev AS (SELECT day, n, ABS(n - m) AS ad FROM daily, med),
+mad AS (SELECT ROUND(CAST(quantile_cont(ad, 0.5) AS DOUBLE), 4) AS md FROM dev)
+SELECT d.day, CAST(d.n AS BIGINT) AS n,
+       ROUND(d.ad, 4) AS abs_dev,
+       CAST(CASE WHEN d.ad > 3 * GREATEST(mad.md, 1.0) THEN 1 ELSE 0 END AS INT)
+         AS is_outlier
+FROM dev d, mad
+ORDER BY day
+""",
+)
+def q238_metric_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day fetch volume vs median/MAD with a planted spike; a day
+    is an outlier when |n - med| > 3 * max(MAD, 1)."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .select(
+            "day",
+            (
+                F.col("n0")
+                + F.when(F.col("day") == _Q238_SPIKE_DAY, _Q238_SPIKE).otherwise(0)
+            ).alias("n"),
+        )
+    )
+    med = daily.agg(
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("m")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "n", F.abs(F.col("n") - F.col("m")).alias("ad")
+    )
+    mad = dev.agg(F.round(F.expr("percentile(ad, 0.5)"), 4).alias("md"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round("ad", 4).alias("abs_dev"),
+            F.when(F.col("ad") > 3 * F.greatest(F.col("md"), F.lit(1.0)), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_outlier"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239: backfill gap planning — the data-eng audit run before any
+# "is the warehouse complete?" claim: expected partitions = every
+# (event_type, day) in the table's calendar span; observed = the
+# partitions actually present (with planted holes: 'view' is blanked
+# on Jan 10-12 and 'error' on Jan 20, q222 in-query synthesis);
+# missing partitions grouped into CONTIGUOUS gap runs (the
+# gaps-and-islands idiom on dates) — the unit a backfill job actually
+# schedules.
+#
+# Scale shape: presence is one distinct rollup (bounded: types x
+# days); the expected calendar is generated in-row from the 1-row
+# span aggregate; the anti-join and the island window run on the
+# bounded partition domain, never on raw facts.
+# ---------------------------------------------------------------------------
+
+_Q239_HOLES = "(event_type = 'view' AND day BETWEEN '2024-01-10' AND '2024-01-12') OR (event_type = 'error' AND day = '2024-01-20')"
+
+
+@register(
+    "q239_backfill_gaps",
+    oracle=f"""
+WITH present0 AS (
+  SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events
+),
+present AS (
+  SELECT * FROM present0 WHERE NOT ({_Q239_HOLES})
+),
+span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+),
+expected AS (
+  SELECT t.event_type, strftime(gs.d, '%Y-%m-%d') AS day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       span, LATERAL (SELECT unnest(generate_series(span.d0, span.d1,
+                                     INTERVAL 1 DAY))::DATE AS d) gs
+),
+missing AS (
+  SELECT e.event_type, e.day FROM expected e
+  LEFT JOIN present p ON p.event_type = e.event_type AND p.day = e.day
+  WHERE p.day IS NULL
+),
+isl AS (
+  SELECT event_type, day,
+         CAST(strptime(day, '%Y-%m-%d') AS DATE)
+           - CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS INT)
+           AS grp
+  FROM missing
+)
+SELECT event_type, MIN(day) AS gap_start, MAX(day) AS gap_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM isl
+GROUP BY event_type, grp
+ORDER BY event_type, gap_start
+""",
+)
+def q239_backfill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing (event_type, day) partitions vs the expected calendar,
+    grouped into contiguous gap runs — the backfill work list."""
+    from pyspark.sql.window import Window
+
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    present = (
+        ev.select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+        .where(f"NOT ({_Q239_HOLES})")
+    )
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    expected = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+        .select("event_type", F.date_format("d", "yyyy-MM-dd").alias("day"))
+    )
+    missing = expected.join(present, ["event_type", "day"], "left_anti")
+    w = Window.partitionBy("event_type").orderBy("day")
+    isl = missing.withColumn(
+        "grp",
+        F.expr("CAST(to_date(day) AS DATE)")
+        - F.expr("CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INT)"),
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("day").alias("gap_start"),
+            F.max("day").alias("gap_end"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .select("event_type", "gap_start", "gap_end", "n_days")
+        .orderBy("event_type", "gap_start")
+    )
