@@ -490,3 +490,47 @@ def test_q239_backfill_vs_python(spark, sf_dir):
     view_gaps = {g for g in got if g[0] == "view" and g[1] <= "2024-01-12" and g[2] >= "2024-01-10"}
     if lo.strftime("%Y-%m-%d") <= "2024-01-10" and hi.strftime("%Y-%m-%d") >= "2024-01-12":
         assert any(g[3] >= 3 for g in view_gaps)
+
+
+def test_q240_asof_enrich_vs_python(spark, sf_dir):
+    """Replay the commit log, intervals, and the as-of lookup; deleted
+    gaps must surface as no_version and every 'ok' content must equal
+    the q210-style snapshot at that seq."""
+    import hashlib as _hl
+
+    from voz_spark.session import load_table
+    from voz_spark.storage import q240_scd2_asof_enrich
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    log = defaultdict(list)  # doc -> [(seq, op, content)]
+    for r in docs:
+        did, txt = r["doc_id"], r["text"]
+        log[did].append((1, "upsert", _hl.md5(txt.encode()).hexdigest()))
+        if did % 7 == 1:
+            log[did].append((2, "upsert", _hl.md5(("v2:" + txt).encode()).hexdigest()))
+        if did % 11 == 2:
+            log[did].append((3, "delete", None))
+        if did % 5 == 0:
+            log[did].append((4, "upsert", _hl.md5(("v4:" + txt).encode()).hexdigest()))
+
+    def version_at(did, at):
+        vers = [e for e in log[did] if e[0] <= at]
+        if not vers:
+            return None
+        seq, op, content = max(vers)
+        return None if op == "delete" else content
+
+    facts = set()
+    for r in docs:
+        did = r["doc_id"]
+        facts.add((did, 1 + did % 4))
+        if did % 3 == 0:
+            facts.add((did, 4))
+    want = {}
+    for did, at in facts:
+        c = version_at(did, at)
+        want[(did, at)] = ("-", "no_version") if c is None else (c, "ok")
+    rows = {(r["doc_id"], r["at_seq"]): (r["content"], r["status"])
+            for r in q240_scd2_asof_enrich(spark, sf_dir).collect()}
+    assert rows == want
+    assert any(v[1] == "no_version" for v in rows.values())  # the gap is real

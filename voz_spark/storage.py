@@ -1024,3 +1024,103 @@ def q231_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q240: temporal dimension enrichment — the late-arriving-fact join
+# every SCD2 deployment exists FOR: each fact row carries an as-of
+# version coordinate (seq here; event time in production) and joins
+# the dimension version whose validity interval contains it. Facts
+# hitting a deleted gap (the %11 deletes between their delete seq and
+# a later re-upsert) legitimately find NO version and surface as
+# 'no_version' instead of silently joining the wrong one — the bug
+# this pattern prevents.
+#
+# Composes the shared q210 commit log through q221's interval build:
+# the SCD2 table is the write-once artifact; the enrichment is a
+# doc-keyed equi-join with the interval predicate IN-ROW (intervals
+# per key are non-overlapping by construction, so each fact matches
+# at most one version; at scale this is q197's bucketed range join
+# shape on the version axis).
+# ---------------------------------------------------------------------------
+
+_Q240_FACTS = """
+  SELECT DISTINCT doc_id, at_seq FROM (
+    SELECT doc_id, 1 + doc_id % 4 AS at_seq FROM documents
+    UNION ALL
+    SELECT doc_id, 4 FROM documents WHERE doc_id % 3 = 0
+  )
+"""
+
+_Q240_ORACLE = f"""
+WITH log AS ({_Q210_LOG}),
+v AS (
+  SELECT doc_id, seq, op, content,
+         LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS next_seq
+  FROM log
+),
+scd AS (
+  SELECT doc_id, seq AS valid_from_seq,
+         COALESCE(next_seq - 1, 9999) AS valid_to_seq, content
+  FROM v WHERE op <> 'delete'
+),
+facts AS ({_Q240_FACTS})
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id, CAST(f.at_seq AS BIGINT) AS at_seq,
+       COALESCE(s.content, '-') AS content,
+       CASE WHEN s.doc_id IS NULL THEN 'no_version' ELSE 'ok' END AS status
+FROM facts f LEFT JOIN scd s
+  ON s.doc_id = f.doc_id
+ AND s.valid_from_seq <= f.at_seq AND f.at_seq <= s.valid_to_seq
+ORDER BY doc_id, at_seq
+"""
+
+
+@register("q240_scd2_asof_enrich", oracle=_Q240_ORACLE)
+def q240_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich (doc_id, at_seq) facts with the SCD2 version valid at
+    that seq; facts inside a deleted gap report 'no_version'."""
+    from pyspark.sql.window import Window
+
+    log = _q210_log(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    scd = (
+        log.withColumn("next_seq", F.lead("seq").over(w))
+        .where(F.col("op") != "delete")
+        .select(
+            "doc_id",
+            F.col("seq").alias("valid_from_seq"),
+            F.coalesce(F.col("next_seq") - 1, F.lit(9999)).alias("valid_to_seq"),
+            "content",
+        )
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    facts = (
+        d.select("doc_id", (1 + F.col("doc_id") % 4).alias("at_seq"))
+        .unionByName(
+            d.where(F.col("doc_id") % 3 == 0).select(
+                "doc_id", F.lit(4).cast("long").alias("at_seq")
+            )
+        )
+        .distinct()
+    )
+    s = scd.select(
+        F.col("doc_id").alias("s_doc"), "valid_from_seq", "valid_to_seq", "content"
+    )
+    return (
+        facts.join(
+            s,
+            (facts["doc_id"] == s["s_doc"])
+            & (s["valid_from_seq"] <= facts["at_seq"])
+            & (facts["at_seq"] <= s["valid_to_seq"]),
+            "left",
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("at_seq").cast("long").alias("at_seq"),
+            F.coalesce("content", F.lit("-")).alias("content"),
+            F.when(F.col("s_doc").isNull(), F.lit("no_version"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+        )
+        .orderBy("doc_id", "at_seq")
+    )
