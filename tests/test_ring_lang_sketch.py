@@ -534,3 +534,41 @@ def test_q240_asof_enrich_vs_python(spark, sf_dir):
             for r in q240_scd2_asof_enrich(spark, sf_dir).collect()}
     assert rows == want
     assert any(v[1] == "no_version" for v in rows.values())  # the gap is real
+
+
+def test_q241_recrawl_vs_python(spark, sf_dir):
+    """Replay the change observations and the interval table; class
+    monotonicity must hold in aggregate (static always 32d; fast docs
+    mostly 2d) and the interval is monotone in n_changed."""
+    from voz_spark.crawlops import q241_recrawl_schedule
+    from voz_spark.session import load_table
+
+    ids = [r["doc_id"] for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+    table = {0: 32, 1: 16, 2: 8, 3: 4}
+    want = {}
+    for did in ids:
+        cls = ["static", "slow", "medium", "fast"][did % 4]
+        nc = 0
+        for i in range(2, 7):
+            h = _h60(f"{did}:{i}")
+            if did % 4 == 0:
+                ch = 0
+            elif did % 4 == 1:
+                ch = int(h % 5 == 0)
+            elif did % 4 == 2:
+                ch = int(h % 2 == 0)
+            else:
+                ch = int(h % 10 != 0)
+            nc += ch
+        want[did] = (cls, nc, table.get(nc, 2))
+    rows = {r["doc_id"]: r for r in q241_recrawl_schedule(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for did, (cls, nc, days) in want.items():
+        r = rows[did]
+        assert (r["rate_class"], r["n_obs"], r["n_changed"], r["revisit_days"]) == (
+            cls, 5, nc, days,
+        )
+    statics = [r for r in rows.values() if r["rate_class"] == "static"]
+    fasts = [r for r in rows.values() if r["rate_class"] == "fast"]
+    assert statics and all(r["revisit_days"] == 32 for r in statics)
+    assert fasts and sum(r["revisit_days"] <= 4 for r in fasts) > len(fasts) * 0.8

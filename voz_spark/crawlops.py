@@ -6096,3 +6096,95 @@ def q239_backfill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "gap_start", "gap_end", "n_days")
         .orderBy("event_type", "gap_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q241: recrawl scheduling from observed change history — the revisit
+# policy layer of an incremental crawler (Cho & Garcia-Molina 2003,
+# "Effective page refresh policies for Web crawlers"): estimate each
+# URL's change rate from k revisit observations and assign the
+# revisit interval. The paper's Poisson estimator lambda-hat =
+# -ln(1 - X/n) is DISCRETIZED into an integer interval table here
+# (X changes out of 5 -> 32/16/8/4/2 days) so both engines decide
+# bit-identically; the table preserves the estimator's monotonicity,
+# which is all the scheduler consumes. Complements q146 (conditional
+# GET savings) and q170 (cache-header policy): those price a revisit,
+# this decides WHEN to revisit.
+#
+# Fixture: per doc a planted change class (doc_id % 4: static / slow
+# / medium / fast) drives deterministic md5 change observations at
+# visits 2..6 (q222 in-query synthesis, q58 no-RNG discipline).
+#
+# Scale shape: the whole policy is IN-ROW — the 5 observations are a
+# transform over sequence(2,6) folded to a count, the interval a CASE
+# — zero explode, zero shuffle before the display sort (q68/q227
+# shape).
+# ---------------------------------------------------------------------------
+
+_Q241_CLASSES = ["static", "slow", "medium", "fast"]
+
+
+def _q241_changed(engine: str) -> str:
+    h = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT"
+        if engine == "duckdb"
+        else "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return f"""CASE doc_id % 4
+      WHEN 0 THEN 0
+      WHEN 1 THEN CASE WHEN {h} % 5 = 0 THEN 1 ELSE 0 END
+      WHEN 2 THEN CASE WHEN {h} % 2 = 0 THEN 1 ELSE 0 END
+      ELSE CASE WHEN {h} % 10 <> 0 THEN 1 ELSE 0 END END"""
+
+
+_Q241_INTERVAL = """CASE WHEN n_changed = 0 THEN 32
+     WHEN n_changed = 1 THEN 16
+     WHEN n_changed = 2 THEN 8
+     WHEN n_changed = 3 THEN 4
+     ELSE 2 END"""
+
+
+@register(
+    "q241_recrawl_schedule",
+    oracle=f"""
+WITH obs AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'static' WHEN 1 THEN 'slow'
+              WHEN 2 THEN 'medium' ELSE 'fast' END AS rate_class,
+         COALESCE(list_sum(list_transform(range(2, 7),
+                  i -> {_q241_changed("duckdb")})), 0) AS n_changed
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rate_class,
+       CAST(5 AS BIGINT) AS n_obs,
+       CAST(n_changed AS BIGINT) AS n_changed,
+       CAST({_Q241_INTERVAL} AS BIGINT) AS revisit_days
+FROM obs
+ORDER BY doc_id
+""",
+)
+def q241_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL revisit interval from 5 deterministic change
+    observations: 0 changes -> 32d down to >=4 -> 2d (the CGM
+    estimator's monotone discretization), all in-row."""
+    from voz_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    obs = d.select(
+        "doc_id",
+        F.expr(
+            "CASE doc_id % 4 WHEN 0 THEN 'static' WHEN 1 THEN 'slow'"
+            " WHEN 2 THEN 'medium' ELSE 'fast' END"
+        ).alias("rate_class"),
+        F.expr(
+            f"aggregate(transform(sequence(2, 6), i -> {_q241_changed('spark')}),"
+            " 0, (a, x) -> a + x)"
+        ).alias("n_changed"),
+    )
+    return obs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rate_class",
+        F.lit(5).cast("long").alias("n_obs"),
+        F.col("n_changed").cast("long").alias("n_changed"),
+        F.expr(f"CAST({_Q241_INTERVAL} AS BIGINT)").alias("revisit_days"),
+    ).orderBy("doc_id")
