@@ -572,3 +572,15 @@ def test_q241_recrawl_vs_python(spark, sf_dir):
     fasts = [r for r in rows.values() if r["rate_class"] == "fast"]
     assert statics and all(r["revisit_days"] == 32 for r in statics)
     assert fasts and sum(r["revisit_days"] <= 4 for r in fasts) > len(fasts) * 0.8
+
+
+def test_q242_stream_equals_batch(spark, sf_dir):
+    """The streaming anomaly monitor must reproduce the batch q238
+    rows exactly (same policy, same oracle — the q178 discipline)."""
+    from voz_spark.crawlops import q238_metric_anomaly_days
+    from voz_spark.streaming import q242_streaming_anomaly
+
+    batch = sorted(map(tuple, q238_metric_anomaly_days(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, q242_streaming_anomaly(spark, sf_dir).collect()))
+    assert stream == batch
+    assert len(batch) > 1

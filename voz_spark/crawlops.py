@@ -5937,9 +5937,7 @@ _Q238_SPIKE_DAY = "2024-01-15"
 _Q238_SPIKE = 500
 
 
-@register(
-    "q238_metric_anomaly_days",
-    oracle=f"""
+_Q238_ORACLE = f"""
 WITH daily AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day,
          COUNT(*) + CASE WHEN strftime(ts, '%Y-%m-%d') = '{_Q238_SPIKE_DAY}'
@@ -5955,28 +5953,21 @@ SELECT d.day, CAST(d.n AS BIGINT) AS n,
          AS is_outlier
 FROM dev d, mad
 ORDER BY day
-""",
-)
-def q238_metric_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-day fetch volume vs median/MAD with a planted spike; a day
-    is an outlier when |n - med| > 3 * max(MAD, 1)."""
-    from voz_spark.session import load_table
+"""
 
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n0"))
-        .select(
-            "day",
-            (
-                F.col("n0")
-                + F.when(F.col("day") == _Q238_SPIKE_DAY, _Q238_SPIKE).otherwise(0)
-            ).alias("n"),
-        )
+
+def anomaly_policy(daily0: DataFrame) -> DataFrame:
+    """The spike-injection + median/MAD outlier policy over a
+    (day, n0) rollup — shared by batch q238 and streaming q242 (the
+    stream≡batch equality through the SAME oracle is q242's gate)."""
+    daily = daily0.select(
+        "day",
+        (
+            F.col("n0")
+            + F.when(F.col("day") == _Q238_SPIKE_DAY, _Q238_SPIKE).otherwise(0)
+        ).alias("n"),
     )
-    med = daily.agg(
-        F.round(F.expr("percentile(n, 0.5)"), 4).alias("m")
-    )
+    med = daily.agg(F.round(F.expr("percentile(n, 0.5)"), 4).alias("m"))
     dev = daily.crossJoin(F.broadcast(med)).select(
         "day", "n", F.abs(F.col("n") - F.col("m")).alias("ad")
     )
@@ -5994,6 +5985,19 @@ def q238_metric_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register("q238_metric_anomaly_days", oracle=_Q238_ORACLE)
+def q238_metric_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day fetch volume vs median/MAD with a planted spike; a day
+    is an outlier when |n - med| > 3 * max(MAD, 1)."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    return anomaly_policy(daily)
 
 
 # ---------------------------------------------------------------------------

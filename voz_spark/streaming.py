@@ -1102,3 +1102,46 @@ def q220_stream_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("round").cast("long").alias("round"),
         F.col("n_novel").cast("long").alias("n_novel"),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q242: the crawl-volume anomaly monitor run ONLINE — q238's
+# median/MAD policy fed by a STREAMING daily rollup: the per-day
+# counts accumulate across time-ordered micro-batches (complete-mode
+# aggregation, state bounded by calendar days), and the robust policy
+# runs on the final bounded day table. Oracle: q238's OWN SQL — the
+# whole monitor, streaming-vs-batch, is the gate (the q178/q188
+# discipline). In production the policy re-runs after each
+# micro-batch on the same bounded state; availableNow bounds the run
+# for the harness.
+# ---------------------------------------------------------------------------
+
+
+def q242_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q238's anomaly policy over a streaming complete-mode daily
+    rollup — bit-exact against the batch oracle."""
+    from pyspark.sql import functions as F
+
+    from voz_spark.crawlops import anomaly_policy
+
+    src = _q178_source_dir(sf_dir)
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    sink = run_to_memory(daily, "q242_sink", "complete", spark)
+    return anomaly_policy(sink)
+
+
+def _register_q242() -> None:
+    from voz_spark.crawlops import _Q238_ORACLE
+    from voz_spark.registry import register
+
+    register("q242_streaming_anomaly", oracle=_Q238_ORACLE)(q242_streaming_anomaly)
+
+
+_register_q242()
