@@ -584,3 +584,93 @@ def test_q242_stream_equals_batch(spark, sf_dir):
     stream = sorted(map(tuple, q242_streaming_anomaly(spark, sf_dir).collect()))
     assert stream == batch
     assert len(batch) > 1
+
+
+def test_q243_interval_overlap_vs_bruteforce(spark, sf_dir):
+    """Brute-force all A x B interval overlaps must equal the bucketed
+    join's histogram exactly (first-shared-bucket crediting emits each
+    pair once)."""
+    from voz_spark.relational import q243_interval_overlap_join
+    from voz_spark.session import load_table
+
+    ids = [r["event_id"] for r in load_table(spark, sf_dir, "events").select("event_id").collect()]
+
+    def iv(eid):
+        s = (eid * 37) % 10000
+        return (s, s + 1 + _h60(f"{eid}:len") % 50)
+
+    A = [iv(e) for e in ids if e % 3 == 0]
+    B = [iv(e) for e in ids if e % 3 == 1]
+    bands = defaultdict(lambda: [0, 0])
+    for sa, ea in A:
+        for sb, eb in B:
+            if sa <= eb and sb <= ea:
+                ov = min(ea, eb) - max(sa, sb) + 1
+                bands[ov // 10][0] += 1
+                bands[ov // 10][1] += ov
+    got = {r["band"]: (r["n_pairs"], r["sum_overlap"]) for r in q243_interval_overlap_join(spark, sf_dir).collect()}
+    assert got == {k: tuple(v) for k, v in bands.items()}
+    assert sum(v[0] for v in got.values()) > 0
+
+
+def test_q244_host_mirror_vs_python(spark, sf_dir):
+    """Replay host shingle unions + 8 minhashes + 2-minhash bands; the
+    planted mirror pair (h3, m3) must surface at 8/8 matches."""
+    import re as _re
+
+    from voz_spark.crawlops import q244_host_mirror_minhash
+    from voz_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    hosts = defaultdict(set)
+    for r in docs:
+        tk = _re.split(r"\s+", r["text"].strip())
+        sh = {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+        hosts[f"h{r['doc_id'] % 19}"] |= sh
+        if r["doc_id"] % 19 == 3:
+            hosts["m3"] |= sh
+    sk = {
+        h: [min(hashlib.md5(f"{s}#{j}".encode()).hexdigest() for s in ss) for j in range(8)]
+        for h, ss in hosts.items()
+    }
+    names = sorted(sk)
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            banded = any(
+                sk[a][x] == sk[b][x] and sk[a][y] == sk[b][y]
+                for x, y in [(0, 1), (2, 3), (4, 5), (6, 7)]
+            )
+            if banded:
+                m = sum(sk[a][j] == sk[b][j] for j in range(8))
+                want[(a, b)] = (m, 1000 * m // 8)
+    got = {
+        (r["host_a"], r["host_b"]): (r["n_match"], r["est_milli"])
+        for r in q244_host_mirror_minhash(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got.get(("h3", "m3")) == (8, 1000)
+
+
+def test_q245_reputation_vs_python(spark, sf_dir):
+    """Replay the integer shift-decay; fresher successes must weigh
+    exponentially more and every value is float-free exact."""
+    from voz_spark.crawlops import q245_decayed_host_reputation
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts").collect()
+    d1 = max(r["ts"].date() for r in ev)
+    want = defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        h = f"h{r['user_id'] % 20}"
+        ok = int(r["event_type"] != "error")
+        age_w = min((d1 - r["ts"].date()).days // 7, 10)
+        st = want[h]
+        st[0] += 1
+        st[1] += ok
+        st[2] += ok * (1024 >> age_w)
+    rows = {r["host"]: r for r in q245_decayed_host_reputation(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for h, (n, s, rep) in want.items():
+        r = rows[h]
+        assert (r["n_events"], r["n_success"], r["rep_score"]) == (n, s, rep)

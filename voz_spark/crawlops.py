@@ -6192,3 +6192,181 @@ def q241_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_changed").cast("long").alias("n_changed"),
         F.expr(f"CAST({_Q241_INTERVAL} AS BIGINT)").alias("revisit_days"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q244: host-level mirror detection — MinHash lifted from documents
+# (q24/q25) to HOSTS: a mirror site carries (nearly) the same shingle
+# UNION as its origin even when no single page pair survives the
+# doc-level near-dup gate, so the sketch is aggregated per host and
+# the banded join runs on the ~10^7-host domain instead of the
+# 10^10-doc domain. A planted mirror ('m3' serving exactly h3's docs)
+# must come out 8/8.
+#
+# Scale shape: the host sketch is ONE aggregate over (host, shingle)
+# distinct rows — 8 MIN()s computed together; candidates come from 4
+# two-minhash bands (the q25 band discipline — never all-pairs over
+# hosts); the verify step compares the two 8-value sketches in-row.
+# ---------------------------------------------------------------------------
+
+_Q244_K = 8
+_Q244_HOST_DUCK = (
+    "CASE WHEN doc_id % 19 = 3 AND mirror = 1 THEN 'm3' "
+    "ELSE 'h' || CAST(doc_id % 19 AS VARCHAR) END"
+)
+_Q244_MH_DUCK = ",\n         ".join(
+    f"MIN(md5(shingle || '#{j}')) AS mh{j}" for j in range(_Q244_K)
+)
+_Q244_MATCH = " + ".join(f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(_Q244_K))
+_Q244_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+
+
+def _q244_shingles_duck() -> str:
+    from voz_spark.dataprep import _shingles_sql
+
+    return _shingles_sql()
+
+
+@register(
+    "q244_host_mirror_minhash",
+    oracle=f"""
+WITH sh AS ({{sh}}),
+hosted AS (
+  SELECT {_Q244_HOST_DUCK} AS host, shingle
+  FROM sh, (SELECT unnest([0, 1]) AS mirror) m
+  WHERE mirror = 0 OR doc_id % 19 = 3
+),
+hs AS (SELECT DISTINCT host, shingle FROM hosted),
+sk AS (
+  SELECT host, {_Q244_MH_DUCK}
+  FROM hs GROUP BY host
+),
+cand AS (
+  {" UNION ".join(
+    f"SELECT a.host AS host_a, b.host AS host_b FROM sk a JOIN sk b"
+    f" ON a.mh{i} = b.mh{i} AND a.mh{j} = b.mh{j} AND a.host < b.host"
+    for i, j in _Q244_BANDS
+  )}
+)
+SELECT c.host_a, c.host_b,
+       CAST({_Q244_MATCH} AS BIGINT) AS n_match,
+       CAST(1000 * ({_Q244_MATCH}) // {_Q244_K} AS BIGINT) AS est_milli
+FROM cand c JOIN sk a ON a.host = c.host_a JOIN sk b ON b.host = c.host_b
+ORDER BY host_a, host_b
+""".replace("{sh}", _q244_shingles_duck()),
+)
+def q244_host_mirror_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded host-level MinHash: candidate host pairs sharing any
+    2-minhash band, sketch-match count + milli similarity; the
+    planted mirror scores 8/8."""
+    from voz_spark.dataprep import _spark_shingles
+    from voz_spark.session import load_table
+
+    sh = _spark_shingles(load_table(spark, sf_dir, "documents"))
+    base = sh.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 19).cast("string")).alias("host"),
+        "shingle",
+    )
+    mirror = sh.where(F.col("doc_id") % 19 == 3).select(
+        F.lit("m3").alias("host"), "shingle"
+    )
+    hs = base.unionByName(mirror).distinct()
+    sk = hs.groupBy("host").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh{j}")
+            for j in range(_Q244_K)
+        ]
+    ).persist()
+    a = sk.alias("a")
+    b = sk.alias("b")
+    cands = None
+    for i, j in _Q244_BANDS:
+        c = a.join(
+            b,
+            (F.col(f"a.mh{i}") == F.col(f"b.mh{i}"))
+            & (F.col(f"a.mh{j}") == F.col(f"b.mh{j}"))
+            & (F.col("a.host") < F.col("b.host")),
+        ).select(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    cand = cands.distinct()
+    sa = sk.select([F.col("host").alias("host_a")] + [F.col(f"mh{j}").alias(f"a{j}") for j in range(_Q244_K)])
+    sb = sk.select([F.col("host").alias("host_b")] + [F.col(f"mh{j}").alias(f"b{j}") for j in range(_Q244_K)])
+    match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_Q244_K)
+    )
+    return (
+        cand.join(sa, "host_a")
+        .join(sb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            match.cast("long").alias("n_match"),
+            F.expr(
+                "CAST(1000 * ("
+                + " + ".join(
+                    f"CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END" for j in range(_Q244_K)
+                )
+                + f") div {_Q244_K} AS BIGINT)"
+            ).alias("est_milli"),
+        )
+        .orderBy("host_a", "host_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245: time-decayed host reputation — the freshness-weighted health
+# score a scheduler consults (recent successes matter, last month's
+# barely): score = sum over successful fetches of 1024 >> age_weeks —
+# EXACT integer exponential decay (half-life = one week) via bit
+# shift, no floats anywhere, so both engines agree bit-for-bit and
+# partials merge (a sum of shifted integers is combinable map-side).
+#
+# Scale shape: one 1-row max-day aggregate broadcast back, then ONE
+# partial-combining host rollup; the decay weight is in-row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q245_decayed_host_reputation",
+    oracle="""
+WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events),
+e AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS ok,
+         LEAST(date_diff('day', CAST(ts AS DATE), mx.d1) // 7, 10) AS age_w
+  FROM events, mx
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(ok) AS BIGINT) AS n_success,
+       CAST(SUM(ok * (1024 >> age_w)) AS BIGINT) AS rep_score
+FROM e GROUP BY host
+ORDER BY host
+""",
+)
+def q245_decayed_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host success reputation with integer half-life-per-week
+    decay (1024 >> age_weeks) — exact, mergeable, float-free."""
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("d1"))
+    e = ev.crossJoin(F.broadcast(mx)).select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        F.when(F.col("event_type") != "error", 1).otherwise(0).alias("ok"),
+        F.least(
+            F.expr("datediff(d1, CAST(ts AS DATE)) div 7"), F.lit(10)
+        ).alias("age_w"),
+    )
+    return (
+        e.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("ok").cast("long").alias("n_success"),
+            F.sum(F.expr("ok * shiftright(1024, CAST(age_w AS INT))"))
+            .cast("long")
+            .alias("rep_score"),
+        )
+        .orderBy("host")
+    )

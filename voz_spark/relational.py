@@ -2494,3 +2494,129 @@ def q237_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# q243: interval-interval OVERLAP join — q197 joins points into
+# intervals; this joins two interval SETS (the genomics/temporal
+# staple: reservations vs maintenance windows, ad flights vs
+# sessions). The naive form is an O(n*m) range cross join Spark
+# cannot equi-plan. Bucketed form: each interval explodes to the
+# coarse W=128 buckets it spans (<=2 here since len < W), the join is
+# an EQUI-join on bucket, and each overlapping pair is emitted
+# EXACTLY ONCE — no distinct pass — by crediting it to the first
+# bucket both intervals inhabit: bucket == greatest(a_first, b_first)
+# (both intervals exist there iff they overlap at all in bucket
+# space, and it is unique).
+#
+# Fixture (q222 in-query synthesis, md5 lengths): side A from
+# event_id % 3 == 0, side B from % 3 == 1, starts scattered on a
+# 10,000-wide axis. Output: overlap-length histogram (bounded), exact
+# integers end to end.
+# ---------------------------------------------------------------------------
+
+_Q243_W = 128
+
+_Q243_IV_DUCK = """
+  SELECT event_id AS iid,
+         (event_id * 37) % 10000 AS s,
+         (event_id * 37) % 10000
+           + 1 + ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':len'), 1, 15))::BIGINT % 50
+           AS e
+  FROM events WHERE event_id % 3 = {m}
+"""
+
+
+@register(
+    "q243_interval_overlap_join",
+    oracle=f"""
+WITH ia AS ({_Q243_IV_DUCK.format(m=0)}),
+ib AS ({_Q243_IV_DUCK.format(m=1)}),
+ea AS (
+  SELECT iid, s, e, s // {_Q243_W} AS b0, unnest(range(s // {_Q243_W}, e // {_Q243_W} + 1)) AS bkt
+  FROM ia
+),
+eb AS (
+  SELECT iid, s, e, s // {_Q243_W} AS b0, unnest(range(s // {_Q243_W}, e // {_Q243_W} + 1)) AS bkt
+  FROM ib
+),
+pairs AS (
+  SELECT a.iid AS id_a, b.iid AS id_b,
+         LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS ov
+  FROM ea a JOIN eb b
+    ON a.bkt = b.bkt
+   AND a.bkt = GREATEST(a.b0, b.b0)
+   AND a.s <= b.e AND b.s <= a.e
+)
+SELECT CAST(ov // 10 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ov) AS BIGINT) AS sum_overlap
+FROM pairs
+GROUP BY band
+ORDER BY band
+""",
+)
+def q243_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (A, B) interval pairs via bucket equi-join with
+    first-shared-bucket crediting (each pair exactly once, no
+    distinct); overlap-length histogram out."""
+    ev = T(spark, sf_dir, "events").select("event_id")
+    ln = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":len"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 50
+    )
+
+    def side(m: int) -> DataFrame:
+        return ev.where(F.col("event_id") % 3 == m).select(
+            F.col("event_id").alias("iid"),
+            ((F.col("event_id") * 37) % 10000).alias("s"),
+            ((F.col("event_id") * 37) % 10000 + 1 + ln).alias("e"),
+        )
+
+    def expand(df: DataFrame) -> DataFrame:
+        return df.select(
+            "iid",
+            "s",
+            "e",
+            F.expr(f"s div {_Q243_W}").alias("b0"),
+            F.explode(
+                F.expr(f"sequence(s div {_Q243_W}, e div {_Q243_W})")
+            ).alias("bkt"),
+        )
+
+    a = expand(side(0)).select(
+        F.col("iid").alias("id_a"), F.col("s").alias("sa"), F.col("e").alias("ea"),
+        F.col("b0").alias("b0a"), F.col("bkt").alias("bkt"),
+    )
+    b = expand(side(1)).select(
+        F.col("iid").alias("id_b"), F.col("s").alias("sb"), F.col("e").alias("eb"),
+        F.col("b0").alias("b0b"), F.col("bkt").alias("bkt_b"),
+    )
+    pairs = a.join(
+        b,
+        (a["bkt"] == b["bkt_b"])
+        & (a["bkt"] == F.greatest(F.col("b0a"), F.col("b0b")))
+        & (F.col("sa") <= F.col("eb"))
+        & (F.col("sb") <= F.col("ea")),
+    ).select(
+        (
+            F.least(F.col("ea"), F.col("eb"))
+            - F.greatest(F.col("sa"), F.col("sb"))
+            + 1
+        ).alias("ov")
+    )
+    return (
+        pairs.select(F.expr(f"ov div 10").alias("band"), "ov")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("ov").cast("long").alias("sum_overlap"),
+        )
+        .orderBy("band")
+    )
