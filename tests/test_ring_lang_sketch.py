@@ -674,3 +674,35 @@ def test_q245_reputation_vs_python(spark, sf_dir):
     for h, (n, s, rep) in want.items():
         r = rows[h]
         assert (r["n_events"], r["n_success"], r["rep_score"]) == (n, s, rep)
+
+
+def test_q246_transitions_vs_python(spark, sf_dir):
+    """Replay sessionized transitions; per-from milli probabilities
+    must sum to <= 1000 with DIV truncation and the matrix must cover
+    exactly the observed pairs."""
+    from voz_spark.relational import q246_session_transitions
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        for (pt, _, pe), (ct, _, ce) in zip(evs, evs[1:]):
+            if (ct - pt).total_seconds() <= 1800:
+                trans[(pe, ce)] += 1
+    tot = defaultdict(int)
+    for (f, _), n in trans.items():
+        tot[f] += n
+    rows = {(r["from_type"], r["to_type"]): r for r in q246_session_transitions(spark, sf_dir).collect()}
+    assert set(rows) == set(trans)
+    for (f, t), n in trans.items():
+        r = rows[(f, t)]
+        assert (r["n_trans"], r["prob_milli"]) == (n, 1000 * n // tot[f])
+    for f in tot:
+        s = sum(r["prob_milli"] for (ff, _), r in rows.items() if ff == f)
+        assert 995 <= s <= 1000  # DIV truncation loses < 5 per row set

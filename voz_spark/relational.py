@@ -2620,3 +2620,86 @@ def q243_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246: session transition matrix — the Markov clickstream model
+# product analytics builds on q13's sessions: within each (user,
+# session), consecutive events form (from_type -> to_type)
+# transitions; counts roll up to the bounded K^2 type-pair domain
+# with DIV-exact milli transition probabilities per from-state. q84
+# models WORD bigrams; this is the EVENT-sequence analogue (next-
+# action prediction, funnel leak localization).
+#
+# Scale shape: exactly q13's one user-keyed window pass (lag gives
+# both the session flag and the transition source in the same pass —
+# the session id needs a second cumsum window over the same
+# partitioning, ONE exchange total), then a partial-combining rollup
+# on the bounded (from, to) domain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q246_session_transitions",
+    oracle="""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER w AS prev_ts,
+         LAG(event_type) OVER w AS prev_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tr AS (
+  SELECT prev_type AS from_type, event_type AS to_type
+  FROM t WHERE new_sess = 0
+),
+cnt AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM tr GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n) AS ft FROM cnt GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n_trans,
+       CAST(1000 * c.n // t.ft AS BIGINT) AS prob_milli
+FROM cnt c JOIN tot t ON t.from_type = c.from_type
+ORDER BY c.from_type, c.to_type
+""",
+)
+def q246_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session (from_type -> to_type) transition counts and
+    milli probabilities — q13's session window reused for the Markov
+    matrix."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | F.expr("ts - prev_ts > INTERVAL 30 MINUTES"),
+                1,
+            ).otherwise(0),
+        )
+    )
+    cnt = (
+        t.where(F.col("new_sess") == 0)
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("ft"))
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n_trans"),
+            F.expr("CAST(1000 * n div ft AS BIGINT)").alias("prob_milli"),
+        )
+        .orderBy("from_type", "to_type")
+    )
