@@ -706,3 +706,63 @@ def test_q246_transitions_vs_python(spark, sf_dir):
     for f in tot:
         s = sum(r["prob_milli"] for (ff, _), r in rows.items() if ff == f)
         assert 995 <= s <= 1000  # DIV truncation loses < 5 per row set
+
+
+def test_q247_attribution_vs_python(spark, sf_dir):
+    """Replay U-shaped credit; every session's credit must sum to
+    exactly 1000 milli (conservation) and the per-type rollup must
+    match exactly."""
+    from voz_spark.relational import q247_position_attribution
+    from voz_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    total_sessions = 0
+    for evs in by_user.values():
+        evs.sort()
+        sessions, cur = [], [evs[0]]
+        for prev, e in zip(evs, evs[1:]):
+            if (e[0] - prev[0]).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append(e)
+        sessions.append(cur)
+        for sess in sessions:
+            total_sessions += 1
+            n = len(sess)
+            credits = []
+            if n == 1:
+                credits = [1000]
+            elif n == 2:
+                credits = [500, 500]
+            else:
+                base, rem = divmod(200, n - 2)
+                credits = (
+                    [400]
+                    + [base + (1 if i + 1 <= rem else 0) for i in range(n - 2)]
+                    + [400]
+                )
+            assert sum(credits) == 1000  # conservation by construction
+            for pos, ((_, _, typ), cr) in enumerate(zip(sess, credits), 1):
+                st = want[typ]
+                st[3] += cr
+                if pos == 1:
+                    st[0] += 1
+                elif pos == n:
+                    st[1] += 1
+                else:
+                    st[2] += 1
+    rows = {r["event_type"]: r for r in q247_position_attribution(spark, sf_dir).collect()}
+    assert set(rows) == set(want)
+    for typ, (nf, nl, nm, cm) in want.items():
+        r = rows[typ]
+        assert (r["n_first"], r["n_last"], r["n_middle"], r["credit_milli"]) == (
+            nf, nl, nm, cm,
+        )
+    # global conservation: total credit == 1000 * sessions
+    assert sum(r["credit_milli"] for r in rows.values()) == 1000 * total_sessions

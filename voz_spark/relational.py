@@ -2703,3 +2703,106 @@ def q246_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q247: position-based (U-shaped) session attribution — marketing
+# analytics' standard credit split, run on q13's sessions: each
+# session carries EXACTLY 1000 milli of credit; first and last events
+# take 400 each, the middle 200 splits over the n-2 middle events by
+# integer largest-remainder (q218's conservation discipline — the
+# earliest middles take the remainder); n=1 -> 1000, n=2 -> 500/500.
+# Per-session conservation is exact by construction and pinned in the
+# test; the rollup reports per event type its positional counts and
+# total credit.
+#
+# Scale shape: q13's user-keyed session windows plus one per-(user,
+# session) count/rank window — all bounded partitions — then ONE
+# rollup on the bounded type domain.
+# ---------------------------------------------------------------------------
+
+_Q247_CREDIT = """CASE WHEN n = 1 THEN 1000
+     WHEN n = 2 THEN 500
+     WHEN pos = 1 OR pos = n THEN 400
+     ELSE 200 // (n - 2) + CASE WHEN pos - 1 <= 200 % (n - 2) THEN 1 ELSE 0 END
+END"""
+
+
+@register(
+    "q247_position_attribution",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM t
+),
+p AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id, sess_id) AS n
+  FROM s
+),
+c AS (
+  SELECT event_type, pos, n, {_Q247_CREDIT} AS credit FROM p
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(SUM(CASE WHEN pos = n AND n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+       CAST(SUM(CASE WHEN pos > 1 AND pos < n THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+       CAST(SUM(credit) AS BIGINT) AS credit_milli
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q247_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped attribution over q13 sessions: 400/200/400 with
+    integer largest-remainder middles — every session's credit sums
+    to exactly 1000 milli."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | F.expr("ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+                     " > INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    s = t.withColumn("sess_id", F.sum("new_sess").over(w))
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "sess_id")
+    p = s.select(
+        "event_type",
+        F.row_number().over(ws).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    c = p.withColumn(
+        "credit",
+        F.expr(_Q247_CREDIT.replace("//", "div")),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("pos") == 1, 1).otherwise(0)).cast("long").alias("n_first"),
+            F.sum(F.when((F.col("pos") == F.col("n")) & (F.col("n") > 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_last"),
+            F.sum(
+                F.when((F.col("pos") > 1) & (F.col("pos") < F.col("n")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_middle"),
+            F.sum("credit").cast("long").alias("credit_milli"),
+        )
+        .orderBy("event_type")
+    )
