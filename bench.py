@@ -34,8 +34,6 @@ HEADLINE = [
 # headline metric comparable across rounds while still benching the
 # round-2 additions (image pHash near-dup, bucketed fact-fact join)
 EXTRA = [
-    "q61_phash_neardup",
-    "q62_bucketed_join",
     "q80_semantic_dedup",
     "q81_dup_span_fraction",
     "q84_bigram_fluency",
@@ -51,6 +49,11 @@ EXTRA = [
     # path) and the DSIR-shaped selection scorer
     "q223_prefix_filter_join",
     "q225_target_affinity_selection",
+    # round-4 rotation (VERDICT r3 item 6): q61/q62 have three rounds
+    # of stable wall-time evidence — swap in the heaviest unbenched
+    # warehouse operators so that family gets wall-time evidence too
+    "q231_incremental_view_merge",
+    "q240_scd2_asof_enrich",
 ]
 
 
@@ -81,14 +84,26 @@ def main() -> None:
 
     # best of 2 per query (same discipline as the frontier number
     # below): co-tenant storms on this shared box swing a single shot
-    # 2x; the min of a back-to-back pair is the stable signal
-    times: dict[str, float] = {}
-    for _ in range(2):
-        for name in HEADLINE:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
+    # 2x; the min of a back-to-back pair is the stable signal.
+    # Cache-scope contract (VERDICT r3 item 4): each query's internal
+    # persists are released after its rep pair finishes, so the
+    # many-query bench session stays flat in storage memory — reps of
+    # the SAME query stay back-to-back (warm), queries don't leak
+    # cached blocks into each other's runs.
+    from voz_spark.registry import release_caches
+
+    def _bench(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                out[name] = min(out.get(name, dt), dt)
+            release_caches(spark)
+        return out
+
+    times = _bench(HEADLINE)
 
     # headline seen filter: CUCKOO (VERDICT r2 #8 — consistently the
     # faster membership path in both the driver's r2 run and local
@@ -108,13 +123,7 @@ def main() -> None:
         if frontier is None or r["urls_per_sec"] > frontier["urls_per_sec"]:
             frontier = r
 
-    extra: dict[str, float] = {}
-    for _ in range(2):
-        for name in EXTRA:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            extra[name] = min(extra.get(name, dt), dt)
+    extra = _bench(EXTRA)
 
     # secondary: the same pipeline through the bloom seen filter
     # (BASELINE names "bloom/cuckoo"; both strategies stay first-class
@@ -124,6 +133,16 @@ def main() -> None:
         r = bench_frontier_schedule(spark, n_urls=n_frontier)
         if frontier_bl is None or r["urls_per_sec"] > frontier_bl["urls_per_sec"]:
             frontier_bl = r
+
+    # the bucketed seen-store variant — the 10^10 design point (seen
+    # side re-read with zero Exchange from the bucket-sorted index;
+    # VERDICT r3 item 7 asked for a published throughput row)
+    bkcfg = dataclasses.replace(DEFAULT, seen_filter="cuckoo", seen_store="bucketed")
+    frontier_bk = None
+    for _ in range(2):
+        r = bench_frontier_schedule(spark, n_urls=n_frontier, cfg=bkcfg)
+        if frontier_bk is None or r["urls_per_sec"] > frontier_bk["urls_per_sec"]:
+            frontier_bk = r
     spark.stop()
 
     total = round(sum(times.values()), 3)
@@ -138,6 +157,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "frontier": frontier,
                 "frontier_bloom": frontier_bl,
+                "frontier_bucketed": frontier_bk,
                 "frontier_urls_per_sec": frontier["urls_per_sec"],
             }
         )

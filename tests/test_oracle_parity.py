@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from voz_spark.oracle_compare import compare
-from voz_spark.registry import REGISTRY, all_queries
+from voz_spark.registry import REGISTRY, all_queries, release_caches
 
 
 def _oracle_cases():
@@ -16,9 +16,15 @@ def _oracle_cases():
 
 @pytest.mark.parametrize("name,query", _oracle_cases(), ids=lambda c: c if isinstance(c, str) else "")
 def test_query_matches_oracle(spark, sf_dir, name, query):
-    df = query.fn(spark, sf_dir)
-    ok, msg = compare(df, query.oracle, sf_dir)
-    assert ok, f"{name}: {msg}"
+    try:
+        df = query.fn(spark, sf_dir)
+        ok, msg = compare(df, query.oracle, sf_dir)
+        assert ok, f"{name}: {msg}"
+    finally:
+        # cache-scope contract: query-local persists are released after
+        # materialization so the 231-query session stays flat in
+        # storage memory (registry.release_caches docstring)
+        release_caches(spark)
 
 
 def _rows_only_cases():
@@ -28,6 +34,9 @@ def _rows_only_cases():
 
 @pytest.mark.parametrize("name,query", _rows_only_cases(), ids=lambda c: c if isinstance(c, str) else "")
 def test_rows_only_queries_run(spark, sf_dir, name, query):
-    df = query.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+    try:
+        df = query.fn(spark, sf_dir)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
+    finally:
+        release_caches(spark)

@@ -43,6 +43,9 @@ def test_q233_grid_join_is_single_pass(spark, sf_dir):
     plan = _formatted_plan(q233_grid_neighbor_join(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
     # every hash exchange is either the cell key (pcx/cx, pcy/cy) or
-    # the bounded band rollup — nothing shuffles raw pairs
+    # the bounded band rollup — nothing shuffles raw pairs. Match the
+    # exact column tokens (name#id) so an unrelated column merely
+    # CONTAINING "cx"/"band" can't satisfy the check.
+    cell_or_band = re.compile(r"\b(?:p?c[xy]|band)#\d+")
     for ex in re.findall(r"Arguments: hashpartitioning\([^)]*\)", plan):
-        assert ("cx" in ex) or ("band" in ex), (ex, plan)
+        assert cell_or_band.search(ex), (ex, plan)

@@ -2118,11 +2118,15 @@ WITH bg AS (
 seedb AS (SELECT bucket FROM bg WHERE doc_id % 20 = 0),
 poolb AS (SELECT doc_id, bucket FROM bg WHERE doc_id % 20 <> 0),
 tdist AS (
-  SELECT bucket, (1000000 * COUNT(*)) // (SELECT COUNT(*) FROM seedb) AS tp
+  -- GREATEST guard: an empty seed split must yield the same answer in
+  -- both engines (DuckDB raises on //0 while Spark div returns NULL)
+  SELECT bucket,
+         (1000000 * COUNT(*)) // GREATEST((SELECT COUNT(*) FROM seedb), 1) AS tp
   FROM seedb GROUP BY bucket
 ),
 rdist AS (
-  SELECT bucket, (1000000 * COUNT(*)) // (SELECT COUNT(*) FROM poolb) AS rp
+  SELECT bucket,
+         (1000000 * COUNT(*)) // GREATEST((SELECT COUNT(*) FROM poolb), 1) AS rp
   FROM poolb GROUP BY bucket
 ),
 scored AS (
@@ -2174,8 +2178,10 @@ def q225_target_affinity_selection(spark: SparkSession, sf_dir: str) -> DataFram
     )
     seedb = bg.where(F.col("doc_id") % 20 == 0)
     poolb = bg.where(F.col("doc_id") % 20 != 0)
-    tn = seedb.count()  # O(1) scalars: distribution totals
-    rn = poolb.count()
+    # max(.,1) mirrors the oracle's GREATEST guard: degenerate empty
+    # splits divide by 1 in both engines instead of erroring in one
+    tn = max(seedb.count(), 1)  # O(1) scalars: distribution totals
+    rn = max(poolb.count(), 1)
     tdist = seedb.groupBy("bucket").agg(
         F.expr(f"1000000 * count(1) div {tn}").alias("tp")
     )

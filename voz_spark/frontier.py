@@ -367,27 +367,72 @@ def _schedule(
     n_salts: int,
     persisted: list[DataFrame] | None = None,
     do_persist: bool = True,
+    host_src: DataFrame | None = None,
 ) -> DataFrame:
     """B4/B5/B6: salted per-host priority scheduling.
 
-    Stage 1 window partitions by (host, salt) and keeps the per-salt
-    top-`budget` — bounds any one partition even when one host owns
-    90% of the frontier. Stage 2 keeps the exact per-host top-`budget`
-    of the ≤ budget×n_salts survivors. The kept set equals the
-    sequential reference's "next budget URLs in seed/page/post order"
-    (src/main.py:207, src/thread_crawler.py:161-172).
+    Stage 1 window partitions by (host_id, salt) and keeps the
+    per-salt top-`budget` — bounds any one partition even when one
+    host owns 90% of the frontier. Stage 2 keeps the exact per-host
+    top-`budget` of the ≤ budget×n_salts survivors. The kept set
+    equals the sequential reference's "next budget URLs in
+    seed/page/post order" (src/main.py:207,
+    src/thread_crawler.py:161-172).
+
+    Byte discipline through the scheduling exchanges + stage-1 cache
+    (round-4; the pipeline is DRAM-bandwidth-bound at 4N cores —
+    BENCH/BASELINE.md roofline — so shuffled bytes ARE the scaling
+    bottleneck):
+    - `host` (a ~20-byte string) is dictionary-encoded to an int
+      `host_id` via a broadcast dim built from the DISTINCT hosts of
+      `host_src` (the caller's already-persisted candidate table —
+      never a replay of upstream joins). Exact by construction: the
+      dim assigns unique ids with a row_number over the n_hosts-row
+      dim (bounded window), not a hash that could collide. The per-row
+      `budget` map lookup moves onto the dim too (n_hosts evaluations
+      instead of n_frontier). The string is re-attached by a second
+      broadcast join AFTER the bounded phase-D rank.
+    - `url_hash` (8B) is shed before the window exchange and
+      re-derived post-schedule as xxhash64(canon_url) — its exact
+      definition (_canonicalize).
+    - `salt` narrows to int (4B, domain ≤ n_salts).
+
+    Contract: every host in `df` must appear in `host_src` (callers
+    pass the table `df` derives from by filtering — a host superset);
+    the inner dim join silently drops rows otherwise. Default
+    host_src=df is always correct, at the cost of replaying df's
+    lineage for the tiny distinct-hosts aggregate.
     """
+    src = host_src if host_src is not None else df
     budget_map = F.create_map(
         *[x for h, b in sorted(budgets.items()) for x in (F.lit(h), F.lit(b))]
     )
-    df = df.withColumn("budget", F.coalesce(budget_map[F.col("host")], F.lit(default_budget)))
-    df = df.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(n_salts)))
+    # host dictionary: bounded by distinct hosts (a crawl's host set is
+    # orders of magnitude below the frontier); the row_number window
+    # runs over the n_hosts-row dim, not the frontier
+    wdim = Window.orderBy("host")
+    dim = (
+        src.select("host")
+        .distinct()
+        .withColumn("host_id", F.row_number().over(wdim).cast("int"))
+        .withColumn(
+            "budget", F.coalesce(budget_map[F.col("host")], F.lit(default_budget))
+        )
+    )
+    out_cols = [c for c in df.columns] + ["scheduled"]
+    df = (
+        df.join(F.broadcast(dim), "host")
+        .drop("host", "url_hash")
+        .withColumn(
+            "salt", F.pmod(F.xxhash64("canon_url"), F.lit(n_salts)).cast("int")
+        )
+    )
     # `_pri` (the packed priority long from _canonicalize) is already on
     # the rows: one comparator word instead of three in the window
     # sorts, with canon_url as the total-order tie-break
 
     # Exact distributed top-B per host via the threshold algorithm:
-    #   phase A: per-(host,salt) rank; keep per-salt top-⌈B/S⌉
+    #   phase A: per-(host_id,salt) rank; keep per-salt top-⌈B/S⌉
     #            (balanced small sorts — no group ever exceeds ~B/S)
     #   phase B: per-host sort of the ≤B+S phase-A rows; the B-th row's
     #            priority is a threshold t — the true global B-th best
@@ -398,7 +443,7 @@ def _schedule(
     #            impossible for salt = pmod(xxhash64)) → exact top-B.
     # Stage-D work is O(B log B) REGARDLESS of frontier size — the
     # property that lets one dominant host not serialize the round.
-    w1 = Window.partitionBy("host", "salt").orderBy("_pri", "canon_url")
+    w1 = Window.partitionBy("host_id", "salt").orderBy("_pri", "canon_url")
     stage1 = df.withColumn("_r1", F.row_number().over(w1))
     if do_persist:
         stage1 = stage1.persist()
@@ -406,14 +451,14 @@ def _schedule(
             persisted.append(stage1)
 
     per_salt = F.ceil(F.col("budget") / F.lit(n_salts)).cast("int")
-    wh = Window.partitionBy("host").orderBy("_pri", "canon_url")
+    wh = Window.partitionBy("host_id").orderBy("_pri", "canon_url")
     phase_a = stage1.where(F.col("_r1") <= per_salt)
     thr = (
         phase_a.withColumn("_ra", F.row_number().over(wh))
         .where(F.col("_ra") == F.col("budget"))
-        .select(F.col("host").alias("_th"), F.col("_pri").alias("_tpri"), F.col("canon_url").alias("_tcanon"))
+        .select(F.col("host_id").alias("_th"), F.col("_pri").alias("_tpri"), F.col("canon_url").alias("_tcanon"))
     )
-    joined = stage1.join(F.broadcast(thr), stage1.host == F.col("_th"), "left")
+    joined = stage1.join(F.broadcast(thr), stage1.host_id == F.col("_th"), "left")
     below_thr = F.col("_tpri").isNull() | (
         (F.col("_pri") < F.col("_tpri"))
         | ((F.col("_pri") == F.col("_tpri")) & (F.col("canon_url") <= F.col("_tcanon")))
@@ -423,8 +468,18 @@ def _schedule(
     final = cand.withColumn("_r2", F.row_number().over(wh)).withColumn(
         "scheduled", F.col("_r2") <= F.col("budget")
     ).drop("_r2")
-    out_cols = [c for c in df.columns if c not in ("salt", "budget")] + ["scheduled"]
-    out = final.select(*out_cols).unionByName(above.select(*out_cols))
+    keep = ["host_id"] + [
+        c for c in out_cols if c not in ("host", "url_hash", "salt", "budget")
+    ]
+    out = final.select(*keep).unionByName(above.select(*keep))
+    # restore the dictionary-encoded/shed columns on the scheduled
+    # output: host via the broadcast dim, url_hash by its definition
+    out = (
+        out.join(F.broadcast(dim.select("host_id", "host")), "host_id")
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+        .drop("host_id")
+        .select(*out_cols)
+    )
     return _unpack_pri(out).drop("_pri")
 
 
@@ -587,7 +642,14 @@ def run_round_pipeline(
     # the scheduling window exchange and the stage-1 cache
     allowed = new.where(~F.col("robots_blocked")).drop("robots_blocked", "path")
 
-    sched_all = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, persisted).persist()
+    sched_all = _schedule(
+        allowed,
+        budgets,
+        cfg.default_host_budget,
+        cfg.n_salts,
+        persisted,
+        host_src=new,  # persisted host superset — dim build scans the cache
+    ).persist()
     persisted.append(sched_all)
     scheduled = sched_all.where(F.col("scheduled"))
     pending = sched_all.where(~F.col("scheduled"))

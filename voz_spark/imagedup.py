@@ -4011,6 +4011,48 @@ _Q182_STAGES = (
     "6_license",
 )
 
+
+def funnel_from_first_fail(spark, fc, stage_names=_Q182_STAGES):
+    """Shared funnel composer: turn a bounded first-fail histogram
+    (columns ``first_fail`` [0 = survived, k = failed at stage k] and
+    ``n``) into the per-stage (n_in, n_fail, n_out) funnel table.
+
+    One definition serves the batch funnel (q182), the gate-ablation
+    variant (q186) and the streaming-admission funnel (q188) so the
+    cumulative-fail semantics cannot drift between them (VERDICT r3
+    item 8). The window is over the len(stage_names)-row stage dim —
+    bounded by construction, so the unpartitioned orderBy is safe.
+    """
+    from pyspark.sql import Window
+
+    stages = spark.createDataFrame(
+        [(k + 1, st) for k, st in enumerate(stage_names)],
+        "stage_no int, stage string",
+    )
+    total = fc.agg(F.sum("n").alias("total"))
+    fails = fc.where(F.col("first_fail") > 0).select(
+        F.col("first_fail").alias("stage_no"), F.col("n").alias("n_fail")
+    )
+    f = (
+        stages.join(F.broadcast(fails), "stage_no", "left")
+        .na.fill({"n_fail": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    w2 = Window.orderBy("stage_no").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        f.withColumn("failed_before", F.coalesce(F.sum("n_fail").over(w2), F.lit(0)))
+        .select(
+            F.col("stage_no").cast("long").alias("stage_no"),
+            "stage",
+            (F.col("total") - F.col("failed_before")).cast("long").alias("n_in"),
+            F.col("n_fail").cast("long").alias("n_fail"),
+            (F.col("total") - F.col("failed_before") - F.col("n_fail"))
+            .cast("long")
+            .alias("n_out"),
+        )
+        .orderBy("stage_no")
+    )
+
 _Q182_FLAGS_SQL = f"""
 flagbits AS (
   SELECT s.image_id, s.n_bytes,
@@ -4172,33 +4214,8 @@ def q182_image_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()
     )
-    stages = spark.createDataFrame(
-        [(k + 1, st) for k, st in enumerate(_Q182_STAGES)], "stage_no int, stage string"
-    )
-    # funnel over the bounded (7-row) fc table
-    total = fc.agg(F.sum("n").alias("total"))
-    fails = fc.where(F.col("first_fail") > 0).select(
-        F.col("first_fail").alias("stage_no"), F.col("n").alias("n_fail")
-    )
-    f = (
-        stages.join(F.broadcast(fails), "stage_no", "left")
-        .na.fill({"n_fail": 0})
-        .crossJoin(F.broadcast(total))
-    )
-    w2 = Window.orderBy("stage_no").rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        f.withColumn("failed_before", F.coalesce(F.sum("n_fail").over(w2), F.lit(0)))
-        .select(
-            F.col("stage_no").cast("long").alias("stage_no"),
-            "stage",
-            (F.col("total") - F.col("failed_before")).cast("long").alias("n_in"),
-            F.col("n_fail").cast("long").alias("n_fail"),
-            (F.col("total") - F.col("failed_before") - F.col("n_fail"))
-            .cast("long")
-            .alias("n_out"),
-        )
-        .orderBy("stage_no")
-    )
+    # funnel over the bounded (7-row) fc table — shared composer
+    return funnel_from_first_fail(spark, fc)
 
 
 # ---------------------------------------------------------------------------
@@ -4675,32 +4692,7 @@ def q187_incremental_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()  # total + fails both read it (q169's lesson)
     )
-    stages = spark.createDataFrame(
-        [(k + 1, st) for k, st in enumerate(_Q182_STAGES)], "stage_no int, stage string"
-    )
-    total = fc.agg(F.sum("n").alias("total"))
-    fails = fc.where(F.col("first_fail") > 0).select(
-        F.col("first_fail").alias("stage_no"), F.col("n").alias("n_fail")
-    )
-    f = (
-        stages.join(F.broadcast(fails), "stage_no", "left")
-        .na.fill({"n_fail": 0})
-        .crossJoin(F.broadcast(total))
-    )
-    w2 = Window.orderBy("stage_no").rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        f.withColumn("failed_before", F.coalesce(F.sum("n_fail").over(w2), F.lit(0)))
-        .select(
-            F.col("stage_no").cast("long").alias("stage_no"),
-            "stage",
-            (F.col("total") - F.col("failed_before")).cast("long").alias("n_in"),
-            F.col("n_fail").cast("long").alias("n_fail"),
-            (F.col("total") - F.col("failed_before") - F.col("n_fail"))
-            .cast("long")
-            .alias("n_out"),
-        )
-        .orderBy("stage_no")
-    )
+    return funnel_from_first_fail(spark, fc)
 
 
 def _phash_rows_gen():

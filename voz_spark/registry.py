@@ -48,6 +48,33 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: v.fn for k, v in REGISTRY.items()}
 
 
+def release_caches(spark: SparkSession) -> int:
+    """Cache-scope contract (VERDICT r3 item 4): query implementations
+    persist subplans that are referenced >=2x inside ONE query's plan
+    (self-joins, funnels — the q25/q81/q223 recompute trap). Those
+    caches must live until the CALLER materializes the result, so the
+    query functions themselves cannot unpersist. Instead, every
+    long-lived harness (oracle-parity suite, bench.py, ad-hoc drivers)
+    calls this between queries: it drops the SQL cache manager's
+    entries AND blocking-unpersists any still-registered RDDs, so
+    storage memory stays flat across a 247-query session instead of
+    relying on LRU eviction. Returns the number of RDDs released.
+
+    At production scale each query is its own job and the caches die
+    with the session; this contract exists for the long-lived
+    many-query sessions the driver and the test suite actually run.
+    """
+    spark.catalog.clearCache()
+    # py4j exposes the JavaSparkContext's Map<Integer, JavaRDD> as a
+    # Python mapping; blocking unpersist so the test's "empty between
+    # queries" assertion observes a settled store
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for rdd in rdds:
+        rdd.unpersist(True)
+    return len(rdds)
+
+
 def all_oracles() -> dict[str, str]:
     from voz_spark import dataprep, file_io, imagedup, relational, storage, streaming  # noqa: F401
     from voz_spark import corpus_ops, crawl_queries, crawlops  # noqa: F401

@@ -2193,10 +2193,12 @@ FROM (
          CAST(1000 AS BIGINT) AS conv_from_first_milli FROM c
   UNION ALL
   SELECT 2, 'click', CAST(n2 AS BIGINT),
-         CAST(1000 * n2 // n1 AS BIGINT), CAST(1000 * n2 // n1 AS BIGINT) FROM c
+         CAST(1000 * n2 // GREATEST(n1, 1) AS BIGINT),
+         CAST(1000 * n2 // GREATEST(n1, 1) AS BIGINT) FROM c
   UNION ALL
   SELECT 3, 'purchase', CAST(n3 AS BIGINT),
-         CAST(1000 * n3 // n2 AS BIGINT), CAST(1000 * n3 // n1 AS BIGINT) FROM c
+         CAST(1000 * n3 // GREATEST(n2, 1) AS BIGINT),
+         CAST(1000 * n3 // GREATEST(n1, 1) AS BIGINT) FROM c
 )
 ORDER BY stage
 """,
@@ -2232,10 +2234,12 @@ def q234_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = c.selectExpr(
         "stack(3,"
         " 1, 'view', CAST(n1 AS BIGINT), CAST(1000 AS BIGINT), CAST(1000 AS BIGINT),"
-        " 2, 'click', CAST(n2 AS BIGINT), CAST(1000 * n2 div n1 AS BIGINT),"
-        "   CAST(1000 * n2 div n1 AS BIGINT),"
-        " 3, 'purchase', CAST(n3 AS BIGINT), CAST(1000 * n3 div n2 AS BIGINT),"
-        "   CAST(1000 * n3 div n1 AS BIGINT)"
+        " 2, 'click', CAST(n2 AS BIGINT),"
+        "   CAST(1000 * n2 div GREATEST(n1, 1) AS BIGINT),"
+        "   CAST(1000 * n2 div GREATEST(n1, 1) AS BIGINT),"
+        " 3, 'purchase', CAST(n3 AS BIGINT),"
+        "   CAST(1000 * n3 div GREATEST(n2, 1) AS BIGINT),"
+        "   CAST(1000 * n3 div GREATEST(n1, 1) AS BIGINT)"
         ") AS (stage, label, n_users, conv_from_prev_milli, conv_from_first_milli)"
     )
     return rows.select(

@@ -677,8 +677,6 @@ def q188_stream_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q187's delta funnel computed BY Structured Streaming: stateless
     gate flags, two stream-static band joins for dedup, a complete-mode
     first-fail aggregation — bit-exact against the batch oracle."""
-    from pyspark.sql import Window
-
     from voz_spark import imagedup as im
 
     # materialize the same fixtures q187 uses (write-once)
@@ -779,33 +777,7 @@ def q188_stream_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     fc = run_to_memory(fc_stream, "q188_sink", "complete", spark)
-    stages = spark.createDataFrame(
-        [(k + 1, st_) for k, st_ in enumerate(im._Q182_STAGES)],
-        "stage_no int, stage string",
-    )
-    total = fc.agg(F.sum("n").alias("total"))
-    fails = fc.where(F.col("first_fail") > 0).select(
-        F.col("first_fail").alias("stage_no"), F.col("n").alias("n_fail")
-    )
-    f = (
-        stages.join(F.broadcast(fails), "stage_no", "left")
-        .na.fill({"n_fail": 0})
-        .crossJoin(F.broadcast(total))
-    )
-    w2 = Window.orderBy("stage_no").rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        f.withColumn("failed_before", F.coalesce(F.sum("n_fail").over(w2), F.lit(0)))
-        .select(
-            F.col("stage_no").cast("long").alias("stage_no"),
-            "stage",
-            (F.col("total") - F.col("failed_before")).cast("long").alias("n_in"),
-            F.col("n_fail").cast("long").alias("n_fail"),
-            (F.col("total") - F.col("failed_before") - F.col("n_fail"))
-            .cast("long")
-            .alias("n_out"),
-        )
-        .orderBy("stage_no")
-    )
+    return im.funnel_from_first_fail(spark, fc)
 
 
 # ---------------------------------------------------------------------------
