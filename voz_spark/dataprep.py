@@ -3185,11 +3185,40 @@ def q223_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 1/2 similarity self-join via df-ordered prefix
     filtering: complete (no false negatives, unlike banded MinHash)
     with the candidate space bounded by rare-prefix collisions plus
-    the integer length filter."""
+    the integer length filter.
+
+    Round-4 plan (VERDICT r3 item 5): the per-doc DISTINCT shingle set
+    is built IN-ROW (array_distinct over the doc's own shingle array —
+    a doc's shingles all live in one row, so global (doc_id, shingle)
+    distinctness needs NO exchange; the old .distinct() was a full
+    shuffle of the exploded table). Verification joins the candidate
+    pairs against the per-doc ARRAYS on the long doc keys and computes
+    n_inter as size(array_intersect(...)) in-row — replacing the
+    exploded (pair x shingle) shuffle + pair re-aggregation + two size
+    joins with two doc-keyed joins. Exact string-set semantics
+    throughout; the oracle is unchanged."""
     from pyspark.sql.window import Window as W
 
-    ds = _spark_shingles(T(spark, sf_dir, "documents")).distinct().persist()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    words = F.split(F.trim("text"), r"\s+")
+    # base: one text scan -> per-doc distinct shingle array (persisted:
+    # ds/dfs/pref and both verify sides all derive from it)
+    base = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", words.alias("w"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("shs"),
+        )
+        .persist()
+    )
+    docs = base.select("doc_id", "shs", F.size("shs").alias("n"))
+    ds = base.select("doc_id", F.explode("shs").alias("shingle"))
     dfs = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wdoc = W.partitionBy("doc_id").orderBy("df", "shingle")
     # persist: the prefix table feeds BOTH sides of the self-join (the
@@ -3197,7 +3226,7 @@ def q223_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its whole window+join subtree once per reference)
     pref = (
         ds.join(dfs, "shingle")
-        .join(sizes, "doc_id")
+        .join(docs.select("doc_id", "n"), "doc_id")
         .withColumn("rk", F.row_number().over(wdoc))
         .where(F.col("rk") <= F.col("n") - F.ceil(F.lit(0.5) * F.col("n")) + 1)
         .select("doc_id", "shingle", "n")
@@ -3219,19 +3248,17 @@ def q223_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
     )
-    inter = (
-        cand.join(ds.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(ds.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"), F.col("n").alias("na")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"), F.col("n").alias("nb")
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")))
         .where(3 * F.col("n_inter") >= F.col("na") + F.col("nb"))
         .select(
             F.col("doc_a").cast("long").alias("doc_a"),
