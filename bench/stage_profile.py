@@ -190,6 +190,32 @@ def main() -> None:
         f"\nefficiency = {f['urls_per_sec']/n['urls_per_sec']/ratio:.3f} "
         f"(persist_cand={not args.no_persist_cand} persist_stage1={not args.no_persist_stage1})"
     )
+    # sidecar for BENCH/BASELINE.md's roofline section (scaling.py
+    # _roofline_section): total shuffle WRITE bytes across the round's
+    # stages, per input URL, at the small-N level (byte volume is
+    # parallelism-independent; the small level is the less noisy one)
+    shuf_mb = sum(
+        s.get("shuf_write_mb", 0.0) for s in levels[0][2]["stages"].values()
+    )
+    sidecar = {
+        "n_urls": args.urls,
+        "pairs": args.pairs,
+        "shuffle_write_mb_total": round(shuf_mb, 1),
+        "shuffle_bytes_per_url": round(shuf_mb * 1e6 / args.urls, 1),
+        "per_stage": {
+            str(sid): {
+                "name": s.get("name", ""),
+                "shuf_write_mb": round(s.get("shuf_write_mb", 0.0), 1),
+                "shuf_read_mb": round(s.get("shuf_read_mb", 0.0), 1),
+                "wall_ms": s.get("wall_ms", 0),
+            }
+            for sid, s in levels[0][2]["stages"].items()
+        },
+    }
+    out_path = os.path.join(REPO, "BENCH", "stage_profile_r4.json")
+    with open(out_path, "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+    print(f"sidecar -> {out_path} ({sidecar['shuffle_bytes_per_url']} B/URL)")
 
 
 if __name__ == "__main__":
