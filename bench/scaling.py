@@ -263,8 +263,10 @@ Measured in the SAME window as the headline pair (fields in the
 scaling JSON + BENCH/stage_profile_r4.json):
 
 - Shuffle bytes through the two frontier-sized exchanges (in-batch
-  dedup + the (host_id, salt) window), after the round-4 column diet
-  (host dictionary-encoded to int, url_hash shed, salt narrowed):
+  dedup + the (host, salt) window), after the round-4 column diet
+  (url_hash shed + salt narrowed; the full host-dictionary variant
+  was A/B-measured and rejected — its broadcast barriers cost more
+  at 4N than its bytes saved, see PLANS.md):
   **{bpu:.0f} bytes/URL** ({bpu * n_urls / 1e9:.1f} GB per 16M-URL round; x3 DRAM
   crossings = {traffic_gb:.1f} GB of memory traffic).
 - Measured DRAM streaming bandwidth: **{gn:.1f} GB/s at {sched["pair_cores"][0]} procs,
@@ -282,10 +284,11 @@ reach raw efficiency 0.8 on this host — the bound is
 quality. On a real 4N-executor cluster the same job brings 4x memory
 channels and 4x shuffle disks; the plan itself has no serial stage
 (every stage's wall shrinks at 4N — profile above). The engine-side
-lever that DOES exist — moving fewer bytes — is applied: round 4 cut
-the window-exchange row from ~133 to ~93 bytes (host dictionary +
-url_hash shed), and zstd shuffle compression was already the round-3
-trade.
+lever that DOES exist — moving fewer bytes without adding serial
+barriers — is applied: round 4 shed url_hash and narrowed salt
+through the window exchange (+5-10% both levels, A/B'd against the
+rejected host-dictionary variant), on top of round 3's zstd shuffle
+codec.
 
 """
 

@@ -41,11 +41,11 @@ def test_q223_verify_is_in_row_intersection(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) <= 7, plan
 
 
-def test_schedule_window_exchange_carries_host_id_not_host(spark):
-    """The (host, salt) scheduling window exchange must partition on
-    the int host_id — the ~20-byte host string stays out of the
-    frontier-sized shuffles (it rides only the n_hosts broadcast dim
-    and the final restore join)."""
+def test_schedule_window_exchange_sheds_url_hash(spark):
+    """The scheduling window exchange must not carry url_hash (8B/row
+    shed — re-derived post-schedule by its definition) and its salt is
+    an int, while the output contract still exposes both host and
+    url_hash."""
     from voz_spark.frontier import (
         _canonicalize,
         _dedup_in_batch,
@@ -64,9 +64,18 @@ def test_schedule_window_exchange_carries_host_id_not_host(spark):
     cand = _host_path(_dedup_in_batch(_canonicalize(frontier)))
     out = _schedule(cand.drop("path"), {"voz.test": 5}, 5, 4, [], do_persist=False)
     plan = _formatted_plan(out)
-    for ex in re.findall(r"Arguments: hashpartitioning\([^)]*\)", plan):
-        if re.search(r"\bsalt#\d+", ex):
-            assert re.search(r"\bhost_id#\d+", ex), (ex, plan)
-            assert not re.search(r"\bhost#\d+", ex), (ex, plan)
-    # output contract: host and url_hash restored
+    window_exchanges = [
+        ex
+        for ex in re.findall(r"Arguments: hashpartitioning\([^)]*\)", plan)
+        if re.search(r"\bsalt#\d+", ex)
+    ]
+    assert window_exchanges, plan
+    for ex in window_exchanges:  # partitions on (host, salt), no url_hash
+        assert re.search(r"\bhost#\d+", ex), (ex, plan)
+        assert "url_hash" not in ex, (ex, plan)
+    # no Window/Sort operator carries url_hash — the ONLY url_hash in
+    # the plan is the final in-row re-derivation
+    for wargs in re.findall(r"\(\d+\) Window\s*\nArguments: \[[^\]]*\]", plan):
+        assert "url_hash" not in wargs, (wargs,)
+    assert re.search(r"xxhash64\(canon_url", plan), plan
     assert {"host", "url_hash", "canon_url", "scheduled"} <= set(out.columns)

@@ -492,18 +492,16 @@ ORDER BY source
 def q253_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Simpson concentration over 64 hashed token buckets
     (integer micro-units; higher = less diverse)."""
-    toks = T(spark, sf_dir, "documents").select(
-        "source",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.explode(F.split(F.trim("text"), r"\s+"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _Q253_B
-        ).alias("bucket"),
+    toks = (
+        T(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .select(
+            "source",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+                % _Q253_B
+            ).alias("bucket"),
+        )
     )
     bc = toks.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -745,3 +743,197 @@ def q255_exact_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p90").cast("long").alias("p90_us"),
         F.col("mx").cast("long").alias("max_us"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q256: distribution drift between consecutive observed days — the
+# training-data drift monitor: per-day histogram of the event payload
+# bucket, L1 distance to the PREVIOUS observed day's histogram.
+# Integer-exact: |n_dk * N_prev - n_pk * N_cur| summed (cross-
+# multiplied so no per-bucket division), ONE double division at the
+# end. Consecutive-ness is by DENSE order of observed days (gaps pair
+# with the last observed day, the monitoring semantics).
+#
+# Scale shape: one (day, bucket) aggregate (bounded: days x 100
+# buckets), a 1-step self-join on the day rank, and a full-outer
+# bucket merge inside each adjacent-day pair — all on the bounded
+# histogram domain, never on raw events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q256_histogram_drift",
+    oracle="""
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS bucket
+  FROM events WHERE props IS NOT NULL
+),
+hc AS (SELECT day, bucket, COUNT(*) AS n FROM b GROUP BY day, bucket),
+days AS (
+  SELECT day, SUM(n) AS total,
+         ROW_NUMBER() OVER (ORDER BY day) AS dr
+  FROM hc GROUP BY day
+),
+pairs AS (
+  SELECT c.day AS day, p.day AS prev_day, c.total AS nc, p.total AS np
+  FROM days c JOIN days p ON p.dr = c.dr - 1
+),
+merged AS (
+  SELECT pr.day, pr.prev_day, pr.nc, pr.np,
+         COALESCE(cur.n, 0) AS n_cur, COALESCE(prv.n, 0) AS n_prev
+  FROM pairs pr
+  JOIN (SELECT DISTINCT bucket FROM hc) k ON TRUE
+  LEFT JOIN hc cur ON cur.day = pr.day AND cur.bucket = k.bucket
+  LEFT JOIN hc prv ON prv.day = pr.prev_day AND prv.bucket = k.bucket
+  WHERE COALESCE(cur.n, 0) + COALESCE(prv.n, 0) > 0
+),
+dist AS (
+  SELECT day, prev_day, nc, np,
+         SUM(ABS(n_cur * np - n_prev * nc)) AS cross_l1
+  FROM merged GROUP BY day, prev_day, nc, np
+)
+SELECT CAST(day AS VARCHAR) AS day, CAST(prev_day AS VARCHAR) AS prev_day,
+       CAST(nc AS BIGINT) AS n_events,
+       ROUND(1000.0 * cross_l1 / (nc * np), 6) AS drift_milli
+FROM dist
+ORDER BY day
+""",
+)
+def q256_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 drift of the daily payload-bucket histogram vs the previous
+    observed day (integer cross-multiplied, one final division)."""
+    b = (
+        T(spark, sf_dir, "events")
+        .where(F.col("props").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 20).alias("bucket"),
+        )
+    )
+    hc = b.groupBy("day", "bucket").agg(F.count(F.lit(1)).alias("n")).persist()
+    wdr = Window.orderBy("day")  # bounded: one row per observed day
+    days = (
+        hc.groupBy("day")
+        .agg(F.sum("n").alias("total"))
+        .withColumn("dr", F.row_number().over(wdr))
+    )
+    cur = days.select(
+        F.col("day").alias("day"), F.col("total").alias("nc"), F.col("dr").alias("dr")
+    )
+    prev = days.select(
+        F.col("day").alias("prev_day"),
+        F.col("total").alias("np"),
+        (F.col("dr") + 1).alias("dr"),
+    )
+    pairs = cur.join(prev, "dr").drop("dr")
+    k = hc.select("bucket").distinct()
+    hcur = hc.select(F.col("day").alias("day"), "bucket", F.col("n").alias("n_cur"))
+    hprv = hc.select(
+        F.col("day").alias("prev_day"), "bucket", F.col("n").alias("n_prev")
+    )
+    merged = (
+        pairs.crossJoin(F.broadcast(k))  # bounded 20-bucket dim
+        .join(hcur, ["day", "bucket"], "left")
+        .join(hprv, ["prev_day", "bucket"], "left")
+        .na.fill({"n_cur": 0, "n_prev": 0})
+        .where(F.col("n_cur") + F.col("n_prev") > 0)
+    )
+    dist = merged.groupBy("day", "prev_day", "nc", "np").agg(
+        F.sum(F.abs(F.col("n_cur") * F.col("np") - F.col("n_prev") * F.col("nc"))).alias(
+            "cross_l1"
+        )
+    )
+    return dist.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("prev_day").cast("string").alias("prev_day"),
+        F.col("nc").cast("long").alias("n_events"),
+        F.round(F.lit(1000.0) * F.col("cross_l1") / (F.col("nc") * F.col("np")), 6).alias(
+            "drift_milli"
+        ),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q257: small-file compaction planner — the lakehouse maintenance op
+# (Iceberg rewrite_data_files' planning phase): within each partition,
+# files in id order are packed into groups by START-OFFSET division
+# (group = floor(preceding-bytes / target)) — deterministic, one
+# window pass, groups overshoot the target by at most one file (the
+# standard streaming bin-packing bound; exact FFD packing is
+# inherently sequential and NOT a distributed shape).
+#
+# Scale shape: the file manifest (one row per data file) is orders of
+# magnitude smaller than the data; the cumulative-sum window is keyed
+# by partition; the group rollup is bounded by the manifest.
+# ---------------------------------------------------------------------------
+
+_Q257_TARGET = 4000  # target group size (synthetic byte units)
+
+
+@register(
+    "q257_compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT o_orderpriority AS part, o_orderkey % 200 AS file_id,
+         COUNT(*) * 100 AS bytes
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT part, file_id, bytes,
+         COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM files
+),
+grp AS (
+  SELECT part, file_id, bytes, pre // {_Q257_TARGET} AS group_no FROM cum
+)
+SELECT part, CAST(group_no AS BIGINT) AS group_no,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(file_id) AS BIGINT) AS first_file,
+       CAST(MAX(file_id) AS BIGINT) AS last_file
+FROM grp
+GROUP BY part, group_no
+ORDER BY part, group_no
+""",
+)
+def q257_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local compaction groups by start-offset division over
+    the file manifest's cumulative bytes."""
+    files = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("part"),
+            (F.col("o_orderkey") % 200).alias("file_id"),
+        )
+        .agg((F.count(F.lit(1)) * 100).alias("bytes"))
+    )
+    wcum = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # two-step: compute pre first (no nested window refs)
+    grp = (
+        files.withColumn("pre", F.coalesce(F.sum("bytes").over(wcum), F.lit(0)))
+        .withColumn("group_no", F.expr(f"pre div {_Q257_TARGET}"))
+    )
+    return (
+        grp.groupBy("part", "group_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("file_id").cast("long").alias("first_file"),
+            F.max("file_id").cast("long").alias("last_file"),
+        )
+        .select(
+            "part",
+            F.col("group_no").cast("long").alias("group_no"),
+            "n_files",
+            "total_bytes",
+            "first_file",
+            "last_file",
+        )
+        .orderBy("part", "group_no")
+    )

@@ -149,22 +149,27 @@ def _canonicalize(frontier: DataFrame) -> DataFrame:
     ).withColumn("url_hash", F.xxhash64("canon_url"))
 
 
-def _host_path(df: DataFrame) -> DataFrame:
-    """Add `host` and `path` columns as pure string arithmetic (locate
-    + substr — no parse_url: its per-row URI regex parsing was the
-    single largest CPU item in the profiled round). Valid for canonical
-    URLs, which always carry scheme:// and a rooted path. Runs AFTER
-    in-batch dedup so the work is per-distinct-URL, not per-candidate."""
-    path_start = F.expr("locate('/', canon_url, locate('://', canon_url) + 3)")
+def _host_expr() -> F.Column:
+    """`host` from a canonical URL as pure string arithmetic (locate +
+    substr — no parse_url: its per-row URI regex parsing was the
+    single largest CPU item in the profiled round). Valid for
+    canonical URLs, which always carry scheme:// and a rooted path.
+    Canonical hosts are already lowercase; :port is stripped for
+    host-keyed scheduling/robots (non-default ports survive
+    canonicalization)."""
     host = F.expr(
         "substr(canon_url, locate('://', canon_url) + 3,"
         " locate('/', canon_url, locate('://', canon_url) + 3)"
         " - locate('://', canon_url) - 3)"
     )
-    # canonical hosts are already lowercase and port-stripped is NOT
-    # guaranteed (non-default ports survive canonicalization) — strip
-    # :port for host-keyed scheduling/robots
-    host = F.substring_index(host, ":", 1)
+    return F.substring_index(host, ":", 1)
+
+
+def _host_path(df: DataFrame) -> DataFrame:
+    """Add `host` and `path` columns (see _host_expr). Runs AFTER
+    in-batch dedup so the work is per-distinct-URL, not per-candidate."""
+    path_start = F.expr("locate('/', canon_url, locate('://', canon_url) + 3)")
+    host = _host_expr()
     path = F.when(path_start == 0, F.lit("/")).otherwise(
         F.expr("substr(canon_url, locate('/', canon_url, locate('://', canon_url) + 3))")
     )
@@ -380,49 +385,34 @@ def _schedule(
     src/thread_crawler.py:161-172).
 
     Byte discipline through the scheduling exchanges + stage-1 cache
-    (round-4; the pipeline is DRAM-bandwidth-bound at 4N cores —
-    BENCH/BASELINE.md roofline — so shuffled bytes ARE the scaling
-    bottleneck):
-    - `host` (a ~20-byte string) is dictionary-encoded to an int
-      `host_id` via a broadcast dim built from the DISTINCT hosts of
-      `host_src` (the caller's already-persisted candidate table —
-      never a replay of upstream joins). Exact by construction: the
-      dim assigns unique ids with a row_number over the n_hosts-row
-      dim (bounded window), not a hash that could collide. The per-row
-      `budget` map lookup moves onto the dim too (n_hosts evaluations
-      instead of n_frontier). The string is re-attached by a second
-      broadcast join AFTER the bounded phase-D rank.
-    - `url_hash` (8B) is shed before the window exchange and
-      re-derived post-schedule as xxhash64(canon_url) — its exact
-      definition (_canonicalize).
-    - `salt` narrows to int (4B, domain ≤ n_salts).
+    (round-4): `url_hash` (8B/row) is shed before the window exchange
+    and re-derived post-schedule as xxhash64(canon_url) — its exact
+    definition (_canonicalize) — and `salt` narrows to int (4B,
+    domain ≤ n_salts). Measured at 16M URLs / local[24]: +5-10%
+    throughput at both parallelism levels.
 
-    Contract: every host in `df` must appear in `host_src` (callers
-    pass the table `df` derives from by filtering — a host superset);
-    the inner dim join silently drops rows otherwise. Default
-    host_src=df is always correct, at the cost of replaying df's
-    lineage for the tiny distinct-hosts aggregate.
+    Rejected alternative, measured not guessed: dictionary-encoding
+    `host` to an int via a broadcast dim (distinct-hosts job +
+    row_number ids + dim join before the window, restore after) sheds
+    ~20 more bytes/row but its two broadcast barriers and the extra
+    distinct job cost ~10-15% of 4N throughput (A/B at 16M URLs,
+    local[24]: 1.51M vs 1.72M URLs/s in the same session) — serial
+    setup hurts the short 4N wall far more than the byte diet helps
+    while the shuffle codec (zstd) already compresses the highly
+    repetitive host strings. host stays a string through the window
+    exchange; the `host_src` parameter remains for callers that want
+    to supply a persisted superset table to future host-dim variants
+    (currently unused).
     """
-    src = host_src if host_src is not None else df
     budget_map = F.create_map(
         *[x for h, b in sorted(budgets.items()) for x in (F.lit(h), F.lit(b))]
     )
-    # host dictionary: bounded by distinct hosts (a crawl's host set is
-    # orders of magnitude below the frontier); the row_number window
-    # runs over the n_hosts-row dim, not the frontier
-    wdim = Window.orderBy("host")
-    dim = (
-        src.select("host")
-        .distinct()
-        .withColumn("host_id", F.row_number().over(wdim).cast("int"))
+    out_cols = [c for c in df.columns] + ["scheduled"]
+    df = (
+        df.drop("url_hash")
         .withColumn(
             "budget", F.coalesce(budget_map[F.col("host")], F.lit(default_budget))
         )
-    )
-    out_cols = [c for c in df.columns] + ["scheduled"]
-    df = (
-        df.join(F.broadcast(dim), "host")
-        .drop("host", "url_hash")
         .withColumn(
             "salt", F.pmod(F.xxhash64("canon_url"), F.lit(n_salts)).cast("int")
         )
@@ -432,7 +422,7 @@ def _schedule(
     # sorts, with canon_url as the total-order tie-break
 
     # Exact distributed top-B per host via the threshold algorithm:
-    #   phase A: per-(host_id,salt) rank; keep per-salt top-⌈B/S⌉
+    #   phase A: per-(host,salt) rank; keep per-salt top-⌈B/S⌉
     #            (balanced small sorts — no group ever exceeds ~B/S)
     #   phase B: per-host sort of the ≤B+S phase-A rows; the B-th row's
     #            priority is a threshold t — the true global B-th best
@@ -443,7 +433,7 @@ def _schedule(
     #            impossible for salt = pmod(xxhash64)) → exact top-B.
     # Stage-D work is O(B log B) REGARDLESS of frontier size — the
     # property that lets one dominant host not serialize the round.
-    w1 = Window.partitionBy("host_id", "salt").orderBy("_pri", "canon_url")
+    w1 = Window.partitionBy("host", "salt").orderBy("_pri", "canon_url")
     stage1 = df.withColumn("_r1", F.row_number().over(w1))
     if do_persist:
         stage1 = stage1.persist()
@@ -451,14 +441,14 @@ def _schedule(
             persisted.append(stage1)
 
     per_salt = F.ceil(F.col("budget") / F.lit(n_salts)).cast("int")
-    wh = Window.partitionBy("host_id").orderBy("_pri", "canon_url")
+    wh = Window.partitionBy("host").orderBy("_pri", "canon_url")
     phase_a = stage1.where(F.col("_r1") <= per_salt)
     thr = (
         phase_a.withColumn("_ra", F.row_number().over(wh))
         .where(F.col("_ra") == F.col("budget"))
-        .select(F.col("host_id").alias("_th"), F.col("_pri").alias("_tpri"), F.col("canon_url").alias("_tcanon"))
+        .select(F.col("host").alias("_th"), F.col("_pri").alias("_tpri"), F.col("canon_url").alias("_tcanon"))
     )
-    joined = stage1.join(F.broadcast(thr), stage1.host_id == F.col("_th"), "left")
+    joined = stage1.join(F.broadcast(thr), stage1.host == F.col("_th"), "left")
     below_thr = F.col("_tpri").isNull() | (
         (F.col("_pri") < F.col("_tpri"))
         | ((F.col("_pri") == F.col("_tpri")) & (F.col("canon_url") <= F.col("_tcanon")))
@@ -468,18 +458,11 @@ def _schedule(
     final = cand.withColumn("_r2", F.row_number().over(wh)).withColumn(
         "scheduled", F.col("_r2") <= F.col("budget")
     ).drop("_r2")
-    keep = ["host_id"] + [
-        c for c in out_cols if c not in ("host", "url_hash", "salt", "budget")
-    ]
+    keep = [c for c in out_cols if c not in ("url_hash", "salt", "budget")]
     out = final.select(*keep).unionByName(above.select(*keep))
-    # restore the dictionary-encoded/shed columns on the scheduled
-    # output: host via the broadcast dim, url_hash by its definition
-    out = (
-        out.join(F.broadcast(dim.select("host_id", "host")), "host_id")
-        .withColumn("url_hash", F.xxhash64("canon_url"))
-        .drop("host_id")
-        .select(*out_cols)
-    )
+    # restore the shed url_hash IN-ROW by its definition — no join, no
+    # broadcast barrier
+    out = out.withColumn("url_hash", F.xxhash64("canon_url")).select(*out_cols)
     return _unpack_pri(out).drop("_pri")
 
 
