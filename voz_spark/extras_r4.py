@@ -937,3 +937,311 @@ def q257_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part", "group_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# q258: Matryoshka truncation evaluation (Kusupati et al., MRL): the
+# dimension-truncation trade every embedding deployment prices — how
+# much of the FULL-dim exact top-5 neighborhood survives when cosine
+# runs on only the leading 16 dims (the cheap prefilter regime).
+# q254's eval discipline applied to the dimension axis instead of the
+# index axis.
+#
+# Scale shape: both sides are bounded per-query top-k tables from
+# broadcast-query scans; the truncated side reads the SAME rows with
+# a sliced array — one corpus pass each, overlap join bounded by
+# queries x k.
+# ---------------------------------------------------------------------------
+
+_Q258_TOPK = 5
+_Q258_DIMS = 16
+
+
+def _q258_oracle() -> str:
+    from voz_spark.dataprep import _DOT_DUCK
+
+    def cos(a, b):
+        return (
+            f"{_DOT_DUCK.format(a=a, b=b)} / sqrt({_DOT_DUCK.format(a=a, b=a)}"
+            f" * {_DOT_DUCK.format(a=b, b=b)})"
+        )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe,
+         list_slice(embedding, 1, {_Q258_DIMS}) AS qt
+  FROM embeddings WHERE vec_id < 10
+),
+e AS (
+  SELECT vec_id AS nid, embedding AS ne,
+         list_slice(embedding, 1, {_Q258_DIMS}) AS nt
+  FROM embeddings
+),
+full_top AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, e.nid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY ROUND({cos("q.qe", "e.ne")}, 6) DESC, e.nid) AS rnk
+    FROM q, e WHERE q.qid <> e.nid
+  ) WHERE rnk <= {_Q258_TOPK}
+),
+trunc_top AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, e.nid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY ROUND({cos("q.qt", "e.nt")}, 6) DESC, e.nid) AS rnk
+    FROM q, e WHERE q.qid <> e.nid
+  ) WHERE rnk <= {_Q258_TOPK}
+),
+ov AS (
+  SELECT f.qid, COUNT(*) AS n_overlap
+  FROM full_top f JOIN trunc_top t ON t.qid = f.qid AND t.nid = f.nid
+  GROUP BY f.qid
+)
+SELECT CAST(q.qid AS BIGINT) AS qid,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(1000 * COALESCE(o.n_overlap, 0) // {_Q258_TOPK} AS BIGINT) AS agreement_milli
+FROM (SELECT DISTINCT qid FROM q) q
+LEFT JOIN ov o ON o.qid = q.qid
+ORDER BY qid
+"""
+
+
+@register("q258_matryoshka_eval", oracle=_q258_oracle())
+def q258_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighborhood agreement between full-dim cosine and the
+    leading-16-dim (Matryoshka) truncation, per query vector."""
+    from voz_spark.dataprep import _DOT_SPARK
+
+    def cos(a, b):
+        return (
+            f"{_DOT_SPARK.format(a=a, b=b)} / sqrt({_DOT_SPARK.format(a=a, b=a)}"
+            f" * {_DOT_SPARK.format(a=b, b=b)})"
+        )
+
+    emb = T(spark, sf_dir, "embeddings").persist()
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.expr(f"slice(embedding, 1, {_Q258_DIMS})").alias("qt"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ne"),
+        F.expr(f"slice(embedding, 1, {_Q258_DIMS})").alias("nt"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), "nid")
+
+    def topk(csel):
+        return (
+            F.broadcast(q)
+            .crossJoin(e)
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", F.round(F.expr(csel), 6).alias("c"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _Q258_TOPK)
+            .select("qid", "nid")
+        )
+
+    full_top = topk(cos("qe", "ne"))
+    trunc_top = topk(cos("qt", "nt")).select(
+        F.col("qid").alias("tqid"), F.col("nid").alias("tnid")
+    )
+    ov = (
+        full_top.join(
+            trunc_top,
+            (full_top["qid"] == trunc_top["tqid"])
+            & (full_top["nid"] == trunc_top["tnid"]),
+        )
+        .groupBy(full_top["qid"].alias("qid"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        q.select("qid")
+        .distinct()
+        .join(ov, "qid", "left")
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(
+                f"CAST(1000 * COALESCE(n_overlap, 0) div {_Q258_TOPK} AS BIGINT)"
+            ).alias("agreement_milli"),
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259: BM25-shaped disjunctive ranking over the inverted index —
+# q204 ranks by raw conjunctive tf; this adds the two things BM25
+# actually contributes: term-frequency SATURATION and length
+# normalization, both made cross-engine exact by clearing the rational
+# constants (k1=1.2, b=0.75, avgdl=A/N) into one integer formula:
+#
+#   contrib = rarity_micro * 22*tf*A DIV (10*A*tf + 3*A + 9*dl*N)
+#
+# (= rarity * tf(k1+1)/(tf + k1(1-b) + k1*b*dl/avgdl), scaled by
+# 10*A). idf's ln() is replaced by the repo's integer rarity weight
+# 1e6 DIV df (q82's substitution, documented) — monotone in df, which
+# is the ranking property that matters. Per-(doc,term) contributions
+# are INTEGERS, so the per-doc sum is order-independent.
+#
+# Scale shape: postings filtered to the query terms before any join
+# (q249's pushdown); doc lengths from one combine-friendly aggregate;
+# corpus scalars (A, N) are a 1-row broadcast; top-k under a total
+# order.
+# ---------------------------------------------------------------------------
+
+_Q259_TERMS = ("spark", "vector", "stream")
+_Q259_TOPK = 20
+_Q259_TERMS_SQL = ", ".join(f"'{t}'" for t in _Q259_TERMS)
+
+
+@register(
+    "q259_bm25_ranking",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT SUM(dl) AS a, COUNT(*) AS n FROM dl),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({_Q259_TERMS_SQL}) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({_Q259_TERMS_SQL}) GROUP BY doc_id, term
+),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         (1000000 // f.df) * (22 * t.tf * c.a)
+           // (10 * c.a * t.tf + 3 * c.a + 9 * d.dl * c.n) AS c_micro
+  FROM tf t
+  JOIN df f ON f.term = t.term
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN corpus c
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_terms, SUM(c_micro) AS score_micro
+  FROM contrib GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM scored
+ORDER BY score_micro DESC, doc_id
+LIMIT {_Q259_TOPK}
+""",
+)
+def q259_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive BM25-shaped top-20: integer rarity x integer
+    saturated-tf with length normalization."""
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).persist()
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.sum("dl").alias("a"), F.count(F.lit(1)).alias("n"))
+    hits = tok.where(F.col("term").isin(list(_Q259_TERMS)))
+    df_t = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))  # 1-row scalar dim
+        .select(
+            "doc_id",
+            F.expr(
+                "(1000000 div df) * (22 * tf * a)"
+                " div (10 * a * tf + 3 * a + 9 * dl * n)"
+            ).alias("c_micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c_micro").alias("score_micro"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("score_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(_Q259_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260: session path mining — the top event-type TRIGRAMS inside
+# 30-minute sessions (q13's sessionization), i.e. the length-3 common
+# journeys product analytics mines where q246's transition matrix
+# stops at bigrams. Sessions and steps are fully deterministic
+# (ts, event_id total order); counts are exact integers.
+#
+# Scale shape: one user-keyed window pass for the session flag, one
+# cumsum for session ids, two LEADs for the trigram — all the same
+# (user)-keyed partitioning, so Spark plans ONE exchange for the
+# whole chain; the rollup lands on the bounded K^3 type domain.
+# ---------------------------------------------------------------------------
+
+_Q260_TOPK = 15
+
+
+@register(
+    "q260_session_paths",
+    oracle=f"""
+WITH flags AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM flags
+),
+tri AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w2 AS t2,
+         LEAD(event_type, 2) OVER w2 AS t3
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT {_Q260_TOPK}
+""",
+)
+def q260_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams within 30-minute sessions."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flags = ev.withColumn("prev_ts", F.lag("ts").over(wu)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | F.expr("ts - prev_ts > INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    sess = flags.withColumn("sid", F.sum("new_s").over(wu))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(_Q260_TOPK)
+    )
