@@ -81,27 +81,69 @@ def test_q251_moments_replay(spark, sf_dir):
 
 
 def test_q257_groups_respect_target_plus_one_file(spark, sf_dir):
-    """Start-offset packing bound: a group exceeds the target by at
-    most its last file's bytes, and files in a group are contiguous."""
+    """Full Python replay of the start-offset division, plus the real
+    packing invariants: (a) files in a group are contiguous and groups
+    don't interleave, (b) each non-final group's cumulative bytes CROSS
+    its successor's boundary (the next file starts in the successor
+    group: succ.group_no * TARGET <= cum_end(g) < (succ.group_no+1) *
+    TARGET), and (c) each group's overshoot past its own boundary is
+    bounded by its LAST file's bytes (the last file started strictly
+    inside the group), not by a fixed multiple of the target."""
     rows = all_queries()["q257_compaction_plan"](spark, sf_dir).collect()
     release_caches(spark)
     from voz_spark.extras_r4 import _Q257_TARGET
+
+    # independent per-file manifest replay from the raw parquet
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    sizes = Counter(
+        (p, int(k) % 200) for k, p in zip(o.o_orderkey, o.o_orderpriority)
+    )
+    file_bytes = {(p, f): 100 * n for (p, f), n in sizes.items()}
+    want = {}
+    for part in sorted({p for p, _ in file_bytes}):
+        cum = 0
+        for fid in sorted(f for p, f in file_bytes if p == part):
+            b = file_bytes[(part, fid)]
+            g = cum // _Q257_TARGET
+            row = want.setdefault(
+                (part, g), {"n": 0, "tot": 0, "first": fid, "last": fid}
+            )
+            row["n"] += 1
+            row["tot"] += b
+            row["last"] = fid
+            cum += b
+    got = {
+        (r.part, r.group_no): {
+            "n": r.n_files, "tot": r.total_bytes,
+            "first": r.first_file, "last": r.last_file,
+        }
+        for r in rows
+    }
+    assert got == want
 
     by_part = defaultdict(list)
     for r in rows:
         by_part[r.part].append(r)
     for part, grs in by_part.items():
         grs.sort(key=lambda r: r.group_no)
-        for a, b in zip(grs, grs[1:]):
-            assert a.last_file < b.first_file, (part, a, b)
-        for g in grs[:-1]:  # every non-final group reached the target
-            assert g.total_bytes + 0 >= 0
-        # the packing invariant: group start offsets are multiples of
-        # the division only in the cumulative sense — check the strong
-        # bound instead: no group except possibly by its last file
-        # exceeds target + max file bytes
-        mx = max(g.total_bytes for g in grs)
-        assert mx <= 2 * _Q257_TARGET, (part, mx)
+        cum = 0
+        for g, succ in itertools.zip_longest(grs, grs[1:]):
+            if succ is not None:
+                assert g.last_file < succ.first_file, (part, g, succ)
+            cum_end = cum + g.total_bytes
+            if succ is not None:
+                # (b) the next file's start offset lands in the
+                # successor group — start-offset division, exactly
+                assert succ.group_no * _Q257_TARGET <= cum_end, (part, g, succ)
+                assert cum_end < (succ.group_no + 1) * _Q257_TARGET, (part, g, succ)
+            # (c) overshoot bounded by this group's own last file
+            last_b = file_bytes[(part, g.last_file)]
+            assert cum_end <= (g.group_no + 1) * _Q257_TARGET + last_b - 1, (
+                part, g, last_b,
+            )
+            cum = cum_end
 
 
 def test_q249_phrase_hits_replay(spark, sf_dir):

@@ -85,7 +85,9 @@ def test_audio_features_match_sine_physics(spark, sf_dir):
 
 
 def test_binaryfile_ingest_decodes_every_file_exactly(spark, sf_dir):
-    pdf = q86_binaryfile_ingest(spark, sf_dir).toPandas()
+    from voz_spark.storage import binaryfile_decode_ingest
+
+    pdf = binaryfile_decode_ingest(spark, sf_dir).toPandas()
     assert len(pdf) == 64
     assert (pdf["status"] == "ok").all()
     assert list(pdf["image_id"]) == sorted(pdf["image_id"])
@@ -98,3 +100,22 @@ def test_binaryfile_ingest_decodes_every_file_exactly(spark, sf_dir):
         assert got["file_len"] == len(r["bytes"])
         px = decode_image(r["bytes"], r["fmt"]).astype(np.float64)
         assert got["mean_px"] == pytest.approx(round(px.mean(), 6), abs=1e-9)
+
+
+def test_binaryfile_manifest_is_hash_exact(spark, sf_dir):
+    """q86 (the registered, oracled surface) returns the ingest
+    manifest; every row's md5-of-uppercase-hex matches a local
+    hashlib replay of the generator bytes."""
+    import hashlib
+
+    pdf = q86_binaryfile_ingest(spark, sf_dir).toPandas()
+    assert len(pdf) == 64
+    assert list(pdf["image_id"]) == sorted(pdf["image_id"])
+    by_id = pdf.set_index("image_id")
+    for i in (0, 1, 7, 63):
+        r = synth.image_row(i)
+        got = by_id.loc[r["image_id"]]
+        assert got["fmt"] == r["fmt"]
+        assert got["file_len"] == len(r["bytes"])
+        want = hashlib.md5(r["bytes"].hex().upper().encode()).hexdigest()
+        assert got["content_md5"] == want

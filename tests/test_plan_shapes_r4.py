@@ -1,8 +1,12 @@
 """Plan-shape pins for the round-4 optimizations (VERDICT r3 items
 2 and 5): the q223 verify path must stay in-row (array_intersect on
 doc-keyed joins, no exploded pair shuffle / pair re-aggregation), and
-the scheduling window exchange must carry the dictionary-encoded
-host_id int, never the host string."""
+the scheduling window exchange is on its byte diet — url_hash is shed
+from the exchange (re-derived in-row post-schedule) and the salt is a
+narrow int.  The host stays a STRING in the exchange: the
+dictionary-encoded host_id variant was A/B-measured and rejected
+(-13% at 4N — PLANS.md round-4 notes), so this test pins the shipped
+shape, not that variant."""
 
 from __future__ import annotations
 

@@ -195,8 +195,7 @@ def bench_frontier_schedule(
     # window exchange and stage-1 cache never carry them
     allowed = new.where(~F.col("robots_blocked")).drop("robots_blocked", "path")
     sched = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, _tmp,
-                      do_persist=persist_stage1,
-                      host_src=cand if persist_cand else None)
+                      do_persist=persist_stage1)
     n_scheduled = sched.where(F.col("scheduled")).count()
     wall = time.time() - t0
     for df_ in _tmp:
@@ -313,8 +312,7 @@ def bench_full_round(
     # mirror run_round_pipeline: path/robots_blocked end here, so the
     # window exchange and stage-1 cache never carry them
     allowed = new.where(~F.col("robots_blocked")).drop("robots_blocked", "path")
-    sched = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, _tmp,
-                      host_src=cand)
+    sched = _schedule(allowed, budgets, cfg.default_host_budget, cfg.n_salts, _tmp)
     fetched = (
         sched.where(F.col("scheduled"))
         .select("canon_url")

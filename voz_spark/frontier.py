@@ -372,7 +372,6 @@ def _schedule(
     n_salts: int,
     persisted: list[DataFrame] | None = None,
     do_persist: bool = True,
-    host_src: DataFrame | None = None,
 ) -> DataFrame:
     """B4/B5/B6: salted per-host priority scheduling.
 
@@ -400,9 +399,8 @@ def _schedule(
     setup hurts the short 4N wall far more than the byte diet helps
     while the shuffle codec (zstd) already compresses the highly
     repetitive host strings. host stays a string through the window
-    exchange; the `host_src` parameter remains for callers that want
-    to supply a persisted superset table to future host-dim variants
-    (currently unused).
+    exchange. (A host-dim variant would take a persisted host-superset
+    parameter here; it was removed with the rejected variant.)
     """
     budget_map = F.create_map(
         *[x for h, b in sorted(budgets.items()) for x in (F.lit(h), F.lit(b))]
@@ -631,7 +629,6 @@ def run_round_pipeline(
         cfg.default_host_budget,
         cfg.n_salts,
         persisted,
-        host_src=new,  # persisted host superset — dim build scans the cache
     ).persist()
     persisted.append(sched_all)
     scheduled = sched_all.where(F.col("scheduled"))

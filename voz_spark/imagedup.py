@@ -3469,9 +3469,9 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
        (SELECT CAST(1000 * COUNT(*) AS BIGINT) FROM hit)
-         // (SELECT COUNT(*) FROM pred) AS precision_milli,
+         // GREATEST((SELECT COUNT(*) FROM pred), 1) AS precision_milli,
        (SELECT CAST(1000 * COUNT(*) AS BIGINT) FROM hit)
-         // (SELECT COUNT(*) FROM truth) AS recall_milli
+         // GREATEST((SELECT COUNT(*) FROM truth), 1) AS recall_milli
 """
 
 
@@ -3505,8 +3505,8 @@ def q176_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         "n_pred",
         "n_hit",
-        F.expr("1000 * n_hit div n_pred").cast("long").alias("precision_milli"),
-        F.expr("1000 * n_hit div n_truth").cast("long").alias("recall_milli"),
+        F.expr("1000 * n_hit div GREATEST(n_pred, 1)").cast("long").alias("precision_milli"),
+        F.expr("1000 * n_hit div GREATEST(n_truth, 1)").cast("long").alias("recall_milli"),
     )
 
 
@@ -3559,7 +3559,7 @@ SELECT CAST(hamming AS BIGINT) AS hamming,
        CAST(cum_pred AS BIGINT) AS cum_pred,
        CAST(cum_hit AS BIGINT) AS cum_hit,
        CAST(1000 * cum_hit // cum_pred AS BIGINT) AS precision_milli,
-       CAST(1000 * cum_hit // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_milli
+       CAST(1000 * cum_hit // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_milli
 FROM cum ORDER BY hamming
 """
 
@@ -3608,7 +3608,7 @@ def q179_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_pred").cast("long").alias("cum_pred"),
             F.col("cum_hit").cast("long").alias("cum_hit"),
             F.expr("1000 * cum_hit div cum_pred").cast("long").alias("precision_milli"),
-            F.expr("1000 * cum_hit div n_truth").cast("long").alias("recall_milli"),
+            F.expr("1000 * cum_hit div GREATEST(n_truth, 1)").cast("long").alias("recall_milli"),
         )
         .orderBy("hamming")
     )
@@ -3676,14 +3676,14 @@ lab AS (
 SELECT CAST(bands AS BIGINT) AS bands,
        CAST(COUNT(*) AS BIGINT) AS n_cand,
        CAST(SUM(is_true) AS BIGINT) AS n_surfaced,
-       CAST(1000 * SUM(is_true) // (SELECT COUNT(*) FROM truth) AS BIGINT)
+       CAST(1000 * SUM(is_true) // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT)
          AS surfaced_milli,
        CAST(SUM(CASE WHEN hamming <= {_HAMMING_MAX} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_pred,
        CAST(SUM(CASE WHEN hamming <= {_HAMMING_MAX} THEN is_true ELSE 0 END) AS BIGINT)
          AS n_hit,
        CAST(1000 * SUM(CASE WHEN hamming <= {_HAMMING_MAX} THEN is_true ELSE 0 END)
-            // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_milli
+            // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_milli
 FROM lab GROUP BY bands ORDER BY bands
 """
 
@@ -3764,10 +3764,10 @@ def q180_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bands",
             "n_cand",
             "n_surfaced",
-            F.expr("1000 * n_surfaced div n_truth").cast("long").alias("surfaced_milli"),
+            F.expr("1000 * n_surfaced div GREATEST(n_truth, 1)").cast("long").alias("surfaced_milli"),
             "n_pred",
             "n_hit",
-            F.expr("1000 * n_hit div n_truth").cast("long").alias("recall_milli"),
+            F.expr("1000 * n_hit div GREATEST(n_truth, 1)").cast("long").alias("recall_milli"),
         )
         .orderBy("bands")
     )

@@ -63,6 +63,15 @@ def release_caches(spark: SparkSession) -> int:
     At production scale each query is its own job and the caches die
     with the session; this contract exists for the long-lived
     many-query sessions the driver and the test suite actually run.
+
+    Contract assumption: NO harness-owned persisted DataFrames/RDDs may
+    be live across a release_caches call — this releases EVERY
+    persistent RDD in the session, not just the previous query's. A
+    harness that keeps its own long-lived cache (e.g. a preloaded seen
+    set or a shared fixture) must either re-persist after each call or
+    scope release_caches around the query-only region (what
+    bench_frontier does: its seen set is built, used, and dropped
+    within one measured region, never held across a release).
     """
     spark.catalog.clearCache()
     # py4j exposes the JavaSparkContext's Map<Integer, JavaRDD> as a

@@ -1838,8 +1838,8 @@ SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_a * n_b // GREATEST(ndv_a, ndv_b) AS BIGINT) AS est_basic,
        CAST(est_mcv AS BIGINT) AS est_mcv,
        CAST(1000 * abs(n_a * n_b // GREATEST(ndv_a, ndv_b) - exact_n)
-            // exact_n AS BIGINT) AS err_basic_milli,
-       CAST(1000 * abs(est_mcv - exact_n) // exact_n AS BIGINT)
+            // GREATEST(exact_n, 1) AS BIGINT) AS err_basic_milli,
+       CAST(1000 * abs(est_mcv - exact_n) // GREATEST(exact_n, 1) AS BIGINT)
          AS err_mcv_milli
 FROM sa CROSS JOIN sb CROSS JOIN ex CROSS JOIN mcv
 """
@@ -1908,11 +1908,11 @@ def q209_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("est_mcv").cast("long").alias("est_mcv"),
             F.expr(
                 "1000 * abs(n_a * n_b div GREATEST(ndv_a, ndv_b) - exact_n)"
-                " div exact_n"
+                " div GREATEST(exact_n, 1)"
             )
             .cast("long")
             .alias("err_basic_milli"),
-            F.expr("1000 * abs(est_mcv - exact_n) div exact_n")
+            F.expr("1000 * abs(est_mcv - exact_n) div GREATEST(exact_n, 1)")
             .cast("long")
             .alias("err_mcv_milli"),
         )
