@@ -1,0 +1,325 @@
+"""Round-5 operator wave: three training-data curation operators the
+task brief names as first-class for a 100 TB corpus pipeline —
+benchmark decontamination, tokenizer vocabulary sizing, and
+leakage-safe dataset splitting.
+
+Exactness discipline as extras_r4 (SURVEY.md §5.2): integer
+arithmetic end-to-end, md5-derived hash folds, identical aliases both
+engines, a unique tie-break under every top-k, GREATEST guards on
+data-dependent denominators.
+
+The reference has no evaluation hygiene at all (it trains nothing);
+these extend its corpus toward the LLM-pipeline usage the brief
+describes, the way q224 (BPE) and q225 (DSIR) did in earlier rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from voz_spark.registry import register
+from voz_spark.session import load_table as T
+
+# ---------------------------------------------------------------------------
+# q261: benchmark decontamination — the GPT-3-style n-gram overlap
+# check every serious pretraining run performs: any training document
+# sharing an n-gram with a held-out benchmark document is flagged so
+# eval numbers aren't inflated by memorization. The benchmark set here
+# is the deterministic doc_id % 97 == 0 slice; the n-gram is the word
+# trigram (the corpus' ~30-word synthetic vocabulary makes 3 the width
+# where overlap is informative — real deployments use 8-13-gram
+# windows, same plan shape).
+#
+# Scale shape: the benchmark side is TINY by construction (an eval set
+# is thousands of docs, not billions), so its distinct trigram table
+# broadcasts; the 100 TB train side is one scan + in-row distinct
+# shingling + a broadcast LEFT SEMI join — no shuffle of the train
+# corpus at all, then a per-source count. The naive alternative (join
+# train x train shingles) never appears.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q261_benchmark_decontamination",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, doc_id % 97 = 0 AS is_eval,
+         string_split(text, ' ') AS tk
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, source, is_eval,
+         UNNEST(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+           AS g
+  FROM tok WHERE len(tk) >= 3
+),
+eval_tri AS (SELECT DISTINCT g FROM tri WHERE is_eval),
+contam AS (
+  SELECT DISTINCT t.source, t.doc_id
+  FROM tri t JOIN eval_tri USING (g)
+  WHERE NOT t.is_eval
+),
+train AS (
+  SELECT source, COUNT(*) AS n_train_docs
+  FROM documents WHERE doc_id % 97 <> 0 GROUP BY source
+)
+SELECT train.source,
+       CAST(n_train_docs AS BIGINT) AS n_train_docs,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated,
+       CAST(1000 * COALESCE(c.n, 0) // GREATEST(n_train_docs, 1) AS BIGINT)
+         AS contam_milli
+FROM train
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM contam GROUP BY source) c
+  USING (source)
+ORDER BY source
+""",
+)
+def q261_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram overlap between the train slice and the held-out
+    doc_id%97 benchmark slice: per-source contaminated-doc counts via
+    a broadcast semi-join on the benchmark's distinct trigrams."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("tk")
+    )
+    tri = d.where(F.size("tk") >= 3).select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2),"
+                    " i -> concat_ws(' ', tk[i - 1], tk[i], tk[i + 1]))"
+                )
+            )
+        ).alias("g"),
+    )
+    eval_tri = tri.where("is_eval").select("g").distinct()
+    contam = (
+        tri.where(~F.col("is_eval"))
+        .join(F.broadcast(eval_tri), "g", "left_semi")
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    train = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 != 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+    )
+    return (
+        train.join(contam, "source", "left")
+        .select(
+            "source",
+            F.col("n_train_docs").cast("long").alias("n_train_docs"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.expr("1000 * COALESCE(n, 0) div GREATEST(n_train_docs, 1)")
+            .cast("long")
+            .alias("contam_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262: tokenizer vocabulary coverage curve — "how big must the vocab
+# be before OOV is negligible?" is the first sizing decision of any
+# tokenizer; the answer is the cumulative frequency of the top-V token
+# types at candidate sizes V. Complements q224 (BPE merges) with the
+# sizing analysis that precedes training it.
+#
+# Scale shape: one scan + one (token)-keyed count (partial-combined),
+# then orderBy(cnt).limit(MAX_V) — Spark's distributed TakeOrdered,
+# NOT a global sort: only the top-256 rows ever reach one machine, so
+# the curve costs the same at 10^10 docs. The running sum then runs
+# over that bounded 256-row table. Total token mass is a separate
+# 1-row aggregate (the OOV denominator must count ALL tokens, not
+# just the top slice).
+# ---------------------------------------------------------------------------
+
+_Q262_CUTS = (4, 16, 64, 256)
+
+
+@register(
+    "q262_vocab_coverage_curve",
+    oracle=f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+  FROM counts
+),
+top AS (SELECT * FROM ranked WHERE rk <= {max(_Q262_CUTS)}),
+total AS (SELECT SUM(cnt) AS total_tokens FROM counts),
+cuts(vocab_size) AS (VALUES {", ".join(f"({v})" for v in _Q262_CUTS)})
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS n_types_used,
+       CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(1000 * SUM(cnt) // GREATEST(total_tokens, 1) AS BIGINT)
+         AS coverage_milli,
+       CAST(1000 * (total_tokens - SUM(cnt)) // GREATEST(total_tokens, 1)
+            AS BIGINT) AS oov_milli
+FROM cuts, top, total
+WHERE top.rk <= cuts.vocab_size
+GROUP BY vocab_size, total_tokens
+ORDER BY vocab_size
+""",
+)
+def q262_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-mass coverage of the top-V token types at
+    V in {4,16,64,256}: bounded TakeOrdered top slice + 1-row total."""
+    tok = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(max(_Q262_CUTS))
+    top = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), "token"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    cuts = spark.createDataFrame(
+        [(v,) for v in _Q262_CUTS], "vocab_size int"
+    )
+    return (
+        F.broadcast(cuts)
+        .join(top, F.col("rk") <= F.col("vocab_size"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("vocab_size", "total_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types_used"),
+            F.sum("cnt").cast("long").alias("covered_tokens"),
+        )
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            "n_types_used",
+            "covered_tokens",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.expr("1000 * covered_tokens div GREATEST(total_tokens, 1)")
+            .cast("long")
+            .alias("coverage_milli"),
+            F.expr(
+                "1000 * (total_tokens - covered_tokens)"
+                " div GREATEST(total_tokens, 1)"
+            )
+            .cast("long")
+            .alias("oov_milli"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263: leakage-safe split audit — train/val/test folds must keep
+# correlated documents TOGETHER (same site, same dedup cluster), or
+# eval leaks: the C4/RefinedWeb rule is to split at the DOMAIN level,
+# never the document level. This audit quantifies the difference:
+# fold-by-doc-hash (naive) vs fold-by-source-hash (group-aware), and
+# counts same-source pairs separated by each. The group-aware column
+# being identically 0 is the verified guarantee, not an assumption —
+# it is computed by the same formula as the naive one.
+#
+# Leaked pairs per source under a fold assignment with per-fold counts
+# c_f: C(n,2) - sum_f C(c_f,2) — pure integer math (c*(c-1) is even),
+# no pair enumeration: the audit costs two keyed counts even when a
+# source has 10^8 documents.
+#
+# Scale shape: two hash aggregates ((source, fold) then (source)) and
+# a broadcast-sized per-source result. Nothing pairwise materializes.
+# ---------------------------------------------------------------------------
+
+_Q263_FOLDS = 5
+
+_Q263_HDOC_S = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+_Q263_HDOC_D = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+_Q263_HSRC_S = "CAST(conv(substr(md5(source), 1, 15), 16, 10) AS BIGINT)"
+_Q263_HSRC_D = "('0x' || substr(md5(source), 1, 15))::BIGINT"
+
+
+@register(
+    "q263_split_leakage_audit",
+    oracle=f"""
+WITH f AS (
+  SELECT source,
+         {_Q263_HDOC_D} % {_Q263_FOLDS} AS naive_fold,
+         {_Q263_HSRC_D} % {_Q263_FOLDS} AS group_fold
+  FROM documents
+),
+naive_cells AS (
+  SELECT source, naive_fold, COUNT(*) AS c FROM f GROUP BY source, naive_fold
+),
+group_cells AS (
+  SELECT source, group_fold, COUNT(*) AS c FROM f GROUP BY source, group_fold
+),
+per_source AS (
+  SELECT source, SUM(c) AS n_docs, SUM(c * (c - 1) // 2) AS naive_same
+  FROM naive_cells GROUP BY source
+),
+per_source_g AS (
+  SELECT source, SUM(c * (c - 1) // 2) AS group_same,
+         MIN(group_fold) AS group_fold
+  FROM group_cells GROUP BY source
+)
+SELECT p.source,
+       CAST(g.group_fold AS BIGINT) AS group_fold,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+       CAST(n_docs * (n_docs - 1) // 2 - naive_same AS BIGINT)
+         AS naive_leaked_pairs,
+       CAST(n_docs * (n_docs - 1) // 2 - group_same AS BIGINT)
+         AS group_leaked_pairs
+FROM per_source p JOIN per_source_g g USING (source)
+ORDER BY p.source
+""",
+)
+def q263_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-source pairs separated by a doc-hash fold vs a
+    source-hash (group-aware) fold — counted from per-fold cell
+    counts, never by pair enumeration."""
+    f = T(spark, sf_dir, "documents").select(
+        "source",
+        (F.expr(_Q263_HDOC_S) % _Q263_FOLDS).alias("naive_fold"),
+        (F.expr(_Q263_HSRC_S) % _Q263_FOLDS).alias("group_fold"),
+    )
+    naive = (
+        f.groupBy("source", "naive_fold")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.sum(F.expr("c * (c - 1) div 2")).alias("naive_same"),
+        )
+    )
+    grp = (
+        f.groupBy("source", "group_fold")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr("c * (c - 1) div 2")).alias("group_same"),
+            F.min("group_fold").alias("group_fold"),
+        )
+    )
+    return (
+        naive.join(grp, "source")
+        .select(
+            "source",
+            F.col("group_fold").cast("long").alias("group_fold"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("n_docs * (n_docs - 1) div 2").cast("long").alias("total_pairs"),
+            F.expr("n_docs * (n_docs - 1) div 2 - naive_same")
+            .cast("long")
+            .alias("naive_leaked_pairs"),
+            F.expr("n_docs * (n_docs - 1) div 2 - group_same")
+            .cast("long")
+            .alias("group_leaked_pairs"),
+        )
+        .orderBy("source")
+    )

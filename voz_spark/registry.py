@@ -43,7 +43,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # import for side effects: modules populate REGISTRY on import
     from voz_spark import dataprep, file_io, imagedup, relational, storage, streaming  # noqa: F401
-    from voz_spark import corpus_ops, crawl_queries, crawlops, extras_r4  # noqa: F401
+    from voz_spark import corpus_ops, crawl_queries, crawlops, extras_r4, extras_r5  # noqa: F401
 
     return {k: v.fn for k, v in REGISTRY.items()}
 
@@ -86,6 +86,6 @@ def release_caches(spark: SparkSession) -> int:
 
 def all_oracles() -> dict[str, str]:
     from voz_spark import dataprep, file_io, imagedup, relational, storage, streaming  # noqa: F401
-    from voz_spark import corpus_ops, crawl_queries, crawlops, extras_r4  # noqa: F401
+    from voz_spark import corpus_ops, crawl_queries, crawlops, extras_r4, extras_r5  # noqa: F401
 
     return {k: v.oracle for k, v in REGISTRY.items() if v.oracle is not None}
