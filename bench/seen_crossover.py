@@ -91,7 +91,9 @@ def main() -> None:
         "bucketed": bucketed,
         "bucketed_over_plain": ratio,
     }
-    path = os.path.join(REPO, "BENCH", "frontier_bucketed_64m.json")
+    path = os.path.join(
+        REPO, "BENCH", f"frontier_bucketed_{n_urls // 1_000_000}m.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
