@@ -102,3 +102,94 @@ def test_q263_split_audit_replay(spark, sf_dir):
     # driver fixture (a 2-doc source may land in one fold by chance,
     # so the assertion is corpus-level, not per-source)
     assert any(r.naive_leaked_pairs > 0 for r in rows)
+
+
+def test_q264_rare_token_gate_replay(spark, sf_dir):
+    rows = all_queries()["q264_rare_token_gate"](spark, sf_dir).collect()
+    release_caches(spark)
+    from voz_spark.extras_r5 import _Q264_REJECT_MILLI, _Q264_VOCAB
+
+    d = _docs(sf_dir)
+    cnt = Counter()
+    for t in d.text:
+        cnt.update(t.split(" "))
+    vocab = {
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_Q264_VOCAB]
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, rejected, oov, total
+    for _, r in d.iterrows():
+        tk = r.text.split(" ")
+        oov = sum(1 for t in tk if t not in vocab)
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += 1 if 1000 * oov // len(tk) > _Q264_REJECT_MILLI else 0
+        a[2] += oov
+        a[3] += len(tk)
+    got = {
+        r.source: (r.n_docs, r.n_rejected, r.oov_tokens, r.total_tokens, r.oov_milli)
+        for r in rows
+    }
+    want = {
+        s: (a[0], a[1], a[2], a[3], 1000 * a[2] // max(a[3], 1))
+        for s, a in agg.items()
+    }
+    assert got == want
+    # the gate must discriminate on every driver fixture: some but not
+    # all documents rejected
+    tot_rej = sum(v[1] for v in got.values())
+    assert 0 < tot_rej < sum(v[0] for v in got.values())
+
+
+def test_q265_chunk_manifest_replay(spark, sf_dir):
+    rows = all_queries()["q265_rag_chunk_manifest"](spark, sf_dir).collect()
+    release_caches(spark)
+    from voz_spark.extras_r5 import _Q265_S, _Q265_W
+
+    d = _docs(sf_dir)
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert set(by_doc) == {int(x) for x in d.doc_id}
+    for _, dr in d.iterrows():
+        n = len(dr.text.split(" "))
+        chunks = sorted(by_doc[int(dr.doc_id)], key=lambda r: r.chunk_no)
+        want_nc = 1 if n <= _Q265_W else (n - _Q265_W + _Q265_S - 1) // _Q265_S + 1
+        assert [c.chunk_no for c in chunks] == list(range(want_nc))
+        for c in chunks:
+            assert c.start_tok == c.chunk_no * _Q265_S
+            assert c.n_toks == min(c.start_tok + _Q265_W, n) - c.start_tok
+            assert 1 <= c.n_toks <= _Q265_W
+        # coverage: the last chunk reaches the final token; consecutive
+        # chunks overlap by exactly W - S tokens except possibly the
+        # truncated last one
+        last = chunks[-1]
+        assert last.start_tok + last.n_toks == n
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok == a.start_tok + _Q265_S
+            if b.n_toks == _Q265_W:
+                assert a.start_tok + _Q265_W - b.start_tok == _Q265_W - _Q265_S
+
+
+def test_q266_source_similarity_replay(spark, sf_dir):
+    rows = all_queries()["q266_source_similarity_matrix"](spark, sf_dir).collect()
+    release_caches(spark)
+    d = _docs(sf_dir)
+    sets = defaultdict(set)
+    for _, r in d.iterrows():
+        sets[r.source].update(r.text.split(" "))
+    srcs = sorted(sets)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            want[(a, b)] = (
+                len(sets[a]),
+                len(sets[b]),
+                inter,
+                1000 * inter // (len(sets[a]) + len(sets[b]) - inter),
+            )
+    got = {
+        (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_inter, r.jaccard_milli) for r in rows
+    }
+    assert got == want
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2

@@ -1,7 +1,8 @@
-"""Round-5 operator wave: three training-data curation operators the
-task brief names as first-class for a 100 TB corpus pipeline —
-benchmark decontamination, tokenizer vocabulary sizing, and
-leakage-safe dataset splitting.
+"""Round-5 operator wave: training-data curation operators the task
+brief names as first-class for a 100 TB corpus pipeline — benchmark
+decontamination, tokenizer vocabulary sizing, leakage-safe dataset
+splitting, a rare-token junk gate, RAG chunk manifests, and the
+source-similarity matrix behind corpus-mixture design.
 
 Exactness discipline as extras_r4 (SURVEY.md §5.2): integer
 arithmetic end-to-end, md5-derived hash folds, identical aliases both
@@ -322,4 +323,252 @@ def q263_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("group_leaked_pairs"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q264: rare-token junk gate — the OCR-garbage / boilerplate detector
+# that pairs with q262's vocab sizing: a document whose tokens mostly
+# fall OUTSIDE the corpus' top-K vocabulary is noise (broken encoding,
+# boilerplate soup, wrong language), and every production corpus
+# filters on exactly this ratio. Integer-milli rate, keep verdict at
+# a named threshold.
+#
+# Scale shape: the top-K vocab is the same bounded TakeOrdered slice
+# as q262 (K rows reach one machine regardless of corpus size) and
+# BROADCASTS back; the per-doc rate is then one scan + in-row
+# membership against the broadcast set via an exploded semi-join
+# keyed on the token — the corpus shuffles nothing. Per-source
+# rollup of rejects is a bounded aggregate.
+# ---------------------------------------------------------------------------
+
+_Q264_VOCAB = 24
+# reject when >25% of tokens fall outside the top-24 vocab — the
+# fixture's per-doc OOV-milli spans 0-411 (median ~190, p90 ~272), so
+# this threshold rejects a real ~15% tail while keeping the bulk
+_Q264_REJECT_MILLI = 250
+
+
+@register(
+    "q264_rare_token_gate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+vocab AS (
+  SELECT token FROM counts ORDER BY cnt DESC, token LIMIT {_Q264_VOCAB}
+),
+per_doc AS (
+  SELECT t.doc_id, t.source,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN 1000 * n_oov // n_tokens > {_Q264_REJECT_MILLI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+       CAST(SUM(n_oov) AS BIGINT) AS oov_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(1000 * SUM(n_oov) // GREATEST(SUM(n_tokens), 1) AS BIGINT)
+         AS oov_milli
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def q264_rare_token_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source junk audit: docs whose out-of-top-K-vocab token
+    share exceeds 40% are rejected; vocab is the broadcast TakeOrdered
+    top-K."""
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = counts.orderBy(F.desc("cnt"), "token").limit(_Q264_VOCAB).select("token")
+    per_doc = (
+        tok.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.expr(f"1000 * n_oov div n_tokens > {_Q264_REJECT_MILLI}"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rejected"),
+            F.sum("n_oov").cast("long").alias("oov_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "oov_milli",
+            F.expr("1000 * oov_tokens div GREATEST(total_tokens, 1)").cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q265: RAG chunk manifest — fixed-size token-window chunking with
+# overlap (window 8, stride 6), the first transform of every
+# retrieval pipeline: each document becomes ceil((n-W)/S)+1 chunks
+# (one chunk when n <= W), each chunk carrying its exact token span
+# so retrieval hits map back to byte offsets.
+#
+# Scale shape: chunk boundaries are PURE in-row arithmetic (sequence
+# over the stride count + transform), one explode, no shuffle until
+# the display sort — a 100 TB corpus chunks embarrassingly parallel.
+# The chunk-count closed form is asserted against the generated rows
+# in tests (boundary invariants), and the oracle derives the same
+# spans from range() independently.
+# ---------------------------------------------------------------------------
+
+_Q265_W = 8  # tokens per chunk
+_Q265_S = 6  # stride (W - S = 2 tokens of overlap)
+
+
+@register(
+    "q265_rag_chunk_manifest",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+chunks AS (
+  SELECT doc_id, source, n_tok, UNNEST(range(0,
+           CASE WHEN n_tok <= {_Q265_W} THEN 1
+                ELSE (n_tok - {_Q265_W} + {_Q265_S} - 1) // {_Q265_S} + 1 END))
+           AS chunk_no
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source,
+       CAST(chunk_no AS BIGINT) AS chunk_no,
+       CAST(chunk_no * {_Q265_S} AS BIGINT) AS start_tok,
+       CAST(LEAST(chunk_no * {_Q265_S} + {_Q265_W}, n_tok)
+            - chunk_no * {_Q265_S} AS BIGINT) AS n_toks
+FROM chunks
+ORDER BY doc_id, chunk_no
+""",
+)
+def q265_rag_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunk spans (W=8, S=6) per document —
+    in-row boundary arithmetic + one explode, shuffle-free."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    n_chunks = F.expr(
+        f"CASE WHEN n_tok <= {_Q265_W} THEN 1"
+        f" ELSE (n_tok - {_Q265_W} + {_Q265_S} - 1) div {_Q265_S} + 1 END"
+    )
+    return (
+        d.withColumn("nc", n_chunks)
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.explode(F.expr("sequence(0, nc - 1)")).alias("chunk_no"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            (F.col("chunk_no") * _Q265_S).cast("long").alias("start_tok"),
+            F.expr(
+                f"LEAST(chunk_no * {_Q265_S} + {_Q265_W}, n_tok)"
+                f" - chunk_no * {_Q265_S}"
+            )
+            .cast("long")
+            .alias("n_toks"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q266: source-similarity matrix — exact token-set Jaccard between
+# every pair of sources (the corpus-mixture design view: which
+# sources are near-redundant, which add genuinely new vocabulary).
+# The source domain is small and bounded, so the full matrix is a
+# bounded output even when each source holds 10^9 documents.
+#
+# Scale shape: distinct (source, token) is one partial-combining
+# aggregate over the scan; the pair join is keyed on the TOKEN
+# (bounded fan-out: a token appears in at most |sources| rows), and
+# the final matrix aggregate lives on the |sources|^2 domain. Set
+# sizes come from one bounded per-source rollup broadcast back. At a
+# larger source domain the same plan degrades gracefully (token-keyed
+# join stays the only big exchange); KMV sketches (q59/q196) are the
+# documented approximation when exactness is not required.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q266_source_similarity_matrix",
+    oracle="""
+WITH st AS (SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS token
+            FROM documents),
+sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM st a JOIN st b USING (token)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(1000 * n_inter // (sa.n + sb.n - n_inter) AS BIGINT)
+         AS jaccard_milli
+FROM inter
+JOIN sz sa ON sa.source = src_a
+JOIN sz sb ON sb.source = src_b
+ORDER BY src_a, src_b
+""",
+)
+def q266_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise token-set Jaccard over the bounded source
+    domain: token-keyed pair join + |sources|^2 rollup."""
+    st = (
+        T(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    st = st.persist()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "token")
+    b = st.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sza = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+    szb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sza, "src_a")
+        .join(szb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.expr("1000 * n_inter div (n_a + n_b - n_inter)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+        .orderBy("src_a", "src_b")
     )
