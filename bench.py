@@ -54,6 +54,10 @@ EXTRA = [
     # warehouse operators so that family gets wall-time evidence too
     "q231_incremental_view_merge",
     "q240_scd2_asof_enrich",
+    # round-5 wave representatives: the decontamination semi-join and
+    # the chunk manifest (the two with the most novel plan shapes)
+    "q261_benchmark_decontamination",
+    "q265_rag_chunk_manifest",
 ]
 
 
