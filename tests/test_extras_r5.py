@@ -193,3 +193,79 @@ def test_q266_source_similarity_replay(spark, sf_dir):
     }
     assert got == want
     assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+
+
+def test_q267_association_rules_replay(spark, sf_dir):
+    rows = all_queries()["q267_association_rules"](spark, sf_dir).collect()
+    release_caches(spark)
+    from voz_spark.extras_r5 import _Q267_TOPK
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    baskets = defaultdict(set)
+    for ok_, pk in zip(li.l_orderkey, li.l_partkey):
+        baskets[ok_].add(int(pk) % 50)
+    n_orders = len(baskets)
+    item_c = Counter()
+    pair_c = Counter()
+    for items in baskets.values():
+        for x in items:
+            item_c[x] += 1
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                pair_c[(a, b)] += 1
+    scored = []
+    for (a, b), n_ab in pair_c.items():
+        for ant, con in ((a, b), (b, a)):
+            scored.append(
+                (
+                    1_000_000 * n_ab * n_orders // (item_c[ant] * item_c[con]),
+                    1000 * n_ab // item_c[ant],
+                    n_ab,
+                    ant,
+                    con,
+                    1000 * n_ab // n_orders,
+                )
+            )
+    scored.sort(key=lambda t: (-t[0], -t[1], -t[2], t[3], t[4]))
+    want = [
+        (ant, con, n_ab, sup, conf, lift)
+        for lift, conf, n_ab, ant, con, sup in scored[:_Q267_TOPK]
+    ]
+    got = [
+        (r.antecedent, r.consequent, r.n_ab, r.support_milli,
+         r.confidence_milli, r.lift_micro)
+        for r in rows
+    ]
+    assert got == want
+    # lift must genuinely discriminate on every driver fixture
+    assert rows[0].lift_micro > rows[-1].lift_micro
+
+
+def test_q268_greedy_coverage_replay(spark, sf_dir):
+    rows = all_queries()["q268_greedy_coverage_selection"](spark, sf_dir).collect()
+    release_caches(spark)
+    from voz_spark.extras_r5 import _Q268_K
+
+    d = _docs(sf_dir)
+    tris = {}
+    for _, r in d.iterrows():
+        tk = r.text.split(" ")
+        if len(tk) >= 3:
+            tris[int(r.doc_id)] = {
+                " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+            }
+    covered: set = set()
+    want = []
+    for rnd in range(1, _Q268_K + 1):
+        best = max(
+            tris.items(), key=lambda kv: (len(kv[1] - covered), -kv[0])
+        )
+        n_new = len(best[1] - covered)
+        covered |= best[1]
+        want.append((rnd, best[0], n_new, len(covered)))
+    got = [(r.round, r.doc_id, r.n_new_shingles, r.covered_total) for r in rows]
+    assert got == want
+    # greedy marginal gains are non-increasing (submodularity)
+    gains = [w[2] for w in want]
+    assert gains == sorted(gains, reverse=True)

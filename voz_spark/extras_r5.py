@@ -1,8 +1,9 @@
 """Round-5 operator wave: training-data curation operators the task
 brief names as first-class for a 100 TB corpus pipeline — benchmark
 decontamination, tokenizer vocabulary sizing, leakage-safe dataset
-splitting, a rare-token junk gate, RAG chunk manifests, and the
-source-similarity matrix behind corpus-mixture design.
+splitting, a rare-token junk gate, RAG chunk manifests, the
+source-similarity matrix behind corpus-mixture design,
+association-rule mining, and greedy max-coverage selection.
 
 Exactness discipline as extras_r4 (SURVEY.md §5.2): integer
 arithmetic end-to-end, md5-derived hash folds, identical aliases both
@@ -572,3 +573,244 @@ def q266_source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q267: association-rule mining — support / confidence / lift over
+# order baskets (the market-basket classic; q09 counts co-occurrence,
+# this turns counts into directed RULES a→b with the three standard
+# strengths, all integer-exact: confidence and support in milli, lift
+# in micro via cross-multiplication — no per-rule float division).
+# Items are the bounded l_partkey % 50 bucket domain, so the pair
+# space is ≤ C(50,2) regardless of corpus size.
+#
+# Scale shape: one distinct (order, item) pre-aggregate (partial-
+# combined), per-order item sets via collect_set, pair expansion
+# IN-ROW from each set (q09's shape — never a basket self-join), a
+# bounded ≤1225-cell pair rollup, item counts broadcast back, and a
+# top-k under a total order. The 100 TB fact table crosses the wire
+# once, as (order, item) distincts.
+# ---------------------------------------------------------------------------
+
+_Q267_TOPK = 20
+
+
+@register(
+    "q267_association_rules",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM d),
+ic AS (SELECT item, COUNT(*) AS n_item FROM d GROUP BY item),
+pc AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+  FROM d a JOIN d b USING (l_orderkey)
+  WHERE a.item < b.item
+  GROUP BY a.item, b.item
+),
+rules AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_ab,
+         ia.n_item AS n_ant, ib.n_item AS n_con, n.n_orders
+  FROM pc JOIN ic ia ON ia.item = pc.item_a
+          JOIN ic ib ON ib.item = pc.item_b
+          CROSS JOIN n
+  UNION ALL
+  SELECT item_b, item_a, n_ab, ib.n_item, ia.n_item, n.n_orders
+  FROM pc JOIN ic ia ON ia.item = pc.item_a
+          JOIN ic ib ON ib.item = pc.item_b
+          CROSS JOIN n
+),
+scored AS (
+  SELECT CAST(antecedent AS BIGINT) AS antecedent,
+         CAST(consequent AS BIGINT) AS consequent,
+         CAST(n_ab AS BIGINT) AS n_ab,
+         CAST(1000 * n_ab // n_orders AS BIGINT) AS support_milli,
+         CAST(1000 * n_ab // n_ant AS BIGINT) AS confidence_milli,
+         CAST(1000000 * n_ab * n_orders // (n_ant * n_con) AS BIGINT)
+           AS lift_micro
+  FROM rules
+)
+SELECT * FROM scored
+ORDER BY lift_micro DESC, confidence_milli DESC, n_ab DESC, antecedent, consequent
+LIMIT {_Q267_TOPK}
+""",
+)
+def q267_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} directed rules a→b over bucketed order baskets by
+    integer lift/confidence; in-row pair expansion, bounded rollup."""
+    d = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 50).alias("item"))
+        .distinct()
+    )
+    d = d.persist()
+    n = d.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ic = d.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    sets = d.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("item")).alias("items")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) ->"
+                " transform(slice(items, i + 2, size(items)), y ->"
+                " struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    pc = pairs.groupBy("item_a", "item_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ia = F.broadcast(ic.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_ant_a")))
+    ib = F.broadcast(ic.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_con_b")))
+    base = pc.join(ia, "item_a").join(ib, "item_b").crossJoin(F.broadcast(n))
+    fwd = base.select(
+        F.col("item_a").alias("antecedent"), F.col("item_b").alias("consequent"),
+        "n_ab", F.col("n_ant_a").alias("n_ant"), F.col("n_con_b").alias("n_con"),
+        "n_orders",
+    )
+    rev = base.select(
+        F.col("item_b").alias("antecedent"), F.col("item_a").alias("consequent"),
+        "n_ab", F.col("n_con_b").alias("n_ant"), F.col("n_ant_a").alias("n_con"),
+        "n_orders",
+    )
+    rules = fwd.unionByName(rev)
+    return (
+        rules.select(
+            F.col("antecedent").cast("long").alias("antecedent"),
+            F.col("consequent").cast("long").alias("consequent"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr("1000 * n_ab div n_orders").cast("long").alias("support_milli"),
+            F.expr("1000 * n_ab div n_ant").cast("long").alias("confidence_milli"),
+            F.expr("1000000 * n_ab * n_orders div (n_ant * n_con)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy(
+            F.desc("lift_micro"), F.desc("confidence_milli"), F.desc("n_ab"),
+            "antecedent", "consequent",
+        )
+        .limit(_Q267_TOPK)
+    )
+
+
+q267_association_rules.__doc__ = (q267_association_rules.__doc__ or "").format(
+    k=_Q267_TOPK
+)
+
+
+# ---------------------------------------------------------------------------
+# q268: greedy max-coverage selection — pick K documents that together
+# cover the most distinct word trigrams (the facility-location /
+# submodular-selection shape behind diverse-subset curation: "which K
+# docs teach the most?"). Greedy is the 1-1/e-approximation classic
+# and is inherently iterative: K bounded rounds, each adding the doc
+# with the most not-yet-covered shingles (tie-break smallest doc_id).
+#
+# Scale shape: the per-doc trigram table is built once and persisted;
+# each round is one broadcast anti-join against the covered set (the
+# covered set is K docs' shingles — bounded and broadcastable by
+# design), one per-doc count, and a 1-row argmax collect (the q224
+# BPE-round precedent: driver state is O(K), never corpus-sized). The
+# DuckDB oracle unrolls the same K rounds as chained CTEs (the q101
+# unrolled-PageRank precedent) — two engines, one greedy trajectory.
+# ---------------------------------------------------------------------------
+
+_Q268_K = 5
+
+
+def _q268_oracle() -> str:
+    base = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+           AS g
+  FROM tok WHERE len(tk) >= 3
+)"""
+    parts = [base]
+    prev_cov = None
+    selects = []
+    for r in range(1, _Q268_K + 1):
+        novel = (
+            f"nov{r} AS (SELECT doc_id, g FROM tri)"
+            if prev_cov is None
+            else f"nov{r} AS (SELECT t.doc_id, t.g FROM tri t ANTI JOIN {prev_cov} c USING (g))"
+        )
+        win = (
+            f"win{r} AS (SELECT doc_id, COUNT(*) AS n_new FROM nov{r}"
+            f" GROUP BY doc_id ORDER BY n_new DESC, doc_id LIMIT 1)"
+        )
+        cov = (
+            f"cov{r} AS (SELECT DISTINCT g FROM tri WHERE doc_id IN (SELECT doc_id FROM win{r})"
+            + (f" UNION SELECT g FROM {prev_cov}" if prev_cov else "")
+            + ")"
+        )
+        parts += [novel, win, cov]
+        selects.append(
+            f"SELECT {r} AS round, doc_id, n_new,"
+            f" (SELECT COUNT(*) FROM cov{r}) AS covered_total FROM win{r}"
+        )
+        prev_cov = f"cov{r}"
+    body = ",\n".join(parts[1:])
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        parts[0]
+        + ",\n"
+        + body
+        + "\nSELECT CAST(round AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(n_new AS BIGINT) AS n_new_shingles,"
+        " CAST(covered_total AS BIGINT) AS covered_total FROM ("
+        + union
+        + ") ORDER BY round"
+    )
+
+
+@register("q268_greedy_coverage_selection", oracle=_q268_oracle())
+def q268_greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K greedy rounds of max-new-trigram document selection; each
+    round is a broadcast anti-join vs the bounded covered set + a
+    1-row argmax."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    tri = (
+        d.where(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 2),"
+                        " i -> concat_ws(' ', tk[i - 1], tk[i], tk[i + 1]))"
+                    )
+                )
+            ).alias("g"),
+        )
+        .persist()
+    )
+    covered = None  # DataFrame of distinct covered trigrams (bounded: K docs' worth)
+    out = []
+    for r in range(1, _Q268_K + 1):
+        nov = tri if covered is None else tri.join(
+            F.broadcast(covered), "g", "left_anti"
+        )
+        win = (
+            nov.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_new"))
+            .orderBy(F.desc("n_new"), "doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        win_tris = tri.where(F.col("doc_id") == win.doc_id).select("g")
+        covered = (
+            win_tris if covered is None else covered.unionByName(win_tris)
+        ).distinct().persist()
+        out.append((r, int(win.doc_id), int(win.n_new), covered.count()))
+    return spark.createDataFrame(
+        out, "round long, doc_id long, n_new_shingles long, covered_total long"
+    ).orderBy("round")
